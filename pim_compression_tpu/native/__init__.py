@@ -1,0 +1,194 @@
+"""ctypes bindings for the C++ native host codec.
+
+Auto-builds ``libsnappy_native.so`` with the bundled Makefile on first import
+if it is missing or older than its source. Falls back cleanly: callers can
+check :func:`available` and use the pure-Python oracle instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+from pim_compression_tpu.format import constants as C
+from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libsnappy_native.so"
+_SRC_PATH = _DIR / "snappy_native.cpp"
+
+_lib: ctypes.CDLL | None = None
+_build_error: str | None = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-s", "-C", str(_DIR)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    try:
+        if (
+            not _LIB_PATH.exists()
+            or _LIB_PATH.stat().st_mtime < _SRC_PATH.stat().st_mtime
+        ):
+            _build()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except (OSError, subprocess.CalledProcessError) as e:
+        _build_error = str(e)
+        return None
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.stpu_max_compressed_length.restype = ctypes.c_int64
+    lib.stpu_max_compressed_length.argtypes = [ctypes.c_int64]
+    lib.stpu_compress.restype = ctypes.c_int64
+    lib.stpu_compress.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_uint32, u8p, ctypes.c_int64, ctypes.c_int
+    ]
+    lib.stpu_decompress.restype = ctypes.c_int64
+    lib.stpu_decompress.argtypes = [
+        u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int
+    ]
+    lib.stpu_peek_header.restype = ctypes.c_int64
+    lib.stpu_peek_header.argtypes = [u8p, ctypes.c_int64, u32p, u32p, i64p]
+    lib.stpu_scan_frames.restype = ctypes.c_int64
+    lib.stpu_scan_frames.argtypes = [
+        u8p, ctypes.c_int64, i64p, u32p, i64p, u32p, ctypes.c_int64
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _check(status: int) -> int:
+    if status < 0:
+        raise SnappyError(SnappyStatus(status))
+    return status
+
+
+def compress(
+    data: bytes,
+    block_size: int = C.DEFAULT_BLOCK_SIZE,
+    num_threads: int = 0,
+) -> bytes:
+    """Compress via the native codec; byte-identical to the oracle's output.
+
+    ``num_threads`` 0 means use all CPUs; 1 means sequential (the reference
+    host path's behavior).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = lib.stpu_max_compressed_length(len(data))
+    out = np.empty(cap, dtype=np.uint8)
+    n = _check(
+        lib.stpu_compress(
+            _as_u8p(src) if len(data) else _as_u8p(out),
+            len(data),
+            block_size,
+            _as_u8p(out),
+            cap,
+            num_threads,
+        )
+    )
+    return out[:n].tobytes()
+
+
+def decompress(stream: bytes, num_threads: int = 0) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    src = np.frombuffer(stream, dtype=np.uint8)
+    total = ctypes.c_uint32()
+    block_size = ctypes.c_uint32()
+    num_blocks = ctypes.c_int64()
+    _check(
+        lib.stpu_peek_header(
+            _as_u8p(src),
+            len(stream),
+            ctypes.byref(total),
+            ctypes.byref(block_size),
+            ctypes.byref(num_blocks),
+        )
+    )
+    out = np.empty(max(total.value, 1), dtype=np.uint8)
+    n = _check(
+        lib.stpu_decompress(
+            _as_u8p(src), len(stream), _as_u8p(out), len(out), num_threads
+        )
+    )
+    return out[:n].tobytes()
+
+
+def scan_frames(stream: bytes) -> dict:
+    """Native-speed frame scan (host pre-pass for the TPU decode path).
+
+    Returns dict with total_len, block_size, and per-block numpy arrays:
+    payload_off, payload_size, out_off, out_size.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    src = np.frombuffer(stream, dtype=np.uint8)
+    total = ctypes.c_uint32()
+    block_size = ctypes.c_uint32()
+    num_blocks = ctypes.c_int64()
+    _check(
+        lib.stpu_peek_header(
+            _as_u8p(src),
+            len(stream),
+            ctypes.byref(total),
+            ctypes.byref(block_size),
+            ctypes.byref(num_blocks),
+        )
+    )
+    nb = num_blocks.value
+    payload_off = np.empty(nb, dtype=np.int64)
+    payload_size = np.empty(nb, dtype=np.uint32)
+    out_off = np.empty(nb, dtype=np.int64)
+    out_size = np.empty(nb, dtype=np.uint32)
+    got = _check(
+        lib.stpu_scan_frames(
+            _as_u8p(src),
+            len(stream),
+            payload_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            payload_size.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_size.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            nb,
+        )
+    )
+    assert got == nb
+    return {
+        "total_len": total.value,
+        "block_size": block_size.value,
+        "payload_off": payload_off,
+        "payload_size": payload_size,
+        "out_off": out_off,
+        "out_size": out_size,
+    }

@@ -1,0 +1,75 @@
+"""Native C++ codec tests: bit-exactness vs oracle + corpus, threading."""
+
+import random
+
+import pytest
+
+from pim_compression_tpu import native
+from pim_compression_tpu.format import constants as C
+from pim_compression_tpu.format import oracle
+from pim_compression_tpu.utils.errors import SnappyError
+
+from conftest import CORPUS_PAIRS, corpus_pair
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec failed to build"
+)
+
+
+@pytest.mark.parametrize("name", CORPUS_PAIRS)
+def test_native_corpus_bit_exact(corpus_dir, name):
+    txt, snappy = corpus_pair(name)
+    assert native.compress(txt) == snappy
+    assert native.decompress(snappy) == txt
+
+
+def test_native_xml(corpus_dir):
+    snappy = (corpus_dir / "xml.snappy").read_bytes()
+    plain = native.decompress(snappy)
+    assert native.compress(plain) == snappy
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_native_matches_oracle_random(threads):
+    rng = random.Random(7)
+    for size in [0, 1, 15, 16, 100, 5000, 70000, 200_001]:
+        data = rng.randbytes(size // 2) + b"pattern" * (size // 14 + 1)
+        data = data[:size]
+        stream = native.compress(data, num_threads=threads)
+        assert stream == oracle.compress(data)
+        assert native.decompress(stream, num_threads=threads) == data
+
+
+def test_native_block_sizes():
+    data = (b"the quick brown fox " * 5000)[:90_000]
+    for bs in [1024, 32768, 65536]:
+        stream = native.compress(data, block_size=bs)
+        assert stream == oracle.compress(data, block_size=bs)
+        assert native.decompress(stream) == data
+
+
+def test_native_rejects_garbage():
+    with pytest.raises(SnappyError):
+        native.decompress(b"\xff\xff\xff\xff\xff\xff\xff\xff")
+    good = native.compress(b"hello world hello world hello")
+    with pytest.raises(SnappyError):
+        native.decompress(good[: len(good) - 3])
+
+
+def test_native_rejects_bad_block_size():
+    with pytest.raises(SnappyError):
+        native.compress(b"x", block_size=0)
+    with pytest.raises(SnappyError):
+        native.compress(b"x", block_size=1 << 20)
+
+
+def test_native_scan_frames(corpus_dir):
+    snappy = (corpus_dir / "xml.snappy").read_bytes()
+    info = native.scan_frames(snappy)
+    assert info["total_len"] == 5_345_280
+    assert info["block_size"] == C.DEFAULT_BLOCK_SIZE
+    assert len(info["payload_off"]) == 164
+    ref_total, ref_bs, ref_frames = oracle.scan_block_frames(snappy)
+    assert info["payload_off"].tolist() == [f[0] for f in ref_frames]
+    assert info["payload_size"].tolist() == [f[1] for f in ref_frames]
+    assert info["out_off"][-1] + info["out_size"][-1] == ref_total
