@@ -1,0 +1,151 @@
+"""Public codec API: ``compress`` / ``decompress`` with engine dispatch.
+
+Engines (SURVEY.md §2.1 parity):
+- ``oracle``: pure-Python arbiter (role of the reference host codec as
+  correctness oracle).
+- ``native``: C++ threaded host codec (fast sequential path).
+- ``xla``: portable vectorized device kernels (pointer-doubling decode,
+  sort-match encode) batched and sharded over a 1-D device mesh.
+- ``pallas``: TPU lane-parallel kernels (falls back to ``xla`` until the
+  Pallas decode/encode land on this engine name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from pim_compression_tpu.format import constants as C
+from pim_compression_tpu.format import oracle
+from pim_compression_tpu.ops import decode as decode_ops
+from pim_compression_tpu.ops import encode as encode_ops
+from pim_compression_tpu.parallel import block_sharding, get_mesh, pad_to_multiple
+from pim_compression_tpu.runtime import pipeline
+from pim_compression_tpu.runtime.profiling import PhaseTimer
+from pim_compression_tpu.utils.config import CodecConfig
+from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
+
+
+def _device_batches(num_blocks: int, config: CodecConfig, mesh) -> tuple[int, int]:
+    """(padded_total, batch) — batch is a multiple of the mesh size."""
+    nd = mesh.devices.size
+    batch = max(nd, pad_to_multiple(min(config.batch_blocks, max(num_blocks, 1)), nd))
+    return pad_to_multiple(max(num_blocks, 1), batch), batch
+
+
+def decompress(
+    stream: bytes,
+    config: CodecConfig | None = None,
+    timer: PhaseTimer | None = None,
+) -> bytes:
+    config = config or CodecConfig()
+    timer = timer if timer is not None else PhaseTimer()
+
+    if config.engine == "oracle":
+        with timer.phase("kernel"):
+            return oracle.decompress(stream)
+    if config.engine == "native":
+        from pim_compression_tpu import native
+
+        with timer.phase("kernel"):
+            return native.decompress(stream, num_threads=config.num_threads)
+
+    with timer.phase("pre"):
+        info = pipeline.scan_frames(stream)
+        nb = len(info["payload_off"])
+        block_size = int(info["block_size"])
+        total_len = int(info["total_len"])
+        if nb == 0:
+            return b""
+        mesh = get_mesh()
+        padded, batch = _device_batches(nb, config, mesh)
+        comp, comp_len, out_len = pipeline.blockize_compressed(stream, info, padded)
+
+    sharding = block_sharding(mesh)
+    out_np = np.empty((nb, block_size), dtype=np.uint8)
+    for start in range(0, padded, batch):
+        sl = slice(start, start + batch)
+        with timer.phase("h2d"):
+            comp_d = jax.device_put(comp[sl], sharding)
+            clen_d = jax.device_put(comp_len[sl], sharding)
+            olen_d = jax.device_put(out_len[sl], sharding)
+        with timer.phase("kernel"):
+            out, err = decode_ops.decode_blocks(
+                comp_d, clen_d, olen_d, block_size=block_size
+            )
+            jax.block_until_ready(out)
+        with timer.phase("d2h"):
+            out_h = np.asarray(out)
+            err_h = np.asarray(err)
+        if config.validate and err_h.any():
+            bad = int(np.nonzero(err_h)[0][0]) + start
+            raise SnappyError(
+                SnappyStatus.INVALID_INPUT,
+                f"block {bad} failed validation (flags={int(err_h.max())})",
+            )
+        take = min(nb, start + batch) - start
+        if take > 0:
+            out_np[start : start + take] = out_h[:take]
+
+    with timer.phase("post"):
+        return pipeline.assemble_decompressed(out_np, total_len)
+
+
+def compress(
+    data: bytes,
+    config: CodecConfig | None = None,
+    timer: PhaseTimer | None = None,
+) -> bytes:
+    config = config or CodecConfig()
+    timer = timer if timer is not None else PhaseTimer()
+
+    if config.engine == "oracle":
+        with timer.phase("kernel"):
+            return oracle.compress(data, config.block_size)
+    if config.engine == "native":
+        from pim_compression_tpu import native
+
+        with timer.phase("kernel"):
+            return native.compress(
+                data, config.block_size, num_threads=config.num_threads
+            )
+
+    block_size = config.block_size
+    with timer.phase("pre"):
+        nb = (len(data) + block_size - 1) // block_size
+        if nb == 0:
+            return (
+                oracle.compress(b"", block_size)  # header-only stream
+            )
+        mesh = get_mesh()
+        padded, batch = _device_batches(nb, config, mesh)
+        blocks, lens = pipeline.blockize_plain(data, block_size, padded)
+
+    cap = decode_ops.padded_capacity(block_size)
+    sharding = block_sharding(mesh)
+    comp_np = np.empty((nb, cap), dtype=np.uint8)
+    sizes_np = np.empty(nb, dtype=np.int32)
+    for start in range(0, padded, batch):
+        sl = slice(start, start + batch)
+        with timer.phase("h2d"):
+            blocks_d = jax.device_put(blocks[sl], sharding)
+            lens_d = jax.device_put(lens[sl], sharding)
+        with timer.phase("kernel"):
+            comp, sizes = encode_ops.encode_blocks(
+                blocks_d, lens_d, block_size=block_size
+            )
+            jax.block_until_ready(comp)
+        with timer.phase("d2h"):
+            comp_h = np.asarray(comp)
+            sizes_h = np.asarray(sizes)
+        take = min(nb, start + batch) - start
+        if take > 0:
+            comp_np[start : start + take] = comp_h[:take]
+            sizes_np[start : start + take] = sizes_h[:take]
+
+    with timer.phase("post"):
+        if config.validate and int(sizes_np.max(initial=0)) > cap:
+            raise SnappyError(SnappyStatus.BUFFER_TOO_SMALL, "encoder overflow")
+        return pipeline.assemble_compressed(
+            comp_np, sizes_np, len(data), block_size, nb
+        )

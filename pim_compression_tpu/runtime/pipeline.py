@@ -1,0 +1,114 @@
+"""Blockize / pad / dispatch / assemble — the host orchestration layer.
+
+This is the role the reference's offload orchestrators play
+(``snappy_compress.c:487-714``, ``snappy_decompress.c:292-493``): compute the
+block grid, move padded data to the device, launch, and reassemble in order.
+The UPMEM-specific machinery translates as:
+
+- rank-batched equal-length pushes -> static padded block slots (SPMD shapes)
+- host pre-pass over block headers  -> native ``stpu_scan_frames`` (C++)
+- ordered per-tasklet fwrite        -> cumsum of true sizes + slicing
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from pim_compression_tpu.format import constants as C
+from pim_compression_tpu.format import oracle
+from pim_compression_tpu.format.varint import encode_varint32
+from pim_compression_tpu.ops.decode import padded_capacity
+from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
+
+
+def scan_frames(stream: bytes) -> dict:
+    """Frame pre-pass: native C++ scan when available, oracle fallback."""
+    from pim_compression_tpu import native
+
+    if native.available():
+        return native.scan_frames(stream)
+    total, block_size, frames = oracle.scan_block_frames(stream)
+    payload_off = np.array([f[0] for f in frames], dtype=np.int64)
+    payload_size = np.array([f[1] for f in frames], dtype=np.uint32)
+    out_size = np.minimum(
+        block_size, total - block_size * np.arange(len(frames), dtype=np.int64)
+    ).astype(np.uint32)
+    return {
+        "total_len": total,
+        "block_size": block_size,
+        "payload_off": payload_off,
+        "payload_size": payload_size,
+        "out_off": np.arange(len(frames), dtype=np.int64) * block_size,
+        "out_size": out_size,
+    }
+
+
+def blockize_compressed(
+    stream: bytes, info: dict, num_blocks_padded: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack framed payloads into padded [num_blocks_padded, cap] slots."""
+    cap = padded_capacity(info["block_size"])
+    nb = len(info["payload_off"])
+    comp = np.zeros((num_blocks_padded, cap), dtype=np.uint8)
+    raw = np.frombuffer(stream, dtype=np.uint8)
+    sizes = info["payload_size"].astype(np.int32)
+    if nb and int(sizes.max(initial=0)) > cap:
+        raise SnappyError(SnappyStatus.INVALID_INPUT, "block exceeds capacity bound")
+    for i in range(nb):
+        off, size = int(info["payload_off"][i]), int(sizes[i])
+        comp[i, :size] = raw[off : off + size]
+    comp_len = np.zeros(num_blocks_padded, dtype=np.int32)
+    comp_len[:nb] = sizes
+    out_len = np.zeros(num_blocks_padded, dtype=np.int32)
+    out_len[:nb] = info["out_size"].astype(np.int32)
+    return comp, comp_len, out_len
+
+
+def blockize_plain(
+    data: bytes, block_size: int, num_blocks_padded: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack plain input into padded [num_blocks_padded, block_size] slots."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    nb = (len(data) + block_size - 1) // block_size
+    blocks = np.zeros((num_blocks_padded, block_size), dtype=np.uint8)
+    full = len(data) // block_size
+    blocks[:full] = raw[: full * block_size].reshape(full, block_size)
+    if nb > full:
+        tail = raw[full * block_size :]
+        blocks[full, : len(tail)] = tail
+    lens = np.zeros(num_blocks_padded, dtype=np.int32)
+    lens[:nb] = np.minimum(
+        block_size, len(data) - block_size * np.arange(nb, dtype=np.int64)
+    )
+    return blocks, lens
+
+
+def assemble_decompressed(out_blocks: np.ndarray, total_len: int) -> bytes:
+    """Blocks are fixed-geometry (block i at i*block_size), so assembly is a
+    flat view — the property the modified format exists to provide
+    (``snappy/README.md:5-33``)."""
+    return out_blocks.reshape(-1)[:total_len].tobytes()
+
+
+def assemble_compressed(
+    comp: np.ndarray,
+    sizes: np.ndarray,
+    total_len: int,
+    block_size: int,
+    num_blocks: int,
+) -> bytes:
+    """Header varints + per-block u32 frame + payload compaction."""
+    sizes = np.asarray(sizes[:num_blocks], dtype=np.int64)
+    header = encode_varint32(total_len) + encode_varint32(block_size)
+    frame_sizes = sizes + C.BLOCK_FRAME_BYTES
+    offsets = len(header) + np.concatenate([[0], np.cumsum(frame_sizes)])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    out[: len(header)] = np.frombuffer(header, dtype=np.uint8)
+    for i in range(num_blocks):
+        off, size = int(offsets[i]), int(sizes[i])
+        out[off : off + 4] = np.frombuffer(
+            int(size).to_bytes(4, "little"), dtype=np.uint8
+        )
+        out[off + 4 : off + 4 + size] = comp[i, :size]
+    return out.tobytes()

@@ -1,0 +1,35 @@
+"""Single runtime configuration (role of the reference's two-tier flag
+system, SURVEY.md §5.6 — but with no compile-time topology: mesh size comes
+from ``jax.devices()`` at runtime)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pim_compression_tpu.format import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Knobs for the device codec paths.
+
+    block_size: decompressed bytes per independent block (reference default
+        32 KB, max 64 KB — ``dpu_snappy.c:100``).
+    batch_blocks: blocks per device dispatch (the analog of
+        ``blocks_per_dpu``); padded to a multiple of the mesh size.
+    engine: "xla" (portable vectorized kernels), "pallas" (TPU lane-parallel
+        kernels), "native" (C++ host codec), "oracle" (pure Python).
+    num_threads: host-codec thread fan-out (0 = all CPUs).
+    """
+
+    block_size: int = C.DEFAULT_BLOCK_SIZE
+    batch_blocks: int = 1024
+    engine: str = "xla"
+    num_threads: int = 0
+    validate: bool = True
+
+    def __post_init__(self) -> None:
+        if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:
+            raise ValueError(f"block_size must be in (0, {C.MAX_BLOCK_SIZE}]")
+        if self.engine not in ("xla", "pallas", "native", "oracle"):
+            raise ValueError(f"unknown engine {self.engine!r}")
