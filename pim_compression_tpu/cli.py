@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             result = runtime.decompress(data, config, timer)
             original, compressed = len(result), len(data)
+            try:  # report the stream's own block size, not the -b default
+                _, pos = decode_varint32(data, 0)
+                block_size, _ = decode_varint32(data, pos)
+            except ValueError:
+                pass
     except (SnappyError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -1,0 +1,440 @@
+"""Lane-parallel Pallas TPU decode kernels.
+
+Implements the pipeline specified (and property-tested) in
+``ops/lane_model.py`` — see DESIGN.md for the hardware rationale. Two
+kernels:
+
+- **K1 parse DFA** (``_dfa_kernel``): 1024 blocks in lockstep as an
+  (8, 128) vector of per-lane state machines; the grid walks compressed
+  positions in chunks with the DFA state carried in VMEM scratch across
+  sequential grid steps. Emits one routing token per byte position.
+- **K2 route/fill/resolve** (``_route_kernel``): per 128-block group, moves
+  tokens to their output rows with the conflict-free compact-then-expand
+  schedule (shift + select only, no gathers), fills copy interiors with a
+  log-shift prefix-max, and pointer-doubles copy chains (the only gathers
+  in the whole decoder, via ``take_along_axis`` -> ``tpu.dynamic_gather``).
+
+Token packing (int32, block_size <= 8192): OCCUPIED(1<<30) | dst<<15 |
+kind<<13 | value; value holds the literal byte or offset-1.
+
+The per-block serial tag walk of the reference decoder
+(``snappy_decompress.c:218-289``, ``dpu-decompress/dpu_decompress.c:224-299``)
+is thereby replaced with: one lockstep pass over bytes + O(log n) vector
+passes — no per-element serial work anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pim_compression_tpu.format import constants as C
+from pim_compression_tpu.ops.lane_model import (
+    ERR_BAD_OFFSET,
+    ERR_ELEMENT_OVERRUN,
+    ERR_LENGTH_MISMATCH,
+    ERR_ROUTE_CONFLICT,
+    ERR_UNRESOLVED,
+    KIND_COPY,
+    KIND_LIT,
+    OCCUPIED,
+)
+
+DST_SHIFT = 15
+KIND_SHIFT = 13
+VALUE_MASK = (1 << 13) - 1
+MAX_PALLAS_BLOCK = 8192  # packing budget (13-bit value field)
+
+LANES = 128
+SUBLANES = 8
+DFA_LANES = SUBLANES * LANES  # blocks per K1 batch
+TAG, EXT, LIT, OFF = 0, 1, 2, 3
+
+
+def pallas_capacity(block_size: int) -> int:
+    cap = C.max_compressed_length(block_size)
+    return (cap + 127) // 128 * 128
+
+
+def _shift_down(x: jax.Array, sh: int) -> jax.Array:
+    """Non-cyclic shift along axis 0: out[i] = x[i-sh], zeros shifted in."""
+    return jnp.concatenate([jnp.zeros((sh,) + x.shape[1:], x.dtype), x[:-sh]], axis=0)
+
+
+def _shift_up(x: jax.Array, sh: int) -> jax.Array:
+    return jnp.concatenate([x[sh:], jnp.zeros((sh,) + x.shape[1:], x.dtype)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# K1: parse DFA.
+# ---------------------------------------------------------------------------
+
+
+def _dfa_kernel(
+    comp_ref,  # (CHUNK, 8, 128) i32
+    comp_len_ref,  # (8, 128) i32
+    out_len_ref,  # (8, 128) i32
+    tokens_ref,  # (CHUNK, 8, 128) i32 out
+    err_ref,  # (8, 128) i32 out
+    state_ref,  # scratch (7, 8, 128) i32: mode,cnt,acc,shift,len,out_cur,err
+    *,
+    chunk: int,
+    cap: int,
+    bias: int,
+    block_size: int,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    comp_len = comp_len_ref[...]
+    out_len = out_len_ref[...]
+
+    def body(i, carry):
+        mode, cnt, acc, shift, length, out_cur, err = carry
+        p = step * chunk + i
+        b = comp_ref[i]
+        active = p < comp_len
+
+        is_tag = active & (mode == TAG)
+        is_ext = active & (mode == EXT)
+        is_lit = active & (mode == LIT)
+        is_off = active & (mode == OFF)
+
+        kind = b & 3
+        lf = b >> 2
+
+        t_lit_inline = is_tag & (kind == 0) & (lf < 60)
+        t_lit_ext = is_tag & (kind == 0) & (lf >= 60)
+        t_copy1 = is_tag & (kind == 1)
+        t_copy2 = is_tag & (kind == 2)
+        t_copy4 = is_tag & (kind == 3)
+        any_copy = t_copy1 | t_copy2 | t_copy4
+
+        n_mode = jnp.where(t_lit_inline, LIT, mode)
+        n_cnt = jnp.where(t_lit_inline, lf + 1, cnt)
+        n_len = jnp.where(t_lit_inline, lf + 1, length)
+
+        n_mode = jnp.where(t_lit_ext, EXT, n_mode)
+        n_cnt = jnp.where(t_lit_ext, lf - 59, n_cnt)
+        n_acc = jnp.where(t_lit_ext, 0, acc)
+        n_shift = jnp.where(t_lit_ext, 0, shift)
+
+        n_mode = jnp.where(any_copy, OFF, n_mode)
+        n_acc = jnp.where(t_copy1, (b >> 5) << 8, jnp.where(any_copy, 0, n_acc))
+        n_shift = jnp.where(any_copy, 0, n_shift)
+        n_cnt = jnp.where(
+            t_copy1, 1, jnp.where(t_copy2, 2, jnp.where(t_copy4, 4, n_cnt))
+        )
+        n_len = jnp.where(
+            t_copy1, ((b >> 2) & 7) + 4, jnp.where(t_copy2 | t_copy4, lf + 1, n_len)
+        )
+
+        # EXT: long-literal length bytes.
+        sh_clamped = jnp.minimum(shift, 24)
+        ext_clamp = is_ext & (shift >= 24) & (b > 0)
+        err = jnp.where(ext_clamp, err | ERR_ELEMENT_OVERRUN, err)
+        n_acc = jnp.where(is_ext, acc + jnp.where(shift < 24, b << sh_clamped, 0), n_acc)
+        n_shift = jnp.where(is_ext, shift + 8, n_shift)
+        n_cnt = jnp.where(is_ext, cnt - 1, n_cnt)
+        ext_done = is_ext & (cnt == 1)
+        n_len = jnp.where(ext_done, n_acc + 1, n_len)
+        n_mode = jnp.where(ext_done, LIT, n_mode)
+        n_cnt = jnp.where(ext_done, n_acc + 1, n_cnt)
+
+        # LIT: route this data byte.
+        lit_ok = is_lit & (out_cur < out_len)
+        err = jnp.where(is_lit & ~lit_ok, err | ERR_LENGTH_MISMATCH, err)
+        token = jnp.where(
+            lit_ok,
+            OCCUPIED | ((bias + out_cur) << DST_SHIFT) | (KIND_LIT << KIND_SHIFT) | b,
+            0,
+        )
+        n_cnt = jnp.where(is_lit, cnt - 1, n_cnt)
+        n_mode = jnp.where(is_lit & (cnt == 1), TAG, n_mode)
+
+        # OFF: offset bytes; emit copy record on completion.
+        off_clamp = is_off & (shift >= 24) & (b > 0)
+        n_acc = jnp.where(is_off, acc + jnp.where(shift < 24, b << sh_clamped, 0), n_acc)
+        n_shift = jnp.where(is_off, shift + 8, n_shift)
+        n_cnt = jnp.where(is_off, cnt - 1, n_cnt)
+        off_done = is_off & (cnt == 1)
+        offset = n_acc
+        bad_off = off_done & (
+            (offset <= 0) | (offset > out_cur) | (offset > block_size) | off_clamp
+        )
+        err = jnp.where(bad_off, err | ERR_BAD_OFFSET, err)
+        err = jnp.where(
+            off_done & (out_cur + length > out_len), err | ERR_LENGTH_MISMATCH, err
+        )
+        copy_ok = off_done & ~bad_off & (out_cur < out_len)
+        token = jnp.where(
+            copy_ok,
+            OCCUPIED
+            | ((bias + out_cur) << DST_SHIFT)
+            | (KIND_COPY << KIND_SHIFT)
+            | ((offset - 1) & VALUE_MASK),
+            token,
+        )
+        n_mode = jnp.where(off_done, TAG, n_mode)
+
+        out_cur = jnp.where(
+            is_lit, out_cur + 1, jnp.where(off_done, out_cur + length, out_cur)
+        )
+        tokens_ref[i] = token
+        return n_mode, n_cnt, n_acc, n_shift, n_len, out_cur, err
+
+    carry = tuple(state_ref[j] for j in range(7))
+    carry = jax.lax.fori_loop(0, chunk, body, carry)
+    for j, arr in enumerate(carry):
+        state_ref[j] = arr
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _finalize():
+        mode, _, _, _, _, out_cur, err = tuple(state_ref[j] for j in range(7))
+        err = jnp.where((mode != TAG) & (comp_len > 0), err | ERR_ELEMENT_OVERRUN, err)
+        err = jnp.where(out_cur != out_len, err | ERR_LENGTH_MISMATCH, err)
+        err_ref[...] = err
+
+
+# ---------------------------------------------------------------------------
+# K2: route + fill + resolve (per 128-block group).
+# ---------------------------------------------------------------------------
+
+
+def _route_kernel(
+    tokens_ref,  # (1, cap, 128) i32
+    out_len_ref,  # (1, 8, 128) i32  (row 0 used)
+    out_ref,  # (1, block_size, 128) i32
+    err_ref,  # (1, 8, 128) i32
+    *,
+    cap: int,
+    block_size: int,
+    nrows: int,
+    resolve_rounds: int,
+):
+    bias = nrows - block_size
+    tokens = tokens_ref[0]
+    W = jnp.concatenate(
+        [
+            tokens,
+            jnp.zeros((bias - cap, LANES), jnp.int32),
+            jnp.zeros((block_size, LANES), jnp.int32),
+        ],
+        axis=0,
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+    conflict = jnp.zeros((nrows, LANES), jnp.bool_)
+
+    # Ranks: prefix count of occupied rows (tokens only live in [0, cap)).
+    occ_i = (W & OCCUPIED) // OCCUPIED
+    csum = occ_i
+    sh = 1
+    while sh < nrows:
+        csum = csum + _shift_down(csum, sh)
+        sh <<= 1
+    rank = jnp.where(occ_i != 0, csum - 1, 0)
+
+    # Phase 1: compact up, LSB-first (move up 2^k iff bit k of row - rank).
+    up_dist = cap  # tokens start below row cap, ranks >= 0
+    k = 0
+    while (1 << k) <= up_dist:
+        sh = 1 << k
+        occ = (W & OCCUPIED) != 0
+        move = occ & ((((rows - rank) >> k) & 1) == 1)
+        moved_W = _shift_up(jnp.where(move, W, 0), sh)
+        moved_rank = _shift_up(jnp.where(move, rank, 0), sh)
+        arriving = (moved_W & OCCUPIED) != 0
+        staying = occ & ~move
+        conflict = conflict | (arriving & staying)
+        W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        rank = jnp.where(arriving, moved_rank, jnp.where(staying, rank, 0))
+        k += 1
+
+    # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
+    max_bit = (nrows - 1).bit_length() - 1
+    for k in range(max_bit, -1, -1):
+        sh = 1 << k
+        occ = (W & OCCUPIED) != 0
+        dst = (W >> DST_SHIFT) & 0x7FFF
+        move = occ & (dst - rows >= sh)
+        moved_W = _shift_down(jnp.where(move, W, 0), sh)
+        arriving = (moved_W & OCCUPIED) != 0
+        staying = occ & ~move
+        conflict = conflict | (arriving & staying)
+        W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+
+    err = jnp.where(
+        jnp.any(conflict, axis=0, keepdims=True), ERR_ROUTE_CONFLICT, 0
+    )  # (1, 128)
+
+    # Fill + resolve in output space.
+    R = W[bias:]
+    rrows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
+    occupied = (R & OCCUPIED) != 0
+    kind = (R >> KIND_SHIFT) & 3
+    value = R & VALUE_MASK
+
+    packed = jnp.where(occupied, (rrows << 15) | (kind << KIND_SHIFT) | value, -1)
+    sh = 1
+    while sh < block_size:
+        packed = jnp.maximum(packed, _shift_down_fill(packed, sh))
+        sh <<= 1
+    cov_kind = (packed >> KIND_SHIFT) & 3
+    cov_value = packed & VALUE_MASK
+
+    is_lit_row = occupied & (kind == KIND_LIT)
+    out_len = out_len_ref[0, 0:1, :]  # (1, 128)
+    in_range = rrows < out_len
+    S = jnp.where(is_lit_row, -(value & 0xFF) - 1, rrows - (cov_value + 1))
+    bad = in_range & ~is_lit_row & ((cov_kind != KIND_COPY) | (S >= rrows) | (S < 0))
+    err = err | jnp.where(jnp.any(bad, axis=0, keepdims=True), ERR_BAD_OFFSET, 0)
+    S = jnp.where(bad | ~in_range, -1, S)
+
+    def resolve_body(_, s):
+        hop = jnp.take_along_axis(s, jnp.clip(s, 0, block_size - 1), axis=0)
+        return jnp.where(s >= 0, hop, s)
+
+    S = jax.lax.fori_loop(0, resolve_rounds, resolve_body, S)
+    err = err | jnp.where(
+        jnp.any(S >= 0, axis=0, keepdims=True), ERR_UNRESOLVED, 0
+    )
+
+    out_ref[0] = jnp.where(in_range, (-S - 1) & 0xFF, 0)
+    err_ref[0] = jnp.broadcast_to(err, (SUBLANES, LANES))
+
+
+def _shift_down_fill(x: jax.Array, sh: int) -> jax.Array:
+    """Shift down filling with -1 (for prefix-max over packed words)."""
+    return jnp.concatenate(
+        [jnp.full((sh,) + x.shape[1:], -1, x.dtype), x[:-sh]], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-callable wrapper.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret", "resolve_rounds")
+)
+def decode_blocks_pallas(
+    comp: jax.Array,  # uint8[num_blocks, cap] — num_blocks multiple of 1024
+    comp_len: jax.Array,  # int32[num_blocks]
+    out_len: jax.Array,  # int32[num_blocks]
+    *,
+    block_size: int = 4096,
+    interpret: bool = False,
+    resolve_rounds: int = 14,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode a batch of blocks with the lane-parallel kernels.
+
+    Returns (out uint8[num_blocks, block_size], err int32[num_blocks]).
+    """
+    if block_size > MAX_PALLAS_BLOCK:
+        raise ValueError(f"pallas decoder supports block_size <= {MAX_PALLAS_BLOCK}")
+    nb, cap = comp.shape
+    assert nb % DFA_LANES == 0, "pad the batch to a multiple of 1024 blocks"
+    assert cap % LANES == 0
+    nbatch = nb // DFA_LANES
+    nrows = cap + block_size  # cap is a multiple of 128, block_size of 8
+    chunk = LANES
+
+    def one_batch(comp_b, clen_b, olen_b):
+        # [1024, cap] u8 -> [cap, 8, 128] i32
+        comp_t = comp_b.astype(jnp.int32).T.reshape(cap, SUBLANES, LANES)
+        clen_t = clen_b.reshape(SUBLANES, LANES)
+        olen_t = olen_b.reshape(SUBLANES, LANES)
+
+        tokens, _err_dfa = pl.pallas_call(
+            functools.partial(
+                _dfa_kernel, chunk=chunk, cap=cap, bias=nrows - block_size,
+                block_size=block_size,
+            ),
+            grid=(cap // chunk,),
+            in_specs=[
+                pl.BlockSpec(
+                    (chunk, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (chunk, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((cap, SUBLANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((7, SUBLANES, LANES), jnp.int32)],
+            interpret=interpret,
+        )(comp_t, clen_t, olen_t)
+
+        # [cap, 8, 128] -> groups of [cap, 128]
+        tokens_g = tokens.transpose(1, 0, 2)  # (8, cap, 128)
+        olen_g = jnp.broadcast_to(
+            olen_t[:, None, :], (SUBLANES, SUBLANES, LANES)
+        )  # per group, row 0 used
+
+        out_g, err_g = pl.pallas_call(
+            functools.partial(
+                _route_kernel, cap=cap, block_size=block_size, nrows=nrows,
+                resolve_rounds=resolve_rounds,
+            ),
+            grid=(SUBLANES,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, block_size, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((SUBLANES, block_size, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(tokens_g, olen_g)
+
+        # (8, bs, 128) -> [1024, bs] u8 ; err (8, 8, 128) row 0 -> [1024]
+        out_b = out_g.transpose(0, 2, 1).reshape(DFA_LANES, block_size)
+        err_b = err_g[:, 0, :].reshape(DFA_LANES)
+        # merge DFA-side errors (length/overrun/offset found during parse)
+        err_b = err_b | _err_dfa.reshape(DFA_LANES)
+        return out_b.astype(jnp.uint8), err_b
+
+    comp_r = comp.reshape(nbatch, DFA_LANES, cap)
+    clen_r = comp_len.reshape(nbatch, DFA_LANES)
+    olen_r = out_len.reshape(nbatch, DFA_LANES)
+    out, err = jax.lax.map(lambda t: one_batch(*t), (comp_r, clen_r, olen_r))
+    return out.reshape(nb, block_size), err.reshape(nb)

@@ -19,6 +19,7 @@ from pim_compression_tpu.format import constants as C
 from pim_compression_tpu.format import oracle
 from pim_compression_tpu.ops import decode as decode_ops
 from pim_compression_tpu.ops import encode as encode_ops
+from pim_compression_tpu.ops import pallas_decode
 from pim_compression_tpu.parallel import block_sharding, get_mesh, pad_to_multiple
 from pim_compression_tpu.runtime import pipeline
 from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -61,7 +62,22 @@ def decompress(
         padded, batch = _device_batches(nb, config, mesh)
         comp, comp_len, out_len = pipeline.blockize_compressed(stream, info, padded)
 
+    use_pallas = (
+        config.engine == "pallas" and block_size <= pallas_decode.MAX_PALLAS_BLOCK
+    )
+    if use_pallas:
+        # The lane-parallel kernels want 1024-block batches; keep the XLA
+        # path's mesh batching otherwise.
+        padded = pad_to_multiple(padded, pallas_decode.DFA_LANES)
+        batch = pad_to_multiple(batch, pallas_decode.DFA_LANES)
+        if comp.shape[0] < padded:
+            pad = padded - comp.shape[0]
+            comp = np.pad(comp, ((0, pad), (0, 0)))
+            comp_len = np.pad(comp_len, (0, pad))
+            out_len = np.pad(out_len, (0, pad))
+
     sharding = block_sharding(mesh)
+    interpret = jax.default_backend() == "cpu"
     out_np = np.empty((nb, block_size), dtype=np.uint8)
     for start in range(0, padded, batch):
         sl = slice(start, start + batch)
@@ -70,9 +86,15 @@ def decompress(
             clen_d = jax.device_put(comp_len[sl], sharding)
             olen_d = jax.device_put(out_len[sl], sharding)
         with timer.phase("kernel"):
-            out, err = decode_ops.decode_blocks(
-                comp_d, clen_d, olen_d, block_size=block_size
-            )
+            if use_pallas:
+                out, err = pallas_decode.decode_blocks_pallas(
+                    comp_d, clen_d, olen_d,
+                    block_size=block_size, interpret=interpret,
+                )
+            else:
+                out, err = decode_ops.decode_blocks(
+                    comp_d, clen_d, olen_d, block_size=block_size
+                )
             jax.block_until_ready(out)
         with timer.phase("d2h"):
             out_h = np.asarray(out)

@@ -1,0 +1,122 @@
+"""Lane-parallel decode tests.
+
+The NumPy lane model (the executable spec) is exercised at full block sizes;
+the Pallas kernels run in interpret mode at a small block size (the pipeline
+is size-parameterized with identical code paths; hardware runs cover the
+large sizes). Mirrors SURVEY.md §4: kernels in interpret mode on CPU first.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from pim_compression_tpu.format import constants as C
+from pim_compression_tpu.format import oracle
+from pim_compression_tpu.ops import lane_model, pallas_decode
+
+
+def _blockize(stream: bytes, cap: int, pad_to: int):
+    total, bs, frames = oracle.scan_block_frames(stream)
+    nb = len(frames)
+    n = max(pad_to, ((nb + pad_to - 1) // pad_to) * pad_to) if pad_to else nb
+    comp = np.zeros((n, cap), np.uint8)
+    clen = np.zeros(n, np.int32)
+    olen = np.zeros(n, np.int32)
+    off = 0
+    for i, (o, s) in enumerate(frames):
+        comp[i, :s] = np.frombuffer(stream[o : o + s], np.uint8)
+        clen[i] = s
+        olen[i] = min(bs, total - off)
+        off += olen[i]
+    return comp, clen, olen, nb, bs
+
+
+# ---------------------------------------------------------------------------
+# Lane model (spec) at production block size.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["coding", "terror2"])
+def test_lane_model_corpus(corpus_dir, name):
+    data = (corpus_dir / f"{name}.txt").read_bytes()
+    stream = oracle.compress(data, 8192)
+    cap = pallas_decode.pallas_capacity(8192)
+    comp, clen, olen, nb, bs = _blockize(stream, cap, pad_to=0)
+    out, err = lane_model.decode_lanes(comp, clen, olen, bs)
+    assert not err[:nb].any()
+    got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
+    assert got == data
+
+
+def test_lane_model_flags_bad_offset():
+    bs = 8192
+    cap = pallas_decode.pallas_capacity(bs)
+    payload = bytes([0x00, ord("A"), lane_model.KIND_LIT & 0, 0])  # copy1 off=0
+    payload = bytes([0x00, ord("A"), 0x01, 0x00])
+    comp = np.zeros((1, cap), np.uint8)
+    comp[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    out, err = lane_model.decode_lanes(
+        comp, np.array([len(payload)], np.int32), np.array([5], np.int32), bs
+    )
+    assert err[0] & lane_model.ERR_BAD_OFFSET
+
+
+def test_routing_property_monotone_conflict_free():
+    rng = np.random.default_rng(123)
+    for _ in range(50):
+        nrows, cap = 512, 200
+        n_tok = int(rng.integers(1, cap))
+        src = np.sort(rng.choice(cap, size=n_tok, replace=False))
+        dst = cap + np.sort(rng.choice(nrows - cap, size=n_tok, replace=False))
+        tokens = np.zeros((cap, 1), np.int32)
+        tokens[src, 0] = (
+            lane_model.OCCUPIED
+            | (dst << lane_model.DST_SHIFT)
+            | (lane_model.KIND_LIT << lane_model.KIND_SHIFT)
+            | (np.arange(n_tok) & 0xFF)
+        )
+        err = np.zeros(1, np.int32)
+        W, err = lane_model.butterfly_route(tokens, nrows, err)
+        landed = np.nonzero((W[:, 0] & lane_model.OCCUPIED) != 0)[0]
+        assert err[0] == 0
+        assert np.array_equal(landed, dst)
+        assert np.array_equal(W[landed, 0] & 0xFF, np.arange(n_tok) & 0xFF)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels, interpret mode, small block size.
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_kernels_interpret_roundtrip():
+    bs = 256
+    cap = pallas_decode.pallas_capacity(bs)
+    r = random.Random(7)
+    data = (
+        b"hello world " * 30
+        + b"a" * 500
+        + r.randbytes(400)
+        + b"ab" * 300
+        + r.randbytes(65)
+    )
+    stream = oracle.compress(data, bs)
+    comp, clen, olen, nb, _ = _blockize(stream, cap, pad_to=pallas_decode.DFA_LANES)
+    out, err = pallas_decode.decode_blocks_pallas(
+        comp, clen, olen, block_size=bs, interpret=True
+    )
+    out, err = np.asarray(out), np.asarray(err)
+    assert not err.any()
+    got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
+    assert got == data
+
+
+def test_pallas_runtime_engine_small_blocks():
+    from pim_compression_tpu import runtime
+    from pim_compression_tpu.utils.config import CodecConfig
+
+    data = b"pallas engine end to end " * 40 + random.Random(9).randbytes(300)
+    cfg = CodecConfig(engine="pallas", block_size=256)
+    stream = runtime.compress(data, cfg)
+    assert runtime.decompress(stream, cfg) == data
+    assert oracle.decompress(stream) == data
