@@ -1,0 +1,30 @@
+# Top-level convenience targets (role of the reference's snappy/Makefile).
+
+.PHONY: all native test test-corpus bench clean
+
+all: native
+
+native:
+	$(MAKE) -C pim_compression_tpu/native
+
+test: native
+	python -m pytest tests/ -x -q
+
+# Golden-file corpus check via the CLI, mirroring the reference's
+# `make test` cmp harness (snappy/Makefile:44-60).
+test-corpus: native
+	@tmp=$$(mktemp -d); \
+	for f in /root/reference/test/*.snappy; do \
+	  n=$$(basename $$f .snappy); \
+	  python -m pim_compression_tpu.cli -i $$f -o $$tmp/$$n.out || exit 1; \
+	  if [ -f /root/reference/test/$$n.txt ]; then \
+	    cmp $$tmp/$$n.out /root/reference/test/$$n.txt && echo "OK $$n" || exit 1; \
+	  fi; \
+	done; rm -rf $$tmp
+
+bench: native
+	python bench.py
+
+clean:
+	$(MAKE) -C pim_compression_tpu/native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
