@@ -1,0 +1,174 @@
+"""Multi-host orchestration (SURVEY.md §5.8: the reference is single-host —
+one process drives all DPU ranks; the TPU framework scales across hosts with
+``jax.distributed``).
+
+Design: the file's block axis is split into contiguous per-process ranges
+(the host-level analog of the reference's contiguous blocks-per-DPU
+assignment, ``snappy_compress.c:494-520``). Each process codecs its own
+range on its local devices; the only cross-host traffic is
+
+- compress: an all-gather of per-process compressed segment sizes (over
+  DCN, a few bytes per process) to compute global file offsets, then
+  per-process ordered writes at those offsets — the multi-host translation
+  of the reference's ordered per-tasklet fwrite (``snappy_compress.c:697``).
+- decompress: nothing at all — decompressed geometry is static (block i at
+  ``i * block_size``), so every process writes its slice independently.
+
+All functions degrade to plain single-process behavior when
+``jax.process_count() == 1``, which is how the CPU test mesh exercises them.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+import jax
+
+from pim_compression_tpu.runtime import api as _api
+from pim_compression_tpu.runtime.profiling import PhaseTimer
+from pim_compression_tpu.utils.config import CodecConfig
+
+
+def maybe_initialize() -> None:
+    """Initialize jax.distributed from standard env vars when present."""
+    if int(os.environ.get("PIM_NUM_PROCESSES", "1")) > 1 and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def process_block_range(num_blocks: int) -> tuple[int, int]:
+    """Contiguous block range owned by this process."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    per = (num_blocks + nproc - 1) // nproc
+    lo = min(pid * per, num_blocks)
+    return lo, min(lo + per, num_blocks)
+
+
+def _allgather_sizes(local_size: int) -> np.ndarray:
+    """All processes learn every process's segment size (DCN all-gather)."""
+    if jax.process_count() == 1:
+        return np.array([local_size], dtype=np.int64)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.array([local_size], np.int64))
+    ).reshape(-1)
+
+
+def compress_to_file(
+    data_path: str | pathlib.Path,
+    out_path: str | pathlib.Path,
+    config: CodecConfig | None = None,
+    timer: PhaseTimer | None = None,
+) -> dict:
+    """Compress a file cooperatively across all processes.
+
+    Each process reads only its own block range, compresses it locally, and
+    pwrites its segment at the globally agreed offset. Returns stats.
+    """
+    config = config or CodecConfig()
+    timer = timer if timer is not None else PhaseTimer()
+    data_path = pathlib.Path(data_path)
+    bs = config.block_size
+
+    total = data_path.stat().st_size
+    num_blocks = (total + bs - 1) // bs
+    lo, hi = process_block_range(num_blocks)
+
+    with timer.phase("pre"):
+        with open(data_path, "rb") as f:
+            f.seek(lo * bs)
+            local = f.read((hi - lo) * bs)
+
+    # Local segment compressed as a headerless run of framed blocks.
+    segment = _api.compress(local, config, timer) if local else b""
+    if segment:
+        # Strip the local header (varints) — the global header is written by
+        # process 0; frames are position-independent.
+        from pim_compression_tpu.format.varint import decode_varint32
+
+        _, pos = decode_varint32(segment, 0)
+        _, pos = decode_varint32(segment, pos)
+        segment = segment[pos:]
+
+    from pim_compression_tpu.format.varint import encode_varint32
+
+    header = encode_varint32(total) + encode_varint32(bs)
+    sizes = _allgather_sizes(len(segment))
+    my_off = len(header) + int(sizes[: jax.process_index()].sum())
+    file_size = len(header) + int(sizes.sum())
+
+    with timer.phase("post"):
+        out_path = pathlib.Path(out_path)
+        if jax.process_index() == 0:
+            with open(out_path, "wb") as f:
+                f.truncate(file_size)
+                f.write(header)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("pim_compress_header")
+        with open(out_path, "r+b") as f:
+            f.seek(my_off)
+            f.write(segment)
+
+    return {
+        "total": total,
+        "compressed": file_size,
+        "blocks": num_blocks,
+        "process_blocks": (lo, hi),
+    }
+
+
+def decompress_to_file(
+    stream_path: str | pathlib.Path,
+    out_path: str | pathlib.Path,
+    config: CodecConfig | None = None,
+    timer: PhaseTimer | None = None,
+) -> dict:
+    """Decompress a file cooperatively: zero cross-host communication."""
+    config = config or CodecConfig()
+    timer = timer if timer is not None else PhaseTimer()
+    stream = pathlib.Path(stream_path).read_bytes()
+
+    with timer.phase("pre"):
+        from pim_compression_tpu.runtime.pipeline import scan_frames
+
+        info = scan_frames(stream)
+        nb = len(info["payload_off"])
+        bs = int(info["block_size"])
+        total = int(info["total_len"])
+        lo, hi = process_block_range(nb)
+
+    # Rebuild a local stream containing only this process's frames.
+    from pim_compression_tpu.format.varint import encode_varint32
+
+    if hi > lo:
+        first = int(info["payload_off"][lo]) - 4
+        last = int(info["payload_off"][hi - 1]) + int(info["payload_size"][hi - 1])
+        local_total = int(
+            sum(int(info["out_size"][i]) for i in range(lo, hi))
+        )
+        local_stream = (
+            encode_varint32(local_total) + encode_varint32(bs) + stream[first:last]
+        )
+        local_out = _api.decompress(local_stream, config, timer)
+    else:
+        local_out = b""
+
+    with timer.phase("post"):
+        out_path = pathlib.Path(out_path)
+        if jax.process_index() == 0:
+            with open(out_path, "wb") as f:
+                f.truncate(total)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("pim_decompress_alloc")
+        with open(out_path, "r+b") as f:
+            f.seek(lo * bs)
+            f.write(local_out)
+
+    return {"total": total, "blocks": nb, "process_blocks": (lo, hi)}
