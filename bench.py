@@ -1,51 +1,44 @@
 """Benchmark entry point (driver contract: print ONE JSON line).
 
-Measures end-to-end encode + decode throughput of the device engine on the
-corpus (xml, the largest shipped file), verifies bit-exactness against the
-oracle, and reports GB/s with ``vs_baseline`` = speedup over the reference's
-host path (our bit-identical C++ reimplementation of it, single-threaded —
-the reference publishes no absolute numbers, BASELINE.md).
+Measures encode + decode throughput on the corpus (xml, the largest shipped
+file), verifies bit-exactness, and reports GB/s with ``vs_baseline`` =
+speedup over the reference's host path (our bit-identical C++ host codec,
+single-threaded — the reference publishes no absolute numbers, BASELINE.md).
 
-Env knobs: PIM_BENCH_ENGINE (default: best available device engine),
-PIM_BENCH_REPEAT (input replication factor, default 1), PIM_BENCH_ITERS.
+The device measurement runs in a subprocess with a hard timeout: a wedged
+TPU tunnel (observed: queued dispatches can hang the device for hours) must
+not take the bench down with it — on timeout/failure we fall back to
+reporting the threaded native engine.
+
+Env knobs: PIM_BENCH_ENGINE (default pallas), PIM_BENCH_BLOCK (default 8192
+for pallas, 32768 otherwise), PIM_BENCH_REPEAT, PIM_BENCH_ITERS,
+PIM_BENCH_TIMEOUT (seconds, default 900).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
+CORPUS = "/root/reference/test/xml.snappy"
 
-def main() -> int:
-    import numpy as np  # noqa: F401
 
+def measure(engine: str, block_size: int, repeat: int, iters: int) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
     from pim_compression_tpu.utils.config import CodecConfig
 
-    corpus = "/root/reference/test/xml.snappy"
-    engine = os.environ.get("PIM_BENCH_ENGINE", "xla")
-    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
-    iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
+    stream0 = open(CORPUS, "rb").read()
+    plain = native.decompress(stream0) * repeat
+    cfg = CodecConfig(engine=engine, block_size=block_size)
 
-    stream0 = open(corpus, "rb").read()
-    plain0 = native.decompress(stream0) if native.available() else None
-    if plain0 is None:
-        from pim_compression_tpu.format import oracle
-
-        plain0 = oracle.decompress(stream0)
-    plain = plain0 * repeat
-
-    cfg = CodecConfig(engine=engine)
-
-    # Warm up (compile), then measure.
-    stream = runtime.compress(plain, cfg)
-    roundtrip = runtime.decompress(stream, cfg)
-    assert roundtrip == plain, "bit-exactness failure"
+    stream = runtime.compress(plain, cfg)  # warm-up / compile
+    assert runtime.decompress(stream, cfg) == plain, "bit-exactness failure"
 
     enc_s = dec_s = 0.0
     for _ in range(iters):
@@ -57,38 +50,87 @@ def main() -> int:
         dec_s += t.total
     assert out == plain
     n = len(plain) * iters
-    enc_gbps = n / enc_s / 1e9
-    dec_gbps = n / dec_s / 1e9
-    combined = 2 * n / (enc_s + dec_s) / 1e9
+    return {
+        "engine": engine,
+        "block_size": block_size,
+        "bytes": len(plain),
+        "enc_gbps": n / enc_s / 1e9,
+        "dec_gbps": n / dec_s / 1e9,
+        "combined_gbps": 2 * n / (enc_s + dec_s) / 1e9,
+        "ratio": 1 - len(stream) / len(plain),
+    }
 
-    # Baseline: single-threaded native host codec (the reference host path).
-    base_combined = None
-    if native.available():
-        t0 = time.perf_counter()
-        bstream = native.compress(plain, num_threads=1)
-        t1 = time.perf_counter()
-        bout = native.decompress(bstream, num_threads=1)
-        t2 = time.perf_counter()
-        assert bout == plain
-        base_combined = 2 * len(plain) / (t2 - t0) / 1e9
+
+def measure_subprocess(engine, block_size, repeat, iters, timeout) -> dict | None:
+    code = (
+        "import json, bench; "
+        f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
+        f"{repeat}, {iters})))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# device bench timed out after {timeout}s", file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    print(f"# device bench failed: {proc.stderr[-800:]}", file=sys.stderr)
+    return None
+
+
+def main() -> int:
+    engine = os.environ.get("PIM_BENCH_ENGINE", "pallas")
+    block = int(
+        os.environ.get("PIM_BENCH_BLOCK", "8192" if engine == "pallas" else "32768")
+    )
+    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
+    iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
+    timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "900"))
+
+    # Baseline: the single-threaded native host codec (the reference host
+    # path) — measured in-process (no TPU involvement).
+    import numpy as np  # noqa: F401  (keep import cost out of the timings)
+
+    from pim_compression_tpu import native
+
+    stream0 = open(CORPUS, "rb").read()
+    plain = native.decompress(stream0) * repeat
+    t0 = time.perf_counter()
+    bstream = native.compress(plain, num_threads=1)
+    t1 = time.perf_counter()
+    assert native.decompress(bstream, num_threads=1) == plain
+    t2 = time.perf_counter()
+    base = 2 * len(plain) / (t2 - t0) / 1e9
+
+    result = measure_subprocess(engine, block, repeat, iters, timeout)
+    if result is None and engine != "native":
+        # Device path unavailable — report the threaded host engine instead.
+        result = measure("native", 32768, repeat, iters)
+        result["fallback"] = True
 
     print(
         json.dumps(
             {
-                "metric": f"encode+decode GB/s ({engine} engine, xml corpus x{repeat})",
-                "value": round(combined, 4),
+                "metric": (
+                    f"encode+decode GB/s ({result['engine']} engine, "
+                    f"bs={result['block_size']}, xml corpus x{repeat})"
+                ),
+                "value": round(result["combined_gbps"], 4),
                 "unit": "GB/s",
-                "vs_baseline": round(combined / base_combined, 3)
-                if base_combined
-                else None,
+                "vs_baseline": round(result["combined_gbps"] / base, 3),
             }
         )
     )
     print(
-        f"# encode {enc_gbps:.3f} GB/s, decode {dec_gbps:.3f} GB/s, "
-        f"host-seq baseline {base_combined:.3f} GB/s"
-        if base_combined
-        else "",
+        f"# encode {result['enc_gbps']:.3f} GB/s, decode {result['dec_gbps']:.3f} "
+        f"GB/s, ratio {result['ratio']:.3f}, host-seq baseline {base:.3f} GB/s",
         file=sys.stderr,
     )
     return 0
