@@ -1,0 +1,247 @@
+"""NumPy model of the lane-parallel TPU encode pipeline.
+
+Executable spec for the Pallas encoder (mirror of ``lane_model.py`` for
+decode). One block per lane; stages:
+
+1. **Match search** — for each lag d in [1, window], shifted equality plus
+   AND-doubling gives "run >= L from p" indicators for bucket lengths
+   L in {4, 8, 16, 32, 64}; a packed max-fold keeps the longest bucket at
+   the nearest lag. O(window) vector passes, no hash table, no gathers —
+   and *exhaustive* within the window (better candidates than the
+   reference's collision-prone probe loop, snappy_compress.c:333-348).
+2. **Greedy parse scan** — tiny lockstep state machine (next-accept cursor)
+   over positions; emits accept/copy/literal decisions.
+3. **Vector layout** — literal-run detection, per-element emit sizes,
+   cumsum to compressed offsets, covering fills; every token's destination
+   is known analytically.
+4. **Token routing** — four channels (header bytes 0..2 + literal data),
+   each monotone, routed with the same conflict-free compact-then-expand
+   schedule as decode, then OR-merged into the compressed bytes.
+
+Emitted streams decode with any conforming decoder; lengths are bucketed
+(emitting a shorter copy than the true match is always valid).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BUCKETS = (64, 32, 16, 8, 4)  # descending
+
+
+def _shift_down(x: np.ndarray, sh: int) -> np.ndarray:
+    out = np.zeros_like(x)
+    if sh < x.shape[0]:
+        out[sh:] = x[:-sh]
+    return out
+
+
+def _shift_up(x: np.ndarray, sh: int) -> np.ndarray:
+    out = np.zeros_like(x)
+    if sh < x.shape[0]:
+        out[:-sh] = x[sh:]
+    return out
+
+
+def match_search(
+    data: np.ndarray,  # int32 [bs, lanes]
+    lens: np.ndarray,  # int32 [lanes]
+    window: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (best_len [bs, lanes], best_off [bs, lanes]), bucketed."""
+    bs, lanes = data.shape
+    rows = np.arange(bs, dtype=np.int32)[:, None]
+    valid = rows < lens[None, :]
+    score = np.zeros((bs, lanes), np.int32)  # len << 16 | (window - d)
+    for d in range(1, min(window, bs - 1) + 1):
+        eq = (data == _shift_down(data, d)) & valid & (rows >= d)
+        run = {1: eq}
+        # run[L][p] == True iff positions p..p+L-1 all match at lag d
+        for L in (2, 4, 8, 16, 32, 64):
+            run[L] = run[L // 2] & _shift_up(run[L // 2], L // 2)
+        ml = np.zeros((bs, lanes), np.int32)
+        for L in BUCKETS:
+            ml = np.where((ml == 0) & run[L], L, ml)
+        cand = np.where(ml >= 4, (ml << 16) | (window - d), 0)
+        score = np.maximum(score, cand)
+    best_len = score >> 16
+    best_off = np.where(best_len > 0, window - (score & 0xFFFF), 0)
+    return best_len, best_off
+
+
+def greedy_parse(
+    best_len: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lockstep accept scan. Returns (accept [bs, lanes], is_copy)."""
+    bs, lanes = best_len.shape
+    next_accept = np.zeros(lanes, np.int32)
+    accept = np.zeros((bs, lanes), bool)
+    is_copy = np.zeros((bs, lanes), bool)
+    for p in range(bs):
+        acc = (p == next_accept) & (p < lens)
+        copy = acc & (best_len[p] >= 4)
+        accept[p] = acc
+        is_copy[p] = copy
+        adv = np.where(copy, best_len[p], 1)
+        next_accept = np.where(acc, p + adv, next_accept)
+    return accept, is_copy
+
+
+def layout_and_emit(
+    data: np.ndarray,  # int32 [bs, lanes]
+    lens: np.ndarray,
+    accept: np.ndarray,
+    is_copy: np.ndarray,
+    best_len: np.ndarray,
+    best_off: np.ndarray,
+    cap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vector layout + 4-channel token routing. Returns (comp, sizes)."""
+    bs, lanes = data.shape
+    rows = np.arange(bs, dtype=np.int32)[:, None]
+    in_range = rows < lens[None, :]
+
+    is_lit = accept & ~is_copy  # accepted literal byte positions
+    # Literal runs are maximal runs of consecutive accepted-literal positions.
+    prev_lit = _shift_down(is_lit.astype(np.int32), 1).astype(bool)
+    head_lit = is_lit & ~prev_lit
+    # Run id per literal byte: forward-fill of head row index.
+    head_row = np.where(head_lit, rows, -1)
+    head_row = np.maximum.accumulate(head_row, axis=0)
+    # Run length: count literal bytes per run via difference of cumsums at
+    # the next head; simpler: total - cumsum trick using the next non-lit.
+    lit_cum = np.cumsum(is_lit.astype(np.int32), axis=0)
+    # run_len at head = lit_cum at run end - lit_cum before head; run end =
+    # next position where a new element begins or stream ends.
+    INF = np.int32(1 << 28)
+    nonlit_next = np.where((accept & is_copy) | ~in_range, rows, INF)
+    # reverse cummin: first copy/stream-end row at or after p
+    run_end = np.minimum.accumulate(nonlit_next[::-1], axis=0)[::-1]
+    run_end = np.minimum(run_end, lens[None, :])
+    run_len = np.where(head_lit, run_end - rows, 0)
+
+    # Element sizes.
+    L1 = np.maximum(run_len - 1, 0)
+    lit_ext = np.where(L1 < 60, 0, np.where(L1 < 256, 1, 2))
+    hdr_lit = np.where(head_lit, 1 + lit_ext, 0)
+    copy1 = is_copy & (best_len < 12) & (best_off < 2048)
+    hdr_copy = np.where(is_copy, np.where(copy1, 2, 3), 0)
+    emit = (
+        np.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
+    )  # bytes this element contributes
+    out_start = np.cumsum(emit, axis=0) - emit  # exclusive, per lane
+    sizes = np.where(
+        np.arange(lanes) >= 0, np.cumsum(emit, axis=0)[-1], 0
+    ).astype(np.int32)
+
+    # Covering element head (for literal data byte destinations).
+    elem_head = np.where(accept & (head_lit | is_copy), rows, -1)
+    elem_head = np.maximum.accumulate(elem_head, axis=0)
+    gather0 = lambda arr: np.take_along_axis(
+        arr, np.clip(elem_head, 0, bs - 1), axis=0
+    )
+    cov_start = gather0(out_start)
+    cov_hdr = gather0(hdr_lit + hdr_copy)
+
+    # Header byte values per element head.
+    h = np.zeros((3, bs, lanes), np.int32)
+    off = best_off
+    h[0] = np.where(
+        is_copy,
+        np.where(
+            copy1,
+            1 | ((best_len - 4) << 2) | ((off >> 8) << 5),
+            2 | ((best_len - 1) << 2),
+        ),
+        np.where(
+            head_lit,
+            np.where(lit_ext == 0, L1 << 2, np.where(lit_ext == 1, 60 << 2, 61 << 2)),
+            0,
+        ),
+    )
+    h[1] = np.where(
+        is_copy, off & 0xFF, np.where(head_lit & (lit_ext >= 1), L1 & 0xFF, 0)
+    )
+    h[2] = np.where(
+        is_copy & ~copy1,
+        (off >> 8) & 0xFF,
+        np.where(head_lit & (lit_ext == 2), (L1 >> 8) & 0xFF, 0),
+    )
+
+    # Tokens: channels 0..2 = header bytes at element heads; 3 = literal data.
+    is_head = accept & (head_lit | is_copy)
+    hdr_len_here = hdr_lit + hdr_copy
+    comp = np.zeros((cap, lanes), np.int32)
+    for ch in range(4):
+        if ch < 3:
+            tok = is_head & (hdr_len_here > ch)
+            dst = out_start + ch
+            val = h[ch]
+        else:
+            tok = is_lit
+            data_idx = rows - head_row  # position within run (head -> 0)
+            dst = cov_start + cov_hdr + data_idx
+            val = data
+        comp = _route_channel(comp, tok, dst, val, cap)
+    return comp.astype(np.uint8), sizes
+
+
+def _route_channel(
+    comp: np.ndarray,  # [cap, lanes] accumulator
+    tok: np.ndarray,  # [bs, lanes] token mask
+    dst: np.ndarray,  # [bs, lanes] destinations in [0, cap)
+    val: np.ndarray,  # [bs, lanes] byte values
+    cap: int,
+) -> np.ndarray:
+    """Compact-then-expand route of one monotone channel into comp rows."""
+    bs, lanes = tok.shape
+    nrows = max(cap, bs)
+    W = np.zeros((nrows, lanes), np.int32)
+    OCC = 1 << 30
+    W[:bs] = np.where(tok, OCC | (dst << 8) | (val & 0xFF), 0)
+    rows = np.arange(nrows, dtype=np.int32)[:, None]
+
+    occ = (W & OCC) != 0
+    rank = np.where(occ, np.cumsum(occ, axis=0) - 1, 0)
+    max_bit = max(1, nrows - 1).bit_length() - 1
+    for k in range(max_bit + 1):  # compact up, LSB-first
+        sh = 1 << k
+        occ = (W & OCC) != 0
+        move = occ & ((((rows - rank) >> k) & 1) == 1)
+        mw = _shift_up(np.where(move, W, 0), sh)
+        mr = _shift_up(np.where(move, rank, 0), sh)
+        arriving = (mw & OCC) != 0
+        staying = occ & ~move
+        assert not (arriving & staying).any(), "route conflict (compact)"
+        W = np.where(arriving, mw, np.where(staying, W, 0))
+        rank = np.where(arriving, mr, np.where(staying, rank, 0))
+    for k in range(max_bit, -1, -1):  # expand down, MSB-first
+        sh = 1 << k
+        occ = (W & OCC) != 0
+        wdst = (W >> 8) & 0x3FFFFF
+        move = occ & (wdst - rows >= sh)
+        mw = _shift_down(np.where(move, W, 0), sh)
+        arriving = (mw & OCC) != 0
+        staying = occ & ~move
+        assert not (arriving & staying).any(), "route conflict (expand)"
+        W = np.where(arriving, mw, np.where(staying, W, 0))
+
+    landed = (W[:cap] & OCC) != 0
+    return np.where(landed, W[:cap] & 0xFF, comp)
+
+
+def encode_lanes(
+    blocks: np.ndarray,  # uint8 [lanes, bs]
+    lens: np.ndarray,  # int32 [lanes]
+    block_size: int,
+    cap: int,
+    window: int = 512,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
+    data = blocks.T.astype(np.int32)
+    best_len, best_off = match_search(data, lens, window)
+    accept, is_copy = greedy_parse(best_len, lens)
+    comp, sizes = layout_and_emit(
+        data, lens, accept, is_copy, best_len, best_off, cap
+    )
+    return comp.T, sizes
