@@ -438,3 +438,33 @@ def decode_blocks_pallas(
     olen_r = out_len.reshape(nbatch, DFA_LANES)
     out, err = jax.lax.map(lambda t: one_batch(*t), (comp_r, clen_r, olen_r))
     return out.reshape(nb, block_size), err.reshape(nb)
+
+
+def decode_blocks_pallas_sharded(
+    comp,
+    comp_len,
+    out_len,
+    mesh,
+    *,
+    block_size: int,
+    interpret: bool = False,
+):
+    """Multi-device wrapper: pallas_call does not auto-partition under jit,
+    so shard the block axis explicitly with shard_map (each device runs the
+    kernels on its local 1024-block batches)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pim_compression_tpu.parallel.mesh import BLOCK_AXIS
+
+    fn = functools.partial(
+        decode_blocks_pallas, block_size=block_size, interpret=interpret
+    )
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)(comp, comp_len, out_len)

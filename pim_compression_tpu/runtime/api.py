@@ -66,10 +66,12 @@ def decompress(
         config.engine == "pallas" and block_size <= pallas_decode.MAX_PALLAS_BLOCK
     )
     if use_pallas:
-        # The lane-parallel kernels want 1024-block batches; keep the XLA
-        # path's mesh batching otherwise.
-        padded = pad_to_multiple(padded, pallas_decode.DFA_LANES)
-        batch = pad_to_multiple(batch, pallas_decode.DFA_LANES)
+        # The lane-parallel kernels want 1024-block batches *per device*
+        # (pallas runs under shard_map); keep the XLA path's mesh batching
+        # otherwise.
+        per_device = pallas_decode.DFA_LANES * mesh.devices.size
+        padded = pad_to_multiple(padded, per_device)
+        batch = pad_to_multiple(batch, per_device)
         if comp.shape[0] < padded:
             pad = padded - comp.shape[0]
             comp = np.pad(comp, ((0, pad), (0, 0)))
@@ -87,8 +89,8 @@ def decompress(
             olen_d = jax.device_put(out_len[sl], sharding)
         with timer.phase("kernel"):
             if use_pallas:
-                out, err = pallas_decode.decode_blocks_pallas(
-                    comp_d, clen_d, olen_d,
+                out, err = pallas_decode.decode_blocks_pallas_sharded(
+                    comp_d, clen_d, olen_d, mesh,
                     block_size=block_size, interpret=interpret,
                 )
             else:
