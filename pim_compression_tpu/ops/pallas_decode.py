@@ -465,6 +465,6 @@ def decode_blocks_pallas_sharded(
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)(comp, comp_len, out_len)
