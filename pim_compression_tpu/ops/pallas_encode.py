@@ -1,0 +1,421 @@
+"""Lane-parallel Pallas TPU encode kernels.
+
+Implements ``ops/lane_model_encode.py`` (the executable spec) on TPU. Two
+kernels, both gridded over 8 groups of 128 blocks (2-D ``[rows, 128]``
+arrays, where int8 tiles are dense and per-vreg throughput is maximal):
+
+- **K1 match search** (``_match_kernel``): for every lag d in [1, window],
+  shifted byte equality + AND-doubling run indicators give bucketed match
+  lengths {4,8,16,32,64}; an int8 fold keeps the longest/nearest candidate,
+  merged into int32 once per 32-lag chunk. Exhaustive within the window —
+  strictly better candidates than the reference's collision-prone hash
+  probe (snappy_compress.c:333-348), with no hash table and no gathers.
+  Dynamic lag shifts are decomposed into a 32-aligned dynamic slice plus 32
+  static sub-shifts, so no unaligned dynamic sublane access is needed.
+- **K2 parse + emit** (``_emit_kernel``): greedy accept scan (8 rows per
+  aligned step), vectorized literal-run and element layout, then four
+  monotone token channels (header bytes 0..2 at element heads + literal
+  data bytes) routed into compressed-stream rows with the conflict-free
+  compact-then-expand schedule shared with the decoder.
+
+Output lengths are bucketed (emitting a shorter copy than the true match is
+always format-valid); matches are exact byte equalities, never fingerprints.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pim_compression_tpu.format import constants as C
+
+LANES = 128
+SUBLANES = 8
+BATCH = SUBLANES * LANES  # blocks per batch
+MAX_ENC_BLOCK = 8192
+_OCC = 1 << 30
+
+
+def encode_capacity(block_size: int) -> int:
+    cap = C.max_compressed_length(block_size)
+    return (cap + 127) // 128 * 128
+
+
+def _shift_down(x, sh):
+    return jnp.concatenate(
+        [jnp.zeros((sh,) + x.shape[1:], x.dtype), x[:-sh]], axis=0
+    )
+
+
+def _shift_up(x, sh):
+    return jnp.concatenate(
+        [x[sh:], jnp.zeros((sh,) + x.shape[1:], x.dtype)], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1: match search (one 128-block group per grid step).
+# ---------------------------------------------------------------------------
+
+
+def _match_kernel(
+    padded_ref,  # (1, window + bs + 64, 128) i8; zeros in the pads
+    valid_ref,  # (1, bs + 64, 128) i8: 1 where row < block length
+    len_out,  # (1, bs, 128) i32: bucketed best length (0 or 4..64)
+    lag_out,  # (1, bs, 128) i32: best lag
+    *,
+    bs: int,
+    window: int,
+):
+    ext = bs + 64  # runs may extend a little past bs for end-of-block buckets
+    data = padded_ref[0, window : window + ext]
+    valid = valid_ref[0] != 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ext, LANES), 0)
+
+    def lag_chunk(ci, best):
+        # Lags d = base+1 .. base+32. One 32-aligned dynamic slice gives the
+        # window for the deepest lag; the 32 sub-shifts are static.
+        base = ci * 32
+        src32 = jax.lax.dynamic_slice(
+            padded_ref[0], (pl.multiple_of(window - base - 32, 32), 0),
+            (ext + 32, LANES),
+        )
+        cur_ml = jnp.zeros((bs, LANES), jnp.int8)
+        cur_idx = jnp.zeros((bs, LANES), jnp.int8)
+        for j in range(32):
+            d_static_back = 32 - 1 - j  # d = base + j + 1 -> start offset
+            shifted = src32[d_static_back : d_static_back + ext]
+            d = base + j + 1
+            eq = (data == shifted) & valid & (rows >= d)
+            r = eq
+            ml = jnp.zeros((ext, LANES), jnp.int8)
+            for L in (2, 4, 8, 16, 32, 64):
+                r = r & _shift_up(r, L // 2)
+                if L >= 4:
+                    ml = jnp.where(r, jnp.int8(L), ml)
+            ml = ml[:bs]
+            take = ml > cur_ml
+            cur_ml = jnp.where(take, ml, cur_ml)
+            cur_idx = jnp.where(take, jnp.int8(j), cur_idx)
+        lag = base + cur_idx.astype(jnp.int32) + 1
+        cand = jnp.where(
+            cur_ml >= 4,
+            (cur_ml.astype(jnp.int32) << 16) | (0xFFFF - lag),
+            0,
+        )
+        return jnp.maximum(best, cand)
+
+    best = jax.lax.fori_loop(
+        0,
+        window // 32,
+        lag_chunk,
+        jnp.zeros((bs, LANES), jnp.int32),
+    )
+    len_out[0] = best >> 16
+    lag_out[0] = jnp.where(best > 0, 0xFFFF - (best & 0xFFFF), 0)
+
+
+# ---------------------------------------------------------------------------
+# K2: greedy parse + layout + 4-channel routing.
+# ---------------------------------------------------------------------------
+
+
+def _route_channel(acc, tok, dst, val, nrows):
+    """One monotone channel: tokens (mask/dst/val over [bs, 128]) routed to
+    their compressed-stream rows; lands into ``acc`` [nrows, 128]."""
+    bs = tok.shape[0]
+    W = jnp.concatenate(
+        [
+            jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0),
+            jnp.zeros((nrows - bs, LANES), jnp.int32),
+        ],
+        axis=0,
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+
+    occ = (W & _OCC) // _OCC
+    csum = occ
+    sh = 1
+    while sh < nrows:
+        csum = csum + _shift_down(csum, sh)
+        sh <<= 1
+    rank = jnp.where(occ != 0, csum - 1, 0)
+
+    max_bit = (nrows - 1).bit_length() - 1
+    for k in range(max_bit + 1):  # compact up, LSB-first
+        sh = 1 << k
+        o = (W & _OCC) != 0
+        move = o & ((((rows - rank) >> k) & 1) == 1)
+        mw = _shift_up(jnp.where(move, W, 0), sh)
+        mr = _shift_up(jnp.where(move, rank, 0), sh)
+        arriving = (mw & _OCC) != 0
+        staying = o & ~move
+        W = jnp.where(arriving, mw, jnp.where(staying, W, 0))
+        rank = jnp.where(arriving, mr, jnp.where(staying, rank, 0))
+    for k in range(max_bit, -1, -1):  # expand down, MSB-first
+        sh = 1 << k
+        o = (W & _OCC) != 0
+        wdst = (W >> 8) & 0x3FFFFF
+        move = o & (wdst - rows >= sh)
+        mw = _shift_down(jnp.where(move, W, 0), sh)
+        arriving = (mw & _OCC) != 0
+        staying = o & ~move
+        W = jnp.where(arriving, mw, jnp.where(staying, W, 0))
+
+    landed = (W & _OCC) != 0
+    return jnp.where(landed, W & 0xFF, acc)
+
+
+def _emit_kernel(
+    data_ref,  # (1, bs, 128) i32 byte values
+    mlen_ref,  # (1, bs, 128) i32 bucketed match length
+    mlag_ref,  # (1, bs, 128) i32 match lag
+    lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
+    comp_ref,  # (1, cap, 128) i32 out
+    size_ref,  # (1, 8, 128) i32 out
+    *,
+    bs: int,
+    cap: int,
+):
+    data = data_ref[0]
+    best_len = mlen_ref[0]
+    best_off = mlag_ref[0]
+    lens = lens_ref[0, 0:1, :]  # (1, 128)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
+    in_range = rows < lens
+
+    # Greedy accept scan: 8 rows per aligned step, static unroll inside.
+    def scan_outer(i, carry):
+        next_accept, accept, is_copy = carry
+        base = i * SUBLANES
+        bl8 = jax.lax.dynamic_slice(best_len, (base, 0), (SUBLANES, LANES))
+        acc8 = jnp.zeros((SUBLANES, LANES), jnp.bool_)
+        cp8 = jnp.zeros((SUBLANES, LANES), jnp.bool_)
+        for j in range(SUBLANES):
+            p = base + j
+            bl = bl8[j : j + 1]
+            acc = (next_accept == p) & (lens > p)
+            copy = acc & (bl >= 4)
+            adv = jnp.where(copy, bl, 1)
+            next_accept = jnp.where(acc, p + adv, next_accept)
+            acc8 = jax.lax.dynamic_update_slice(acc8, acc, (j, 0))
+            cp8 = jax.lax.dynamic_update_slice(cp8, copy, (j, 0))
+        accept = jax.lax.dynamic_update_slice(accept, acc8, (base, 0))
+        is_copy = jax.lax.dynamic_update_slice(is_copy, cp8, (base, 0))
+        return next_accept, accept, is_copy
+
+    zero_mask = jnp.zeros((bs, LANES), jnp.bool_)
+    _, accept, is_copy = jax.lax.fori_loop(
+        0,
+        bs // SUBLANES,
+        scan_outer,
+        (jnp.zeros((1, LANES), jnp.int32), zero_mask, zero_mask),
+    )
+
+    # Literal runs + element layout (mirrors lane_model_encode).
+    is_lit = accept & ~is_copy
+    prev_lit = _shift_down(is_lit.astype(jnp.int32), 1) != 0
+    head_lit = is_lit & ~prev_lit
+    head_row = jax.lax.cummax(jnp.where(head_lit, rows, -1), axis=0)
+
+    INF = jnp.int32(1 << 28)
+    nonlit_next = jnp.where((accept & is_copy) | ~in_range, rows, INF)
+    run_end = jnp.minimum(jax.lax.cummin(nonlit_next, axis=0, reverse=True), lens)
+    run_len = jnp.where(head_lit, run_end - rows, 0)
+
+    L1 = jnp.maximum(run_len - 1, 0)
+    lit_ext = jnp.where(L1 < 60, 0, jnp.where(L1 < 256, 1, 2))
+    hdr_lit = jnp.where(head_lit, 1 + lit_ext, 0)
+    copy1 = is_copy & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
+    hdr_copy = jnp.where(is_copy, jnp.where(copy1, 2, 3), 0)
+    emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
+    incl = jnp.cumsum(emit, axis=0)
+    out_start = incl - emit
+    sizes = incl[bs - 1 : bs, :]  # (1, 128)
+
+    is_head = accept & (head_lit | is_copy)
+    hdr_here = hdr_lit + hdr_copy
+    # Covering head's first-data position, for literal data byte dsts.
+    packed = jnp.where(is_head, (rows << 18) | (out_start + hdr_here), -1)
+    packed = jax.lax.cummax(packed, axis=0)
+    cov_data0 = packed & ((1 << 18) - 1)
+
+    off = best_off
+    h0 = jnp.where(
+        is_copy,
+        jnp.where(
+            copy1,
+            1 | ((best_len - 4) << 2) | ((off >> 8) << 5),
+            2 | ((best_len - 1) << 2),
+        ),
+        jnp.where(lit_ext == 0, L1 << 2, jnp.where(lit_ext == 1, 60 << 2, 61 << 2)),
+    )
+    h1 = jnp.where(is_copy, off & 0xFF, jnp.where(lit_ext >= 1, L1 & 0xFF, 0))
+    h2 = jnp.where(
+        is_copy & ~copy1,
+        (off >> 8) & 0xFF,
+        jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
+    )
+
+    nrows = (max(cap, bs) + 15) // 8 * 8
+    comp = jnp.zeros((nrows, LANES), jnp.int32)
+    for ch in range(4):
+        if ch < 3:
+            tok = is_head & (hdr_here > ch)
+            dst = out_start + ch
+            val = [h0, h1, h2][ch]
+        else:
+            tok = is_lit
+            dst = cov_data0 + (rows - jnp.maximum(head_row, 0))
+            val = data
+        comp = _route_channel(comp, tok, dst, val, nrows)
+
+    comp_ref[0] = comp[:cap]
+    size_ref[0] = jnp.broadcast_to(sizes, (SUBLANES, LANES))
+
+
+# ---------------------------------------------------------------------------
+# Host-callable wrapper.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "window", "interpret"))
+def encode_blocks_pallas(
+    blocks: jax.Array,  # uint8[num_blocks, block_size], multiple of 1024
+    lens: jax.Array,  # int32[num_blocks]
+    *,
+    block_size: int = 4096,
+    window: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Compress a batch of blocks with the lane-parallel kernels.
+
+    Returns (comp uint8[num_blocks, cap], sizes int32[num_blocks]).
+    """
+    if block_size > MAX_ENC_BLOCK:
+        raise ValueError(f"pallas encoder supports block_size <= {MAX_ENC_BLOCK}")
+    window = min(window, block_size)
+    window = (window + 31) // 32 * 32
+    nb, _ = blocks.shape
+    assert nb % BATCH == 0, "pad the batch to a multiple of 1024 blocks"
+    nbatch = nb // BATCH
+    bs = block_size
+    assert bs % SUBLANES == 0
+    cap = encode_capacity(bs)
+
+    def one_batch(blocks_b, lens_b):
+        # [1024, bs] u8 -> groups (8, rows, 128)
+        data_t = blocks_b.T.reshape(bs, SUBLANES, LANES)
+        lens_t = lens_b.reshape(SUBLANES, LANES)
+        data_g = data_t.transpose(1, 0, 2)  # (8, bs, 128)
+        lens_g = lens_t[:, None, :]  # (8, 1, 128)
+
+        padded_g = jnp.concatenate(
+            [
+                jnp.zeros((SUBLANES, window, LANES), jnp.int8),
+                data_g.astype(jnp.int8),
+                jnp.zeros((SUBLANES, 64, LANES), jnp.int8),
+            ],
+            axis=1,
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, bs + 64, LANES), 1)
+        valid_g = (rows < lens_g).astype(jnp.int8)
+
+        mlen, mlag = pl.pallas_call(
+            functools.partial(_match_kernel, bs=bs, window=window),
+            grid=(SUBLANES,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, window + bs + 64, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bs + 64, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(padded_g, valid_g)
+
+        lens_bc = jnp.broadcast_to(lens_t[:, None, :], (SUBLANES, SUBLANES, LANES))
+        comp_g, size_g = pl.pallas_call(
+            functools.partial(_emit_kernel, bs=bs, cap=cap),
+            grid=(SUBLANES,),
+            in_specs=[
+                pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(data_g.astype(jnp.int32), mlen, mlag, lens_bc)
+
+        comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
+        size_b = size_g[:, 0, :].reshape(BATCH)
+        return comp_b, size_b
+
+    blocks_r = blocks.reshape(nbatch, BATCH, bs)
+    lens_r = lens.reshape(nbatch, BATCH)
+    comp, sizes = jax.lax.map(lambda t: one_batch(*t), (blocks_r, lens_r))
+    return comp.reshape(nb, cap), sizes.reshape(nb)
+
+
+def encode_blocks_pallas_sharded(
+    blocks,
+    lens,
+    mesh,
+    *,
+    block_size: int,
+    window: int = 512,
+    interpret: bool = False,
+):
+    """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pim_compression_tpu.parallel.mesh import BLOCK_AXIS
+
+    fn = functools.partial(
+        encode_blocks_pallas,
+        block_size=block_size,
+        window=window,
+        interpret=interpret,
+    )
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(blocks, lens)

@@ -19,7 +19,7 @@ from pim_compression_tpu.format import constants as C
 from pim_compression_tpu.format import oracle
 from pim_compression_tpu.ops import decode as decode_ops
 from pim_compression_tpu.ops import encode as encode_ops
-from pim_compression_tpu.ops import pallas_decode
+from pim_compression_tpu.ops import pallas_decode, pallas_encode
 from pim_compression_tpu.parallel import block_sharding, get_mesh, pad_to_multiple
 from pim_compression_tpu.runtime import pipeline
 from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -143,10 +143,22 @@ def compress(
             )
         mesh = get_mesh()
         padded, batch = _device_batches(nb, config, mesh)
+        use_pallas = (
+            config.engine == "pallas" and block_size <= pallas_encode.MAX_ENC_BLOCK
+        )
+        if use_pallas:
+            per_device = pallas_encode.BATCH * mesh.devices.size
+            padded = pad_to_multiple(padded, per_device)
+            batch = pad_to_multiple(batch, per_device)
         blocks, lens = pipeline.blockize_plain(data, block_size, padded)
 
-    cap = decode_ops.padded_capacity(block_size)
+    cap = (
+        pallas_encode.encode_capacity(block_size)
+        if use_pallas
+        else decode_ops.padded_capacity(block_size)
+    )
     sharding = block_sharding(mesh)
+    interpret = jax.default_backend() == "cpu"
     comp_np = np.empty((nb, cap), dtype=np.uint8)
     sizes_np = np.empty(nb, dtype=np.int32)
     for start in range(0, padded, batch):
@@ -155,9 +167,15 @@ def compress(
             blocks_d = jax.device_put(blocks[sl], sharding)
             lens_d = jax.device_put(lens[sl], sharding)
         with timer.phase("kernel"):
-            comp, sizes = encode_ops.encode_blocks(
-                blocks_d, lens_d, block_size=block_size
-            )
+            if use_pallas:
+                comp, sizes = pallas_encode.encode_blocks_pallas_sharded(
+                    blocks_d, lens_d, mesh,
+                    block_size=block_size, interpret=interpret,
+                )
+            else:
+                comp, sizes = encode_ops.encode_blocks(
+                    blocks_d, lens_d, block_size=block_size
+                )
             jax.block_until_ready(comp)
         with timer.phase("d2h"):
             comp_h = np.asarray(comp)

@@ -1,0 +1,66 @@
+"""Pallas encoder tests (interpret mode, small block size — size-parameterized
+identical code paths; hardware covers production sizes)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pim_compression_tpu.format import oracle
+from pim_compression_tpu.format.varint import encode_varint32
+from pim_compression_tpu.ops import pallas_encode as pe
+
+
+def _encode(data: bytes, bs: int = 256, window: int = 64) -> bytes:
+    cap = pe.encode_capacity(bs)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    raw = np.frombuffer(data, np.uint8)
+    nb = max(1, (len(data) + bs - 1) // bs)
+    assert nb <= pe.BATCH
+    for i in range((len(data) + bs - 1) // bs):
+        ch = raw[i * bs : (i + 1) * bs]
+        blocks[i, : len(ch)] = ch
+        lens[i] = len(ch)
+    comp, sizes = pe.encode_blocks_pallas(
+        blocks, lens, block_size=bs, window=window, interpret=True
+    )
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    assert sizes.max(initial=0) <= cap
+    stream = bytearray(encode_varint32(len(data)) + encode_varint32(bs))
+    if len(data):
+        for i in range((len(data) + bs - 1) // bs):
+            stream += int(sizes[i]).to_bytes(4, "little")
+            stream += comp[i, : sizes[i]].tobytes()
+    return bytes(stream)
+
+
+def test_pallas_encode_mixed_content():
+    r = random.Random(7)
+    data = (
+        b"hello world " * 30
+        + b"a" * 500
+        + r.randbytes(400)
+        + b"ab" * 300
+        + r.randbytes(65)
+    )
+    stream = _encode(data)
+    assert oracle.decompress(stream) == data
+    assert len(stream) < len(data)
+
+
+def test_pallas_encode_adversarial():
+    r = random.Random(8)
+    for data in [b"", b"x", b"q" * 256, r.randbytes(300), b"xyz" * 170]:
+        assert oracle.decompress(_encode(data)) == data
+
+
+def test_pallas_runtime_engine_compress():
+    from pim_compression_tpu import runtime
+    from pim_compression_tpu.utils.config import CodecConfig
+
+    data = b"pallas compress end to end " * 30 + random.Random(9).randbytes(200)
+    cfg = CodecConfig(engine="pallas", block_size=256)
+    stream = runtime.compress(data, cfg)
+    assert oracle.decompress(stream) == data
+    assert runtime.decompress(stream, cfg) == data
