@@ -88,7 +88,7 @@ def measure_subprocess(engine, block_size, repeat, iters, timeout) -> dict | Non
 def main() -> int:
     engine = os.environ.get("PIM_BENCH_ENGINE", "pallas")
     block = int(
-        os.environ.get("PIM_BENCH_BLOCK", "8192" if engine == "pallas" else "32768")
+        os.environ.get("PIM_BENCH_BLOCK", "4096" if engine == "pallas" else "32768")
     )
     repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))

@@ -222,12 +222,7 @@ def _route_kernel(
     bias = nrows - block_size
     tokens = tokens_ref[0]
     W = jnp.concatenate(
-        [
-            tokens,
-            jnp.zeros((bias - cap, LANES), jnp.int32),
-            jnp.zeros((block_size, LANES), jnp.int32),
-        ],
-        axis=0,
+        [tokens, jnp.zeros((nrows - cap, LANES), jnp.int32)], axis=0
     )
     rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
     conflict = jnp.zeros((nrows, LANES), jnp.bool_)

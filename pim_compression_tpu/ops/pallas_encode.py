@@ -57,6 +57,44 @@ def _shift_up(x, sh):
     )
 
 
+def _scan_max_down(x):
+    # Inclusive prefix max along axis 0 (log-shift; fill -1). Mosaic has no
+    # cummax primitive, so scans are built from concat-shifts.
+    n = x.shape[0]
+    sh = 1
+    while sh < n:
+        shifted = jnp.concatenate(
+            [jnp.full((sh,) + x.shape[1:], -1, x.dtype), x[:-sh]], axis=0
+        )
+        x = jnp.maximum(x, shifted)
+        sh <<= 1
+    return x
+
+
+def _scan_min_up(x):
+    # Inclusive suffix min along axis 0 (log-shift; fill INT32_MAX).
+    n = x.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    sh = 1
+    while sh < n:
+        shifted = jnp.concatenate(
+            [x[sh:], jnp.full((sh,) + x.shape[1:], big, x.dtype)], axis=0
+        )
+        x = jnp.minimum(x, shifted)
+        sh <<= 1
+    return x
+
+
+def _scan_sum_down(x):
+    # Inclusive prefix sum along axis 0 (log-shift).
+    n = x.shape[0]
+    sh = 1
+    while sh < n:
+        x = x + _shift_down(x, sh)
+        sh <<= 1
+    return x
+
+
 # ---------------------------------------------------------------------------
 # K1: match search (one 128-block group per grid step).
 # ---------------------------------------------------------------------------
@@ -80,10 +118,8 @@ def _match_kernel(
         # Lags d = base+1 .. base+32. One 32-aligned dynamic slice gives the
         # window for the deepest lag; the 32 sub-shifts are static.
         base = ci * 32
-        src32 = jax.lax.dynamic_slice(
-            padded_ref[0], (pl.multiple_of(window - base - 32, 32), 0),
-            (ext + 32, LANES),
-        )
+        start = pl.multiple_of(window - base - 32, 32)
+        src32 = padded_ref[0, pl.ds(start, ext + 32), :]
         cur_ml = jnp.zeros((bs, LANES), jnp.int8)
         cur_idx = jnp.zeros((bs, LANES), jnp.int8)
         for j in range(32):
@@ -177,6 +213,8 @@ def _emit_kernel(
     lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
     comp_ref,  # (1, cap, 128) i32 out
     size_ref,  # (1, 8, 128) i32 out
+    accept_ref,  # scratch (bs, 128) i32
+    copy_ref,  # scratch (bs, 128) i32
     *,
     bs: int,
     cap: int,
@@ -188,13 +226,13 @@ def _emit_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
     in_range = rows < lens
 
-    # Greedy accept scan: 8 rows per aligned step, static unroll inside.
-    def scan_outer(i, carry):
-        next_accept, accept, is_copy = carry
+    # Greedy accept scan: 8 rows per aligned step, static unroll inside;
+    # masks accumulate into VMEM scratch via 8-aligned stores.
+    def scan_outer(i, next_accept):
         base = i * SUBLANES
-        bl8 = jax.lax.dynamic_slice(best_len, (base, 0), (SUBLANES, LANES))
-        acc8 = jnp.zeros((SUBLANES, LANES), jnp.bool_)
-        cp8 = jnp.zeros((SUBLANES, LANES), jnp.bool_)
+        bl8 = mlen_ref[0, pl.ds(base * 1, SUBLANES), :]
+        acc_rows = []
+        cp_rows = []
         for j in range(SUBLANES):
             p = base + j
             bl = bl8[j : j + 1]
@@ -202,29 +240,31 @@ def _emit_kernel(
             copy = acc & (bl >= 4)
             adv = jnp.where(copy, bl, 1)
             next_accept = jnp.where(acc, p + adv, next_accept)
-            acc8 = jax.lax.dynamic_update_slice(acc8, acc, (j, 0))
-            cp8 = jax.lax.dynamic_update_slice(cp8, copy, (j, 0))
-        accept = jax.lax.dynamic_update_slice(accept, acc8, (base, 0))
-        is_copy = jax.lax.dynamic_update_slice(is_copy, cp8, (base, 0))
-        return next_accept, accept, is_copy
+            acc_rows.append(acc)
+            cp_rows.append(copy)
+        accept_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(acc_rows).astype(
+            jnp.int32
+        )
+        copy_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(cp_rows).astype(
+            jnp.int32
+        )
+        return next_accept
 
-    zero_mask = jnp.zeros((bs, LANES), jnp.bool_)
-    _, accept, is_copy = jax.lax.fori_loop(
-        0,
-        bs // SUBLANES,
-        scan_outer,
-        (jnp.zeros((1, LANES), jnp.int32), zero_mask, zero_mask),
+    jax.lax.fori_loop(
+        0, bs // SUBLANES, scan_outer, jnp.zeros((1, LANES), jnp.int32)
     )
+    accept = accept_ref[...] != 0
+    is_copy = copy_ref[...] != 0
 
     # Literal runs + element layout (mirrors lane_model_encode).
     is_lit = accept & ~is_copy
     prev_lit = _shift_down(is_lit.astype(jnp.int32), 1) != 0
     head_lit = is_lit & ~prev_lit
-    head_row = jax.lax.cummax(jnp.where(head_lit, rows, -1), axis=0)
+    head_row = _scan_max_down(jnp.where(head_lit, rows, -1))
 
     INF = jnp.int32(1 << 28)
     nonlit_next = jnp.where((accept & is_copy) | ~in_range, rows, INF)
-    run_end = jnp.minimum(jax.lax.cummin(nonlit_next, axis=0, reverse=True), lens)
+    run_end = jnp.minimum(_scan_min_up(nonlit_next), lens)
     run_len = jnp.where(head_lit, run_end - rows, 0)
 
     L1 = jnp.maximum(run_len - 1, 0)
@@ -233,15 +273,16 @@ def _emit_kernel(
     copy1 = is_copy & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
     hdr_copy = jnp.where(is_copy, jnp.where(copy1, 2, 3), 0)
     emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
-    incl = jnp.cumsum(emit, axis=0)
+    incl = _scan_sum_down(emit)
     out_start = incl - emit
     sizes = incl[bs - 1 : bs, :]  # (1, 128)
 
     is_head = accept & (head_lit | is_copy)
     hdr_here = hdr_lit + hdr_copy
     # Covering head's first-data position, for literal data byte dsts.
-    packed = jnp.where(is_head, (rows << 18) | (out_start + hdr_here), -1)
-    packed = jax.lax.cummax(packed, axis=0)
+    packed = _scan_max_down(
+        jnp.where(is_head, (rows << 18) | (out_start + hdr_here), -1)
+    )
     cov_data0 = packed & ((1 << 18) - 1)
 
     off = best_off
@@ -376,6 +417,10 @@ def encode_blocks_pallas(
             out_shape=[
                 jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bs, LANES), jnp.int32),
+                pltpu.VMEM((bs, LANES), jnp.int32),
             ],
             interpret=interpret,
         )(data_g.astype(jnp.int32), mlen, mlag, lens_bc)
