@@ -220,29 +220,28 @@ def _route_kernel(
     resolve_rounds: int,
 ):
     bias = nrows - block_size
-    tokens = tokens_ref[0]
-    W = jnp.concatenate(
-        [tokens, jnp.zeros((nrows - cap, LANES), jnp.int32)], axis=0
-    )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
-    conflict = jnp.zeros((nrows, LANES), jnp.bool_)
+    # Phase 1 (ranks + compact-up) only ever touches rows [0, cap): tokens
+    # start there and move toward row 0. Operating on the small slice keeps
+    # peak VMEM liveness at ~2x cap rows instead of ~4x nrows.
+    W = tokens_ref[0]
+    crows = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 0)
+    conflict = jnp.zeros((cap, LANES), jnp.bool_)
 
-    # Ranks: prefix count of occupied rows (tokens only live in [0, cap)).
     occ_i = (W & OCCUPIED) // OCCUPIED
     csum = occ_i
     sh = 1
-    while sh < nrows:
+    while sh < cap:
         csum = csum + _shift_down(csum, sh)
         sh <<= 1
     rank = jnp.where(occ_i != 0, csum - 1, 0)
 
-    # Phase 1: compact up, LSB-first (move up 2^k iff bit k of row - rank).
-    up_dist = cap  # tokens start below row cap, ranks >= 0
+    # Compact up, LSB-first (move up 2^k iff bit k of row - rank;
+    # distances are <= cap-1).
     k = 0
-    while (1 << k) <= up_dist:
+    while (1 << k) < cap:
         sh = 1 << k
         occ = (W & OCCUPIED) != 0
-        move = occ & ((((rows - rank) >> k) & 1) == 1)
+        move = occ & ((((crows - rank) >> k) & 1) == 1)
         moved_W = _shift_up(jnp.where(move, W, 0), sh)
         moved_rank = _shift_up(jnp.where(move, rank, 0), sh)
         arriving = (moved_W & OCCUPIED) != 0
@@ -251,6 +250,14 @@ def _route_kernel(
         W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         rank = jnp.where(arriving, moved_rank, jnp.where(staying, rank, 0))
         k += 1
+
+    W = jnp.concatenate(
+        [W, jnp.zeros((nrows - cap, LANES), jnp.int32)], axis=0
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+    conflict = jnp.concatenate(
+        [conflict, jnp.zeros((nrows - cap, LANES), jnp.bool_)], axis=0
+    )
 
     # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
     max_bit = (nrows - 1).bit_length() - 1

@@ -164,34 +164,36 @@ def _route_channel(acc, tok, dst, val, nrows):
     """One monotone channel: tokens (mask/dst/val over [bs, 128]) routed to
     their compressed-stream rows; lands into ``acc`` [nrows, 128]."""
     bs = tok.shape[0]
-    W = jnp.concatenate(
-        [
-            jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0),
-            jnp.zeros((nrows - bs, LANES), jnp.int32),
-        ],
-        axis=0,
-    )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+    # Phase 1 (ranks + compact-up) stays within the [0, bs) source rows.
+    W = jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0)
+    crows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
 
     occ = (W & _OCC) // _OCC
     csum = occ
     sh = 1
-    while sh < nrows:
+    while sh < bs:
         csum = csum + _shift_down(csum, sh)
         sh <<= 1
     rank = jnp.where(occ != 0, csum - 1, 0)
 
-    max_bit = (nrows - 1).bit_length() - 1
-    for k in range(max_bit + 1):  # compact up, LSB-first
+    k = 0
+    while (1 << k) < bs:  # compact up, LSB-first (distances <= bs-1)
         sh = 1 << k
         o = (W & _OCC) != 0
-        move = o & ((((rows - rank) >> k) & 1) == 1)
+        move = o & ((((crows - rank) >> k) & 1) == 1)
         mw = _shift_up(jnp.where(move, W, 0), sh)
         mr = _shift_up(jnp.where(move, rank, 0), sh)
         arriving = (mw & _OCC) != 0
         staying = o & ~move
         W = jnp.where(arriving, mw, jnp.where(staying, W, 0))
         rank = jnp.where(arriving, mr, jnp.where(staying, rank, 0))
+        k += 1
+
+    W = jnp.concatenate(
+        [W, jnp.zeros((nrows - bs, LANES), jnp.int32)], axis=0
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+    max_bit = (nrows - 1).bit_length() - 1
     for k in range(max_bit, -1, -1):  # expand down, MSB-first
         sh = 1 << k
         o = (W & _OCC) != 0
