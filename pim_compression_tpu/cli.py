@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--threads", type=int, default=0, help="native engine threads")
     p.add_argument("--json", action="store_true", help="emit structured metrics")
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace of the codec run into DIR "
+        "(device-level tracing, the analog of the reference's per-tasklet "
+        "cycle counters)",
+    )
     return p
 
 
@@ -73,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     data = in_path.read_bytes()
 
     timer = PhaseTimer()
+    profiler_ctx = None
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        profiler_ctx = jax.profiler.trace(args.profile)
+        profiler_ctx.__enter__()
     try:
         if args.c:
             result = runtime.compress(data, config, timer)
@@ -88,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     except (SnappyError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    finally:
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}")
 
     pathlib.Path(args.o).write_bytes(result)
 
