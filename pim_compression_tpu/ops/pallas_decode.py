@@ -299,11 +299,17 @@ def _route_kernel(
     err = err | jnp.where(jnp.any(bad, axis=0, keepdims=True), ERR_BAD_OFFSET, 0)
     S = jnp.where(bad | ~in_range, -1, S)
 
-    def resolve_body(_, s):
-        hop = jnp.take_along_axis(s, jnp.clip(s, 0, block_size - 1), axis=0)
-        return jnp.where(s >= 0, hop, s)
+    # Adaptive pointer doubling: real copy chains resolve in 2-5 rounds.
+    def resolve_cond(carry):
+        r, s = carry
+        return (r < resolve_rounds) & jnp.any(s >= 0)
 
-    S = jax.lax.fori_loop(0, resolve_rounds, resolve_body, S)
+    def resolve_body(carry):
+        r, s = carry
+        hop = jnp.take_along_axis(s, jnp.clip(s, 0, block_size - 1), axis=0)
+        return r + 1, jnp.where(s >= 0, hop, s)
+
+    _, S = jax.lax.while_loop(resolve_cond, resolve_body, (jnp.int32(0), S))
     err = err | jnp.where(
         jnp.any(S >= 0, axis=0, keepdims=True), ERR_UNRESOLVED, 0
     )

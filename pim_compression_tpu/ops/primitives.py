@@ -46,18 +46,26 @@ def resolve_copy_chains(src: jax.Array, num_rounds: int) -> jax.Array:
 
     ``src[i] >= 0`` means "output position i copies from output position
     src[i]" (strictly src[i] < i for valid streams); ``src[i] < 0`` encodes a
-    terminal (literal) source as ``-(index)-1``. After ``num_rounds``
-    doublings every chain of length < 2**num_rounds is collapsed to its
-    terminal. Invalid self-loops (src[i] == i) simply remain non-negative and
-    are caught by the caller's error flags — no possibility of divergence.
+    terminal (literal) source as ``-(index)-1``. Rounds are adaptive: each
+    doubling squares the resolved chain length, and real streams resolve in
+    2-5 rounds, so the loop exits as soon as no pointers remain (up to the
+    ``num_rounds`` = log2(n) worst case). Invalid self-loops (src[i] == i)
+    stay non-negative, hit the round cap, and are caught by the caller's
+    error flags — no possibility of divergence.
     """
     n = src.shape[-1]
 
-    def body(_, s):
-        hop = jnp.take(s, jnp.clip(s, 0, n - 1), axis=-1)
-        return jnp.where(s >= 0, hop, s)
+    def cond(carry):
+        r, s = carry
+        return (r < num_rounds) & jnp.any(s >= 0)
 
-    return jax.lax.fori_loop(0, num_rounds, body, src)
+    def body(carry):
+        r, s = carry
+        hop = jnp.take(s, jnp.clip(s, 0, n - 1), axis=-1)
+        return r + 1, jnp.where(s >= 0, hop, s)
+
+    _, src = jax.lax.while_loop(cond, body, (jnp.int32(0), src))
+    return src
 
 
 def exclusive_cumsum(x: jax.Array) -> jax.Array:
