@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="codec engine (overrides -d; default: native, or xla with -d)",
     )
     p.add_argument("--threads", type=int, default=0, help="native engine threads")
+    p.add_argument(
+        "--window", type=int, default=512,
+        help="pallas encoder match window (bigger = better ratio, slower)",
+    )
     p.add_argument("--json", action="store_true", help="emit structured metrics")
     p.add_argument(
         "--profile",
@@ -68,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     block_size = args.b or C.DEFAULT_BLOCK_SIZE
     try:
         config = CodecConfig(
-            block_size=block_size, engine=engine, num_threads=args.threads
+            block_size=block_size, engine=engine, num_threads=args.threads,
+            match_window=args.window,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

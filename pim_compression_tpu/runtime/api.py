@@ -170,7 +170,8 @@ def compress(
             if use_pallas:
                 comp, sizes = pallas_encode.encode_blocks_pallas_sharded(
                     blocks_d, lens_d, mesh,
-                    block_size=block_size, interpret=interpret,
+                    block_size=block_size, window=config.match_window,
+                    interpret=interpret,
                 )
             else:
                 comp, sizes = encode_ops.encode_blocks(

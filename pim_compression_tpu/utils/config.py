@@ -27,6 +27,7 @@ class CodecConfig:
     engine: str = "xla"
     num_threads: int = 0
     validate: bool = True
+    match_window: int = 512  # pallas encoder search window (ratio/speed knob)
 
     def __post_init__(self) -> None:
         if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:
