@@ -299,17 +299,34 @@ def _route_kernel(
     err = err | jnp.where(jnp.any(bad, axis=0, keepdims=True), ERR_BAD_OFFSET, 0)
     S = jnp.where(bad | ~in_range, -1, S)
 
-    # Adaptive pointer doubling: real copy chains resolve in 2-5 rounds.
+    # Adaptive pointer doubling. Mosaic's dynamic_gather cannot cross vregs
+    # along the gather dimension (verified on hardware), so the chains are
+    # chased in a transposed layout: positions move onto lanes in chunks of
+    # 128 (rows become (chunk, block)), where per-row lane-gather is native;
+    # the cross-chunk component is a static sweep of block-aligned row
+    # shifts. Real chains resolve in 2-5 adaptive rounds.
+    nchunks = block_size // LANES
+    S = _to_pos_lanes(S, nchunks)
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0) // LANES
+
     def resolve_cond(carry):
         r, s = carry
         return (r < resolve_rounds) & jnp.any(s >= 0)
 
     def resolve_body(carry):
         r, s = carry
-        hop = jnp.take_along_axis(s, jnp.clip(s, 0, block_size - 1), axis=0)
-        return r + 1, jnp.where(s >= 0, hop, s)
+        ptr = jnp.maximum(s, 0)
+        qs = ptr // LANES
+        rs = ptr % LANES
+        new = s
+        for delta in range(nchunks):
+            cand = _shift_down(s, delta * LANES) if delta else s
+            got = jnp.take_along_axis(cand, rs, axis=1)
+            new = jnp.where((s >= 0) & (qrow - qs == delta), got, new)
+        return r + 1, new
 
     _, S = jax.lax.while_loop(resolve_cond, resolve_body, (jnp.int32(0), S))
+    S = _from_pos_lanes(S, nchunks)
     err = err | jnp.where(
         jnp.any(S >= 0, axis=0, keepdims=True), ERR_UNRESOLVED, 0
     )
@@ -323,6 +340,17 @@ def _shift_down_fill(x: jax.Array, sh: int) -> jax.Array:
     return jnp.concatenate(
         [jnp.full((sh,) + x.shape[1:], -1, x.dtype), x[:-sh]], axis=0
     )
+
+
+def _to_pos_lanes(x: jax.Array, nchunks: int) -> jax.Array:
+    """[pos(q,r), block] -> [(q, block), r]: positions onto lanes."""
+    x3 = x.reshape(nchunks, LANES, LANES)  # (q, r, b)
+    return jnp.transpose(x3, (0, 2, 1)).reshape(nchunks * LANES, LANES)
+
+
+def _from_pos_lanes(x: jax.Array, nchunks: int) -> jax.Array:
+    x3 = x.reshape(nchunks, LANES, LANES)  # (q, b, r)
+    return jnp.transpose(x3, (0, 2, 1)).reshape(nchunks * LANES, LANES)
 
 
 # ---------------------------------------------------------------------------
