@@ -71,7 +71,11 @@ def decompress(
         # otherwise.
         per_device = pallas_decode.DFA_LANES * mesh.devices.size
         padded = pad_to_multiple(padded, per_device)
-        batch = pad_to_multiple(batch, per_device)
+        # Few large dispatches: the kernels iterate 1024-block batches
+        # on-device (lax.map), per-dispatch tunnel overhead is large (~tens
+        # of ms measured), but batch sizes are quantized so jit compiles a
+        # bounded set of shapes.
+        batch = per_device * min(16, -(-padded // per_device))
         if comp.shape[0] < padded:
             pad = padded - comp.shape[0]
             comp = np.pad(comp, ((0, pad), (0, 0)))
@@ -149,7 +153,7 @@ def compress(
         if use_pallas:
             per_device = pallas_encode.BATCH * mesh.devices.size
             padded = pad_to_multiple(padded, per_device)
-            batch = pad_to_multiple(batch, per_device)
+            batch = per_device * min(16, -(-padded // per_device))
         blocks, lens = pipeline.blockize_plain(data, block_size, padded)
 
     cap = (
