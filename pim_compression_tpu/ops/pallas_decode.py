@@ -216,13 +216,11 @@ def _route_kernel(
     *,
     cap: int,
     block_size: int,
-    nrows: int,
     resolve_rounds: int,
 ):
-    bias = nrows - block_size
     # Phase 1 (ranks + compact-up) only ever touches rows [0, cap): tokens
     # start there and move toward row 0. Operating on the small slice keeps
-    # peak VMEM liveness at ~2x cap rows instead of ~4x nrows.
+    # peak VMEM liveness at ~2x cap rows.
     W = tokens_ref[0]
     crows = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 0)
     conflict = jnp.zeros((cap, LANES), jnp.bool_)
@@ -251,16 +249,20 @@ def _route_kernel(
         rank = jnp.where(arriving, moved_rank, jnp.where(staying, rank, 0))
         k += 1
 
-    W = jnp.concatenate(
-        [W, jnp.zeros((nrows - cap, LANES), jnp.int32)], axis=0
+    conflict1 = jnp.any(conflict, axis=0, keepdims=True)
+
+    # Hand off to output space: every token produces >= 1 output byte, so
+    # the compacted prefix holds at most block_size tokens (<= out_len) and
+    # the expand phase fits a [block_size, 128] array — destinations are
+    # plain output positions (no bias), independent of cap.
+    W = W[:block_size] if cap >= block_size else jnp.concatenate(
+        [W, jnp.zeros((block_size - cap, LANES), jnp.int32)], axis=0
     )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
-    conflict = jnp.concatenate(
-        [conflict, jnp.zeros((nrows - cap, LANES), jnp.bool_)], axis=0
-    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
+    conflict = jnp.zeros((block_size, LANES), jnp.bool_)
 
     # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
-    max_bit = (nrows - 1).bit_length() - 1
+    max_bit = (block_size - 1).bit_length() - 1
     for k in range(max_bit, -1, -1):
         sh = 1 << k
         occ = (W & OCCUPIED) != 0
@@ -273,11 +275,13 @@ def _route_kernel(
         W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
 
     err = jnp.where(
-        jnp.any(conflict, axis=0, keepdims=True), ERR_ROUTE_CONFLICT, 0
+        conflict1 | jnp.any(conflict, axis=0, keepdims=True),
+        ERR_ROUTE_CONFLICT,
+        0,
     )  # (1, 128)
 
     # Fill + resolve in output space.
-    R = W[bias:]
+    R = W
     rrows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
     occupied = (R & OCCUPIED) != 0
     kind = (R >> KIND_SHIFT) & 3
@@ -379,8 +383,8 @@ def decode_blocks_pallas(
     nb, cap = comp.shape
     assert nb % DFA_LANES == 0, "pad the batch to a multiple of 1024 blocks"
     assert cap % LANES == 0
+    assert block_size % LANES == 0, "block_size must be a multiple of 128"
     nbatch = nb // DFA_LANES
-    nrows = cap + block_size  # cap is a multiple of 128, block_size of 8
     chunk = LANES
 
     def one_batch(comp_b, clen_b, olen_b):
@@ -391,7 +395,7 @@ def decode_blocks_pallas(
 
         tokens, _err_dfa = pl.pallas_call(
             functools.partial(
-                _dfa_kernel, chunk=chunk, cap=cap, bias=nrows - block_size,
+                _dfa_kernel, chunk=chunk, cap=cap, bias=0,
                 block_size=block_size,
             ),
             grid=(cap // chunk,),
@@ -432,7 +436,7 @@ def decode_blocks_pallas(
 
         out_g, err_g = pl.pallas_call(
             functools.partial(
-                _route_kernel, cap=cap, block_size=block_size, nrows=nrows,
+                _route_kernel, cap=cap, block_size=block_size,
                 resolve_rounds=resolve_rounds,
             ),
             grid=(SUBLANES,),
