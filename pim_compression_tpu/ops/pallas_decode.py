@@ -213,85 +213,101 @@ def _route_kernel(
     out_len_ref,  # (1, 8, 128) i32  (row 0 used)
     out_ref,  # (1, block_size, 128) i32
     err_ref,  # (1, 8, 128) i32
+    W_s,  # scratch (cap, 128) i32
+    rank_s,  # scratch (cap, 128) i32
+    E_s,  # scratch (block_size, 128) i32
     *,
     cap: int,
     block_size: int,
     resolve_rounds: int,
 ):
-    # Phase 1 (ranks + compact-up) only ever touches rows [0, cap): tokens
-    # start there and move toward row 0. Operating on the small slice keeps
-    # peak VMEM liveness at ~2x cap rows.
-    W = tokens_ref[0]
+    # The shift rounds update VMEM scratch in place: with pure SSA values
+    # Mosaic's register allocator keeps every unrolled round's temporaries
+    # live and spills O(rounds * array) VMEM (observed: 152 MB at bs=4096).
     crows = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 0)
-    conflict = jnp.zeros((cap, LANES), jnp.bool_)
+    conflict_acc = jnp.zeros((1, LANES), jnp.bool_)
 
-    occ_i = (W & OCCUPIED) // OCCUPIED
-    csum = occ_i
+    # Phase 1 (ranks + compact-up) touches only the [0, cap) token rows.
+    W_s[...] = tokens_ref[0]
+    rank_s[...] = (W_s[...] & OCCUPIED) // OCCUPIED
     sh = 1
     while sh < cap:
-        csum = csum + _shift_down(csum, sh)
+        t = rank_s[...]
+        rank_s[...] = t + _shift_down(t, sh)
         sh <<= 1
-    rank = jnp.where(occ_i != 0, csum - 1, 0)
+    rank_s[...] = jnp.where(
+        (W_s[...] & OCCUPIED) != 0, rank_s[...] - 1, 0
+    )
 
     # Compact up, LSB-first (move up 2^k iff bit k of row - rank;
     # distances are <= cap-1).
     k = 0
     while (1 << k) < cap:
         sh = 1 << k
+        W = W_s[...]
+        rank = rank_s[...]
         occ = (W & OCCUPIED) != 0
         move = occ & ((((crows - rank) >> k) & 1) == 1)
         moved_W = _shift_up(jnp.where(move, W, 0), sh)
-        moved_rank = _shift_up(jnp.where(move, rank, 0), sh)
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
-        conflict = conflict | (arriving & staying)
-        W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
-        rank = jnp.where(arriving, moved_rank, jnp.where(staying, rank, 0))
+        conflict_acc = conflict_acc | jnp.any(
+            arriving & staying, axis=0, keepdims=True
+        )
+        W_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        rank_s[...] = jnp.where(
+            arriving,
+            _shift_up(jnp.where(move, rank, 0), sh),
+            jnp.where(staying, rank, 0),
+        )
         k += 1
-
-    conflict1 = jnp.any(conflict, axis=0, keepdims=True)
 
     # Hand off to output space: every token produces >= 1 output byte, so
     # the compacted prefix holds at most block_size tokens (<= out_len) and
     # the expand phase fits a [block_size, 128] array — destinations are
     # plain output positions (no bias), independent of cap.
-    W = W[:block_size] if cap >= block_size else jnp.concatenate(
-        [W, jnp.zeros((block_size - cap, LANES), jnp.int32)], axis=0
-    )
+    if cap >= block_size:
+        E_s[...] = W_s[0:block_size]
+    else:
+        E_s[0:cap] = W_s[...]
+        E_s[cap:block_size] = jnp.zeros((block_size - cap, LANES), jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
-    conflict = jnp.zeros((block_size, LANES), jnp.bool_)
 
     # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
     max_bit = (block_size - 1).bit_length() - 1
     for k in range(max_bit, -1, -1):
         sh = 1 << k
+        W = E_s[...]
         occ = (W & OCCUPIED) != 0
         dst = (W >> DST_SHIFT) & 0x7FFF
         move = occ & (dst - rows >= sh)
         moved_W = _shift_down(jnp.where(move, W, 0), sh)
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
-        conflict = conflict | (arriving & staying)
-        W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        conflict_acc = conflict_acc | jnp.any(
+            arriving & staying, axis=0, keepdims=True
+        )
+        E_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
 
-    err = jnp.where(
-        conflict1 | jnp.any(conflict, axis=0, keepdims=True),
-        ERR_ROUTE_CONFLICT,
-        0,
-    )  # (1, 128)
+    err = jnp.where(conflict_acc, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
     # Fill + resolve in output space.
-    R = W
+    R = E_s[...]
     rrows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
     occupied = (R & OCCUPIED) != 0
     kind = (R >> KIND_SHIFT) & 3
     value = R & VALUE_MASK
 
-    packed = jnp.where(occupied, (rrows << 15) | (kind << KIND_SHIFT) | value, -1)
+    # Prefix-max fill, in place in the (reused) rank scratch.
+    rank_s[0:block_size] = jnp.where(
+        occupied, (rrows << 15) | (kind << KIND_SHIFT) | value, -1
+    )
     sh = 1
     while sh < block_size:
-        packed = jnp.maximum(packed, _shift_down_fill(packed, sh))
+        t = rank_s[0:block_size]
+        rank_s[0:block_size] = jnp.maximum(t, _shift_down_fill(t, sh))
         sh <<= 1
+    packed = rank_s[0:block_size]
     cov_kind = (packed >> KIND_SHIFT) & 3
     cov_value = packed & VALUE_MASK
 
@@ -462,6 +478,11 @@ def decode_blocks_pallas(
             out_shape=[
                 jax.ShapeDtypeStruct((SUBLANES, block_size, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((cap, LANES), jnp.int32),
+                pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
+                pltpu.VMEM((block_size, LANES), jnp.int32),
             ],
             interpret=interpret,
         )(tokens_g, olen_g)
