@@ -216,6 +216,7 @@ def _route_kernel(
     W_s,  # scratch (cap, 128) i32
     rank_s,  # scratch (cap, 128) i32
     E_s,  # scratch (block_size, 128) i32
+    R_s,  # scratch (2 * block_size, 128) i32 (resolve staging)
     *,
     cap: int,
     block_size: int,
@@ -338,11 +339,18 @@ def _route_kernel(
         ptr = jnp.maximum(s, 0)
         qs = ptr // LANES
         rs = ptr % LANES
-        new = s
-        for delta in range(nchunks):
-            cand = _shift_down(s, delta * LANES) if delta else s
+        # Stage s below a zero pad so each chunk delta is one aligned
+        # dynamic-slice read (an unrolled delta loop spills ~nchunks full
+        # arrays of register-allocator slots).
+        R_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
+        R_s[block_size : 2 * block_size] = s
+
+        def dbody(delta, new):
+            cand = R_s[pl.ds(block_size - delta * LANES, block_size), :]
             got = jnp.take_along_axis(cand, rs, axis=1)
-            new = jnp.where((s >= 0) & (qrow - qs == delta), got, new)
+            return jnp.where((s >= 0) & (qrow - qs == delta), got, new)
+
+        new = jax.lax.fori_loop(0, nchunks, dbody, s)
         return r + 1, new
 
     _, S = jax.lax.while_loop(resolve_cond, resolve_body, (jnp.int32(0), S))
@@ -483,6 +491,7 @@ def decode_blocks_pallas(
                 pltpu.VMEM((cap, LANES), jnp.int32),
                 pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
                 pltpu.VMEM((block_size, LANES), jnp.int32),
+                pltpu.VMEM((2 * block_size, LANES), jnp.int32),
             ],
             interpret=interpret,
         )(tokens_g, olen_g)
