@@ -216,52 +216,72 @@ def _route_kernel(
     W_s,  # scratch (cap, 128) i32
     rank_s,  # scratch (cap, 128) i32
     E_s,  # scratch (block_size, 128) i32
-    R_s,  # scratch (2 * block_size, 128) i32 (resolve staging)
+    R_s,  # scratch (2 * block_size, 128) i32 (resolve/expand staging)
+    C_s,  # scratch (2 * cap, 128) i32 (compact-phase staging)
     *,
     cap: int,
     block_size: int,
     resolve_rounds: int,
 ):
-    # The shift rounds update VMEM scratch in place: with pure SSA values
-    # Mosaic's register allocator keeps every unrolled round's temporaries
-    # live and spills O(rounds * array) VMEM (observed: 152 MB at bs=4096).
+    # Every phase's shift rounds run as fori_loops reading staged scratch at
+    # dynamic (8-aligned) offsets: an unrolled round chain leaks ~1 full
+    # array of register-allocator spill per round (observed 141-152 MB at
+    # bs=4096, over the chip's 128 MB VMEM budget).
     crows = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 0)
-    conflict_acc = jnp.zeros((1, LANES), jnp.bool_)
 
-    # Phase 1 (ranks + compact-up) touches only the [0, cap) token rows.
+    # Phase 1a: occupancy prefix-sum over the [0, cap) token rows.
     W_s[...] = tokens_ref[0]
     rank_s[...] = (W_s[...] & OCCUPIED) // OCCUPIED
-    sh = 1
-    while sh < cap:
+    for sh in (1, 2, 4):  # static small shifts
         t = rank_s[...]
         rank_s[...] = t + _shift_down(t, sh)
-        sh <<= 1
-    rank_s[...] = jnp.where(
-        (W_s[...] & OCCUPIED) != 0, rank_s[...] - 1, 0
-    )
+    C_s[0:cap] = jnp.zeros((cap, LANES), jnp.int32)
 
-    # Compact up, LSB-first (move up 2^k iff bit k of row - rank;
-    # distances are <= cap-1).
-    k = 0
-    while (1 << k) < cap:
-        sh = 1 << k
+    def csum_body(j, _):
+        sh = 8 << j
+        C_s[cap : 2 * cap] = rank_s[...]
+        start = pl.multiple_of(cap - sh, 8)
+        rank_s[...] = rank_s[...] + C_s[pl.ds(start, cap), :]
+        return 0
+
+    n_csum = max(0, (cap - 1).bit_length() - 3)
+    jax.lax.fori_loop(0, n_csum, csum_body, 0)
+    rank_s[...] = jnp.where((W_s[...] & OCCUPIED) != 0, rank_s[...] - 1, 0)
+
+    # Phase 1b: compact up, LSB-first (move up 2^k iff bit k of row - rank;
+    # distances <= cap-1). Rounds k>=3 via staged dynamic shifts.
+    def compact_round(k_dyn, sh, conflict):
         W = W_s[...]
         rank = rank_s[...]
         occ = (W & OCCUPIED) != 0
-        move = occ & ((((crows - rank) >> k) & 1) == 1)
-        moved_W = _shift_up(jnp.where(move, W, 0), sh)
+        move = occ & ((((crows - rank) >> k_dyn) & 1) == 1)
+        C_s[0:cap] = jnp.where(move, W, 0)
+        start = pl.multiple_of(sh, 8) if not isinstance(sh, int) else sh
+        moved_W = C_s[pl.ds(start, cap), :]  # shift-up: read at +sh
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
-        conflict_acc = conflict_acc | jnp.any(
-            arriving & staying, axis=0, keepdims=True
-        )
-        W_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        conflict = conflict | jnp.any(arriving & staying, axis=0, keepdims=True)
+        new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        C_s[0:cap] = jnp.where(move, rank, 0)
+        moved_rank = C_s[pl.ds(start, cap), :]
         rank_s[...] = jnp.where(
-            arriving,
-            _shift_up(jnp.where(move, rank, 0), sh),
-            jnp.where(staying, rank, 0),
+            arriving, moved_rank, jnp.where(staying, rank, 0)
         )
-        k += 1
+        W_s[...] = new_W
+        return conflict
+
+    conflict_acc = jnp.zeros((1, LANES), jnp.bool_)
+    C_s[cap : 2 * cap] = jnp.zeros((cap, LANES), jnp.int32)  # up-shift pad
+    for k in range(3):
+        if (1 << k) < cap:
+            conflict_acc = compact_round(k, 1 << k, conflict_acc)
+
+    def compact_body(j, conflict):
+        k = j + 3
+        return compact_round(k, jnp.int32(8) << j, conflict)
+
+    n_compact = max(0, (cap - 1).bit_length() - 3)
+    conflict_acc = jax.lax.fori_loop(0, n_compact, compact_body, conflict_acc)
 
     # Hand off to output space: every token produces >= 1 output byte, so
     # the compacted prefix holds at most block_size tokens (<= out_len) and
@@ -275,20 +295,31 @@ def _route_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
 
     # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
-    max_bit = (block_size - 1).bit_length() - 1
-    for k in range(max_bit, -1, -1):
-        sh = 1 << k
+    def expand_round(sh, conflict):
         W = E_s[...]
         occ = (W & OCCUPIED) != 0
         dst = (W >> DST_SHIFT) & 0x7FFF
         move = occ & (dst - rows >= sh)
-        moved_W = _shift_down(jnp.where(move, W, 0), sh)
+        R_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
+        start = block_size - sh if isinstance(sh, int) else pl.multiple_of(
+            block_size - sh, 8
+        )
+        moved_W = R_s[pl.ds(start, block_size), :]  # shift-down
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
-        conflict_acc = conflict_acc | jnp.any(
-            arriving & staying, axis=0, keepdims=True
-        )
+        conflict = conflict | jnp.any(arriving & staying, axis=0, keepdims=True)
         E_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        return conflict
+
+    R_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
+    max_bit = (block_size - 1).bit_length() - 1
+
+    def expand_body(j, conflict):
+        return expand_round(jnp.int32(8) << (max_bit - 3 - j), conflict)
+
+    conflict_acc = jax.lax.fori_loop(0, max_bit - 2, expand_body, conflict_acc)
+    for k in (2, 1, 0):
+        conflict_acc = expand_round(1 << k, conflict_acc)
 
     err = jnp.where(conflict_acc, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
@@ -449,6 +480,9 @@ def decode_blocks_pallas(
                 jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((7, SUBLANES, LANES), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(comp_t, clen_t, olen_t)
 
@@ -492,7 +526,11 @@ def decode_blocks_pallas(
                 pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
                 pltpu.VMEM((block_size, LANES), jnp.int32),
                 pltpu.VMEM((2 * block_size, LANES), jnp.int32),
+                pltpu.VMEM((2 * cap, LANES), jnp.int32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(tokens_g, olen_g)
 

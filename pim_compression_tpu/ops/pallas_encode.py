@@ -393,6 +393,9 @@ def encode_blocks_pallas(
                 jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(padded_g, valid_g)
 
@@ -424,6 +427,9 @@ def encode_blocks_pallas(
                 pltpu.VMEM((bs, LANES), jnp.int32),
                 pltpu.VMEM((bs, LANES), jnp.int32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(data_g.astype(jnp.int32), mlen, mlag, lens_bc)
 
