@@ -260,7 +260,9 @@ def _route_kernel(
         moved_W = C_s[pl.ds(start, cap), :]  # shift-up: read at +sh
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
-        conflict = conflict | jnp.any(arriving & staying, axis=0, keepdims=True)
+        conflict = conflict | jnp.any(
+            arriving & staying, axis=0, keepdims=True
+        ).astype(jnp.int32)
         new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         C_s[0:cap] = jnp.where(move, rank, 0)
         moved_rank = C_s[pl.ds(start, cap), :]
@@ -270,7 +272,7 @@ def _route_kernel(
         W_s[...] = new_W
         return conflict
 
-    conflict_acc = jnp.zeros((1, LANES), jnp.bool_)
+    conflict_acc = jnp.zeros((1, LANES), jnp.int32)
     C_s[cap : 2 * cap] = jnp.zeros((cap, LANES), jnp.int32)  # up-shift pad
     for k in range(3):
         if (1 << k) < cap:
@@ -307,7 +309,9 @@ def _route_kernel(
         moved_W = R_s[pl.ds(start, block_size), :]  # shift-down
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
-        conflict = conflict | jnp.any(arriving & staying, axis=0, keepdims=True)
+        conflict = conflict | jnp.any(
+            arriving & staying, axis=0, keepdims=True
+        ).astype(jnp.int32)
         E_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         return conflict
 
@@ -321,7 +325,7 @@ def _route_kernel(
     for k in (2, 1, 0):
         conflict_acc = expand_round(1 << k, conflict_acc)
 
-    err = jnp.where(conflict_acc, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
+    err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
     # Fill + resolve in output space.
     R = E_s[...]
