@@ -101,8 +101,8 @@ def _scan_sum_down(x):
 
 
 def _match_kernel(
-    padded_ref,  # (1, window + bs + 64, 128) i8; zeros in the pads
-    valid_ref,  # (1, bs + 64, 128) i8: 1 where row < block length
+    padded_ref,  # (1, window + bs + 64, 128) i32; zeros in the pads
+    valid_ref,  # (1, bs + 64, 128) i32: 1 where row < block length
     len_out,  # (1, bs, 128) i32: bucketed best length (0 or 4..64)
     lag_out,  # (1, bs, 128) i32: best lag
     *,
@@ -120,27 +120,27 @@ def _match_kernel(
         base = ci * 32
         start = pl.multiple_of(window - base - 32, 32)
         src32 = padded_ref[0, pl.ds(start, ext + 32), :]
-        cur_ml = jnp.zeros((bs, LANES), jnp.int8)
-        cur_idx = jnp.zeros((bs, LANES), jnp.int8)
+        cur_ml = jnp.zeros((bs, LANES), jnp.int32)
+        cur_idx = jnp.zeros((bs, LANES), jnp.int32)
         for j in range(32):
             d_static_back = 32 - 1 - j  # d = base + j + 1 -> start offset
             shifted = src32[d_static_back : d_static_back + ext]
             d = base + j + 1
             eq = (data == shifted) & valid & (rows >= d)
             r = eq
-            ml = jnp.zeros((ext, LANES), jnp.int8)
+            ml = jnp.zeros((ext, LANES), jnp.int32)
             for L in (2, 4, 8, 16, 32, 64):
                 r = r & _shift_up(r, L // 2)
                 if L >= 4:
-                    ml = jnp.where(r, jnp.int8(L), ml)
+                    ml = jnp.where(r, L, ml)
             ml = ml[:bs]
             take = ml > cur_ml
             cur_ml = jnp.where(take, ml, cur_ml)
-            cur_idx = jnp.where(take, jnp.int8(j), cur_idx)
-        lag = base + cur_idx.astype(jnp.int32) + 1
+            cur_idx = jnp.where(take, j, cur_idx)
+        lag = base + cur_idx + 1
         cand = jnp.where(
             cur_ml >= 4,
-            (cur_ml.astype(jnp.int32) << 16) | (0xFFFF - lag),
+            (cur_ml << 16) | (0xFFFF - lag),
             0,
         )
         return jnp.maximum(best, cand)
@@ -354,19 +354,19 @@ def encode_blocks_pallas(
         # [1024, bs] u8 -> groups (8, rows, 128)
         data_t = blocks_b.T.reshape(bs, SUBLANES, LANES)
         lens_t = lens_b.reshape(SUBLANES, LANES)
-        data_g = data_t.transpose(1, 0, 2)  # (8, bs, 128)
+        data_g = data_t.transpose(1, 0, 2).astype(jnp.int32)  # (8, bs, 128)
         lens_g = lens_t[:, None, :]  # (8, 1, 128)
 
         padded_g = jnp.concatenate(
             [
-                jnp.zeros((SUBLANES, window, LANES), jnp.int8),
-                data_g.astype(jnp.int8),
-                jnp.zeros((SUBLANES, 64, LANES), jnp.int8),
+                jnp.zeros((SUBLANES, window, LANES), jnp.int32),
+                data_g.astype(jnp.int32),
+                jnp.zeros((SUBLANES, 64, LANES), jnp.int32),
             ],
             axis=1,
         )
         rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, bs + 64, LANES), 1)
-        valid_g = (rows < lens_g).astype(jnp.int8)
+        valid_g = (rows < lens_g).astype(jnp.int32)
 
         mlen, mlag = pl.pallas_call(
             functools.partial(_match_kernel, bs=bs, window=window),
@@ -431,7 +431,7 @@ def encode_blocks_pallas(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(data_g.astype(jnp.int32), mlen, mlag, lens_bc)
+        )(data_g, mlen, mlag, lens_bc)
 
         comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
         size_b = size_g[:, 0, :].reshape(BATCH)
