@@ -126,13 +126,13 @@ def _match_kernel(
             d_static_back = 32 - 1 - j  # d = base + j + 1 -> start offset
             shifted = src32[d_static_back : d_static_back + ext]
             d = base + j + 1
-            eq = (data == shifted) & valid & (rows >= d)
-            r = eq
+            # Run-doubling in int32: Mosaic cannot shift (concat) i1 masks.
+            r = ((data == shifted) & valid & (rows >= d)).astype(jnp.int32)
             ml = jnp.zeros((ext, LANES), jnp.int32)
             for L in (2, 4, 8, 16, 32, 64):
                 r = r & _shift_up(r, L // 2)
                 if L >= 4:
-                    ml = jnp.where(r, L, ml)
+                    ml = jnp.where(r != 0, L, ml)
             ml = ml[:bs]
             take = ml > cur_ml
             cur_ml = jnp.where(take, ml, cur_ml)

@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-decode", action="store_true")
+    ap.add_argument("--skip-encode", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -77,33 +79,42 @@ def main() -> int:
     print(f"workload: {len(plain)} bytes, {nb} blocks (padded {nbp}) @ bs={bs}")
 
     # --- decode ---
-    comp_d = step("h2d_decode", lambda: jax.device_put(comp))
-    clen_d = jax.device_put(clen)
-    olen_d = jax.device_put(olen)
-    def compile_decode():
-        o, e = pd.decode_blocks_pallas(comp_d, clen_d, olen_d, block_size=bs)
-        sync(o)
-        sync(e)
-        return o, e
+    if not args.skip_decode:
+        comp_d = step("h2d_decode", lambda: jax.device_put(comp))
+        clen_d = jax.device_put(clen)
+        olen_d = jax.device_put(olen)
 
-    out, err = step("decode_compile", compile_decode)
-    out_h = np.asarray(out)
-    err_h = np.asarray(err)
-    got = out_h[:nb].reshape(-1)[: len(plain)].tobytes()
-    results["decode_bit_exact"] = got == plain
-    results["decode_err_flags"] = int(err_h.sum())
-    print("decode bit-exact:", results["decode_bit_exact"], "| err:", err_h.sum())
-
-    def time_decode():
-        t0 = time.time()
-        for _ in range(args.iters):
+        def compile_decode():
             o, e = pd.decode_blocks_pallas(comp_d, clen_d, olen_d, block_size=bs)
-        sync(o)
-        return (time.time() - t0) / args.iters
+            sync(o)
+            sync(e)
+            return o, e
 
-    dt = step("decode_timed", time_decode)
-    results["decode_gbps"] = round(len(plain) / dt / 1e9, 4)
-    print(f"decode: {results['decode_gbps']} GB/s")
+        out, err = step("decode_compile", compile_decode)
+        out_h = np.asarray(out)
+        err_h = np.asarray(err)
+        got = out_h[:nb].reshape(-1)[: len(plain)].tobytes()
+        results["decode_bit_exact"] = got == plain
+        results["decode_err_flags"] = int(err_h.sum())
+        print("decode bit-exact:", results["decode_bit_exact"], "| err:", err_h.sum())
+
+        def time_decode():
+            t0 = time.time()
+            for _ in range(args.iters):
+                o, e = pd.decode_blocks_pallas(
+                    comp_d, clen_d, olen_d, block_size=bs
+                )
+            sync(o)
+            return (time.time() - t0) / args.iters
+
+        dt = step("decode_timed", time_decode)
+        results["decode_gbps"] = round(len(plain) / dt / 1e9, 4)
+        print(f"decode: {results['decode_gbps']} GB/s")
+
+    if args.skip_encode:
+        (REPO / "tpu_validation.json").write_text(json.dumps(results, indent=2))
+        print(json.dumps(results, indent=2))
+        return 0
 
     # --- encode ---
     blocks = np.zeros((nbp, bs), np.uint8)
