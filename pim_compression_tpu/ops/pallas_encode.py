@@ -45,6 +45,10 @@ def encode_capacity(block_size: int) -> int:
     return (cap + 127) // 128 * 128
 
 
+def _route_rows(bs: int, cap: int) -> int:
+    return (max(cap, bs) + 15) // 8 * 8
+
+
 def _shift_down(x, sh):
     return jnp.concatenate(
         [jnp.zeros((sh,) + x.shape[1:], x.dtype), x[:-sh]], axis=0
@@ -160,52 +164,99 @@ def _match_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _route_channel(acc, tok, dst, val, nrows):
+def _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG):
     """One monotone channel: tokens (mask/dst/val over [bs, 128]) routed to
-    their compressed-stream rows; lands into ``acc`` [nrows, 128]."""
+    their compressed-stream rows; lands into the ``comp_s`` scratch.
+
+    Same scratch-based fori-round structure as the decoder's route kernel:
+    unrolled round chains leak ~1 array of register-allocator spill per
+    round (hardware-verified), so rounds >= 8 read staged scratch at
+    dynamic 8-aligned offsets.
+    """
     bs = tok.shape[0]
-    # Phase 1 (ranks + compact-up) stays within the [0, bs) source rows.
-    W = jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0)
     crows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
 
-    occ = (W & _OCC) // _OCC
-    csum = occ
-    sh = 1
-    while sh < bs:
-        csum = csum + _shift_down(csum, sh)
-        sh <<= 1
-    rank = jnp.where(occ != 0, csum - 1, 0)
+    # Tokens + occupancy prefix-sum over the [0, bs) source rows.
+    W_s[0:bs] = jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0)
+    if nrows > bs:
+        W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
+    rank_s[...] = (W_s[0:bs] & _OCC) // _OCC
+    for sh in (1, 2, 4):
+        t = rank_s[...]
+        rank_s[...] = t + _shift_down(t, sh)
+    STG[0:bs] = jnp.zeros((bs, LANES), jnp.int32)
 
-    k = 0
-    while (1 << k) < bs:  # compact up, LSB-first (distances <= bs-1)
-        sh = 1 << k
-        o = (W & _OCC) != 0
-        move = o & ((((crows - rank) >> k) & 1) == 1)
-        mw = _shift_up(jnp.where(move, W, 0), sh)
-        mr = _shift_up(jnp.where(move, rank, 0), sh)
-        arriving = (mw & _OCC) != 0
-        staying = o & ~move
-        W = jnp.where(arriving, mw, jnp.where(staying, W, 0))
-        rank = jnp.where(arriving, mr, jnp.where(staying, rank, 0))
-        k += 1
+    def csum_body(j, _):
+        sh = 8 << j
+        STG[bs : 2 * bs] = rank_s[...]
+        rank_s[...] = rank_s[...] + STG[pl.ds(pl.multiple_of(bs - sh, 8), bs), :]
+        return 0
 
-    W = jnp.concatenate(
-        [W, jnp.zeros((nrows - bs, LANES), jnp.int32)], axis=0
+    jax.lax.fori_loop(0, max(0, (bs - 1).bit_length() - 3), csum_body, 0)
+    rank_s[...] = jnp.where((W_s[0:bs] & _OCC) != 0, rank_s[...] - 1, 0)
+
+    # Compact up, LSB-first; stage masked arrays for shift-up reads.
+    def compact_round(k_dyn, sh):
+        W = W_s[0:bs]
+        rank = rank_s[...]
+        occ = (W & _OCC) != 0
+        move = occ & ((((crows - rank) >> k_dyn) & 1) == 1)
+        STG[0:bs] = jnp.where(move, W, 0)
+        moved_W = STG[pl.ds(sh, bs), :]
+        arriving = (moved_W & _OCC) != 0
+        staying = occ & ~move
+        new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        STG[0:bs] = jnp.where(move, rank, 0)
+        moved_rank = STG[pl.ds(sh, bs), :]
+        rank_s[...] = jnp.where(arriving, moved_rank, jnp.where(staying, rank, 0))
+        W_s[0:bs] = new_W
+        return 0
+
+    STG[bs : 2 * bs] = jnp.zeros((bs, LANES), jnp.int32)  # up-shift pad
+    for k in range(3):
+        if (1 << k) < bs:
+            compact_round(k, 1 << k)
+    jax.lax.fori_loop(
+        0,
+        max(0, (bs - 1).bit_length() - 3),
+        lambda j, _: compact_round(j + 3, pl.multiple_of(jnp.int32(8) << j, 8)),
+        0,
     )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
-    max_bit = (nrows - 1).bit_length() - 1
-    for k in range(max_bit, -1, -1):  # expand down, MSB-first
-        sh = 1 << k
-        o = (W & _OCC) != 0
-        wdst = (W >> 8) & 0x3FFFFF
-        move = o & (wdst - rows >= sh)
-        mw = _shift_down(jnp.where(move, W, 0), sh)
-        arriving = (mw & _OCC) != 0
-        staying = o & ~move
-        W = jnp.where(arriving, mw, jnp.where(staying, W, 0))
 
+    # Expand down, MSB-first over [0, nrows).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+
+    def expand_round(sh):
+        W = W_s[...]
+        occ = (W & _OCC) != 0
+        wdst = (W >> 8) & 0x3FFFFF
+        move = occ & (wdst - rows >= sh)
+        STG[nrows : 2 * nrows] = jnp.where(move, W, 0)
+        start = (
+            nrows - sh
+            if isinstance(sh, int)
+            else pl.multiple_of(nrows - sh, 8)
+        )
+        moved_W = STG[pl.ds(start, nrows), :]
+        arriving = (moved_W & _OCC) != 0
+        staying = occ & ~move
+        W_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+        return 0
+
+    STG[0:nrows] = jnp.zeros((nrows, LANES), jnp.int32)  # down-shift pad
+    max_bit = (nrows - 1).bit_length() - 1
+    jax.lax.fori_loop(
+        0,
+        max(0, max_bit - 2),
+        lambda j, _: expand_round(jnp.int32(8) << (max_bit - 3 - j)),
+        0,
+    )
+    for k in (2, 1, 0):
+        expand_round(1 << k)
+
+    W = W_s[...]
     landed = (W & _OCC) != 0
-    return jnp.where(landed, W & 0xFF, acc)
+    comp_s[0:nrows] = jnp.where(landed, W & 0xFF, comp_s[0:nrows])
 
 
 def _emit_kernel(
@@ -217,6 +268,10 @@ def _emit_kernel(
     size_ref,  # (1, 8, 128) i32 out
     accept_ref,  # scratch (bs, 128) i32
     copy_ref,  # scratch (bs, 128) i32
+    W_s,  # scratch (nrows, 128) i32
+    rank_s,  # scratch (bs, 128) i32
+    STG,  # scratch (2 * nrows, 128) i32
+    comp_s,  # scratch (nrows, 128) i32
     *,
     bs: int,
     cap: int,
@@ -242,14 +297,10 @@ def _emit_kernel(
             copy = acc & (bl >= 4)
             adv = jnp.where(copy, bl, 1)
             next_accept = jnp.where(acc, p + adv, next_accept)
-            acc_rows.append(acc)
-            cp_rows.append(copy)
-        accept_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(acc_rows).astype(
-            jnp.int32
-        )
-        copy_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(cp_rows).astype(
-            jnp.int32
-        )
+            acc_rows.append(acc.astype(jnp.int32))  # concat of i1 rows is
+            cp_rows.append(copy.astype(jnp.int32))  # not lowerable; cast first
+        accept_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(acc_rows)
+        copy_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(cp_rows)
         return next_accept
 
     jax.lax.fori_loop(
@@ -304,8 +355,8 @@ def _emit_kernel(
         jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
     )
 
-    nrows = (max(cap, bs) + 15) // 8 * 8
-    comp = jnp.zeros((nrows, LANES), jnp.int32)
+    nrows = _route_rows(bs, cap)
+    comp_s[...] = jnp.zeros((nrows, LANES), jnp.int32)
     for ch in range(4):
         if ch < 3:
             tok = is_head & (hdr_here > ch)
@@ -315,9 +366,9 @@ def _emit_kernel(
             tok = is_lit
             dst = cov_data0 + (rows - jnp.maximum(head_row, 0))
             val = data
-        comp = _route_channel(comp, tok, dst, val, nrows)
+        _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG)
 
-    comp_ref[0] = comp[:cap]
+    comp_ref[0] = comp_s[0:cap]
     size_ref[0] = jnp.broadcast_to(sizes, (SUBLANES, LANES))
 
 
@@ -426,6 +477,10 @@ def encode_blocks_pallas(
             scratch_shapes=[
                 pltpu.VMEM((bs, LANES), jnp.int32),
                 pltpu.VMEM((bs, LANES), jnp.int32),
+                pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
+                pltpu.VMEM((bs, LANES), jnp.int32),
+                pltpu.VMEM((2 * _route_rows(bs, cap), LANES), jnp.int32),
+                pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
