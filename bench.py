@@ -92,7 +92,7 @@ def main() -> int:
     )
     repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
-    timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "900"))
+    timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).

@@ -385,7 +385,11 @@ def _route_kernel(
             got = jnp.take_along_axis(cand, rs, axis=1)
             return jnp.where((s >= 0) & (qrow - qs == delta), got, new)
 
-        new = jax.lax.fori_loop(0, nchunks, dbody, s)
+        # Only sweep deltas that exist this round: real streams have mostly
+        # small offsets, so the max pending chunk distance is usually 0-4,
+        # not nchunks.
+        max_delta = jnp.max(jnp.where(s >= 0, qrow - qs, 0))
+        new = jax.lax.fori_loop(0, max_delta + 1, dbody, s)
         return r + 1, new
 
     _, S = jax.lax.while_loop(resolve_cond, resolve_body, (jnp.int32(0), S))
