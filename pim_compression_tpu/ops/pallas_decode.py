@@ -334,12 +334,14 @@ def _route_kernel(
     kind = (R >> KIND_SHIFT) & 3
     value = R & VALUE_MASK
 
-    # Prefix-max fill, in place in the (reused) rank scratch.
+    # Prefix-max fill, in place in the (reused) rank scratch. Every output
+    # row is within MAX_COPY_LEN-1 = 63 rows of its covering token (copy
+    # interiors are the only gaps), so shifts 1..64 suffice — not log2(bs).
     rank_s[0:block_size] = jnp.where(
         occupied, (rrows << 15) | (kind << KIND_SHIFT) | value, -1
     )
     sh = 1
-    while sh < block_size:
+    while sh <= C.MAX_COPY_LEN:
         t = rank_s[0:block_size]
         rank_s[0:block_size] = jnp.maximum(t, _shift_down_fill(t, sh))
         sh <<= 1
