@@ -52,12 +52,17 @@ def blockize_compressed(
     nb = len(info["payload_off"])
     comp = np.zeros((num_blocks_padded, cap), dtype=np.uint8)
     raw = np.frombuffer(stream, dtype=np.uint8)
-    sizes = info["payload_size"].astype(np.int32)
+    sizes = info["payload_size"].astype(np.int64)
     if nb and int(sizes.max(initial=0)) > cap:
         raise SnappyError(SnappyStatus.INVALID_INPUT, "block exceeds capacity bound")
-    for i in range(nb):
-        off, size = int(info["payload_off"][i]), int(sizes[i])
-        comp[i, :size] = raw[off : off + size]
+    if nb:
+        # Vectorized ragged gather: one fancy-indexed copy for all payloads.
+        total = int(sizes.sum())
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+        src = np.repeat(info["payload_off"].astype(np.int64), sizes) + within
+        rows = np.repeat(np.arange(nb, dtype=np.int64), sizes)
+        comp[rows, within] = raw[src]
     comp_len = np.zeros(num_blocks_padded, dtype=np.int32)
     comp_len[:nb] = sizes
     out_len = np.zeros(num_blocks_padded, dtype=np.int32)
@@ -105,10 +110,16 @@ def assemble_compressed(
     offsets = len(header) + np.concatenate([[0], np.cumsum(frame_sizes)])
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     out[: len(header)] = np.frombuffer(header, dtype=np.uint8)
-    for i in range(num_blocks):
-        off, size = int(offsets[i]), int(sizes[i])
-        out[off : off + 4] = np.frombuffer(
-            int(size).to_bytes(4, "little"), dtype=np.uint8
-        )
-        out[off + 4 : off + 4 + size] = comp[i, :size]
+    # u32 LE frame words, vectorized.
+    for b in range(4):
+        out[offsets[:-1] + b] = (sizes >> (8 * b)) & 0xFF
+    # Payload compaction: one ragged scatter (the host-side analog of the
+    # reference's ordered per-tasklet fwrite, snappy_compress.c:697-703).
+    if num_blocks:
+        total = int(sizes.sum())
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+        rows = np.repeat(np.arange(num_blocks, dtype=np.int64), sizes)
+        dst = np.repeat(offsets[:-1] + C.BLOCK_FRAME_BYTES, sizes) + within
+        out[dst] = comp[rows, within]
     return out.tobytes()

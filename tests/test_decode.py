@@ -105,3 +105,26 @@ def test_decode_flags_element_overrun():
         block_size=C.DEFAULT_BLOCK_SIZE,
     )
     assert int(np.asarray(err)[0]) & decode.ERR_ELEMENT_OVERRUN
+
+
+def test_decode_accepts_copy4():
+    # COPY_4 is decode-only (never emitted by any compressor here or in the
+    # reference, snappy_decompress.c:278-283) — all decoders must accept it.
+    payload = bytes([4 << 2]) + b"ABCDE" + bytes([3 | (2 << 2), 5, 0, 0, 0])
+    expected = b"ABCDEABC"
+
+    out = bytearray()
+    oracle.decompress_block(memoryview(payload), out, 0)
+    assert bytes(out) == expected
+
+    cap = decode.padded_capacity(C.DEFAULT_BLOCK_SIZE)
+    comp = np.zeros((1, cap), np.uint8)
+    comp[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    o, err = decode.decode_blocks(
+        comp,
+        np.array([len(payload)], np.int32),
+        np.array([len(expected)], np.int32),
+        block_size=C.DEFAULT_BLOCK_SIZE,
+    )
+    assert not np.asarray(err).any()
+    assert np.asarray(o)[0, : len(expected)].tobytes() == expected

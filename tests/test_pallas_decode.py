@@ -120,3 +120,18 @@ def test_pallas_runtime_engine_small_blocks():
     stream = runtime.compress(data, cfg)
     assert runtime.decompress(stream, cfg) == data
     assert oracle.decompress(stream) == data
+
+
+def test_lane_model_accepts_copy4():
+    payload = bytes([4 << 2]) + b"ABCDE" + bytes([3 | (2 << 2), 5, 0, 0, 0])
+    expected = b"ABCDEABC"
+    bs = 256
+    cap = pallas_decode.pallas_capacity(bs)
+    comp = np.zeros((1, cap), np.uint8)
+    comp[0, : len(payload)] = np.frombuffer(payload, np.uint8)
+    out, err = lane_model.decode_lanes(
+        comp, np.array([len(payload)], np.int32),
+        np.array([len(expected)], np.int32), bs,
+    )
+    assert not err.any()
+    assert out[0, : len(expected)].tobytes() == expected
