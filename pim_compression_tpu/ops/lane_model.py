@@ -18,13 +18,13 @@ from __future__ import annotations
 
 import numpy as np
 
-# Packing (fits int32 for block_size <= 8192):
+# Packing (fits int32 for block_size <= 16384):
 #   token = OCCUPIED | dst << DST_SHIFT | kind << KIND_SHIFT | value
-# For copies the 13-bit value field stores offset-1 (so offset == 8192 fits).
+# For copies the 14-bit value field stores offset-1 (so offset == 16384 fits).
 OCCUPIED = 1 << 30
-DST_SHIFT = 15
-KIND_SHIFT = 13
-VALUE_MASK = (1 << 13) - 1
+DST_SHIFT = 16
+KIND_SHIFT = 14
+VALUE_MASK = (1 << 14) - 1
 KIND_LIT = 1
 KIND_COPY = 2
 
@@ -180,17 +180,18 @@ def butterfly_route(
     no gathers. Conflicts are still *detected* and flagged (invariant check).
     """
     cap, lanes = tokens.shape
-    W = np.zeros((nrows, lanes), np.int32)
-    W[:cap] = tokens
-    rows = np.arange(nrows, dtype=np.int32)[:, None]
-    max_bit = max(1, (nrows - 1)).bit_length() - 1
+    W = tokens.copy()
+    rows = np.arange(cap, dtype=np.int32)[:, None]
 
     occupied = (W & OCCUPIED) != 0
     rank = np.where(occupied, np.cumsum(occupied, axis=0) - 1, 0).astype(np.int32)
 
-    # Phase 1: compact up, LSB-first. Move up 2^k iff bit k of (row - rank).
-    for k in range(max_bit + 1):
+    # Phase 1: compact up within the [0, cap) source rows, LSB-first.
+    # Move up 2^k iff bit k of (row - rank).
+    for k in range(max(1, (cap - 1)).bit_length()):
         sh = 1 << k
+        if sh >= cap:
+            break
         occ = (W & OCCUPIED) != 0
         move = occ & ((((rows - rank) >> k) & 1) == 1)
         moved_W = np.zeros_like(W)
@@ -205,11 +206,19 @@ def butterfly_route(
         W = np.where(arriving, moved_W, np.where(staying, W, 0))
         rank = np.where(arriving, moved_rank, np.where(staying, rank, 0))
 
+    # Hand off: every token yields >= 1 output byte, so the compacted prefix
+    # holds at most nrows tokens; expand in an [nrows] array with bias-free
+    # destinations (mirrors the kernel's two-hop structure).
+    W2 = np.zeros((nrows, lanes), np.int32)
+    W2[: min(cap, nrows)] = W[: min(cap, nrows)]
+    W = W2
+    rows = np.arange(nrows, dtype=np.int32)[:, None]
+
     # Phase 2: expand down, MSB-first. Move down 2^k iff dst - row >= 2^k.
-    for k in range(max_bit, -1, -1):
+    for k in range(max(1, (nrows - 1)).bit_length() - 1, -1, -1):
         sh = 1 << k
         occ = (W & OCCUPIED) != 0
-        dst = (W >> DST_SHIFT) & 0x7FFF
+        dst = (W >> DST_SHIFT) & 0x3FFF
         move = occ & (dst - rows >= sh)
         moved_W = np.zeros_like(W)
         moved_W[sh:] = np.where(move, W, 0)[:-sh]
@@ -241,7 +250,7 @@ def fill_and_resolve(
 
     # Prefix-max of (row << 15 | value) over occupied rows: every row learns
     # its nearest preceding routed row (its covering element).
-    packed = np.where(occupied, (rows << 15) | value, -1)
+    packed = np.where(occupied, (rows << 16) | value, -1)
     packed = np.maximum.accumulate(packed, axis=0)
     src_kind = np.where(occupied, kind, 0)
     # propagate kind alongside via the same prefix (kind of the max row)
@@ -278,8 +287,8 @@ def decode_lanes(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (out [lanes, block_size] uint8, err [lanes])."""
     cap = comp.shape[1]
-    bias = cap
-    nrows = 1 << (bias + block_size - 1).bit_length()
+    bias = 0  # two-hop routing: destinations are plain output positions
+    nrows = block_size
     comp_t = comp.T.astype(np.int32)
     tokens, err = parse_dfa(comp_t, comp_len, out_len, block_size, bias)
     W, err = butterfly_route(tokens, nrows, err)

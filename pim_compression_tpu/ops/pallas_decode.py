@@ -14,8 +14,8 @@ kernels:
   log-shift prefix-max, and pointer-doubles copy chains (the only gathers
   in the whole decoder, via ``take_along_axis`` -> ``tpu.dynamic_gather``).
 
-Token packing (int32, block_size <= 8192): OCCUPIED(1<<30) | dst<<15 |
-kind<<13 | value; value holds the literal byte or offset-1.
+Token packing (int32, block_size <= 16384): OCCUPIED(1<<30) | dst<<16 |
+kind<<14 | value(14 bits); value holds the literal byte or offset-1.
 
 The per-block serial tag walk of the reference decoder
 (``snappy_decompress.c:218-289``, ``dpu-decompress/dpu_decompress.c:224-299``)
@@ -44,10 +44,10 @@ from pim_compression_tpu.ops.lane_model import (
     OCCUPIED,
 )
 
-DST_SHIFT = 15
-KIND_SHIFT = 13
-VALUE_MASK = (1 << 13) - 1
-MAX_PALLAS_BLOCK = 8192  # packing budget (13-bit value field)
+DST_SHIFT = 16
+KIND_SHIFT = 14
+VALUE_MASK = (1 << 14) - 1
+MAX_PALLAS_BLOCK = 16384  # packing budget (14-bit dst/value fields)
 
 LANES = 128
 SUBLANES = 8
@@ -300,7 +300,7 @@ def _route_kernel(
     def expand_round(sh, conflict):
         W = E_s[...]
         occ = (W & OCCUPIED) != 0
-        dst = (W >> DST_SHIFT) & 0x7FFF
+        dst = (W >> DST_SHIFT) & 0x3FFF
         move = occ & (dst - rows >= sh)
         R_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
         start = block_size - sh if isinstance(sh, int) else pl.multiple_of(
@@ -338,7 +338,7 @@ def _route_kernel(
     # row is within MAX_COPY_LEN-1 = 63 rows of its covering token (copy
     # interiors are the only gaps), so shifts 1..64 suffice — not log2(bs).
     rank_s[0:block_size] = jnp.where(
-        occupied, (rrows << 15) | (kind << KIND_SHIFT) | value, -1
+        occupied, (rrows << 16) | (kind << KIND_SHIFT) | value, -1
     )
     sh = 1
     while sh <= C.MAX_COPY_LEN:
@@ -491,7 +491,7 @@ def decode_blocks_pallas(
             ],
             scratch_shapes=[pltpu.VMEM((7, SUBLANES, LANES), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
         )(comp_t, clen_t, olen_t)
@@ -539,7 +539,7 @@ def decode_blocks_pallas(
                 pltpu.VMEM((2 * cap, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
         )(tokens_g, olen_g)

@@ -36,7 +36,7 @@ from pim_compression_tpu.format import constants as C
 LANES = 128
 SUBLANES = 8
 BATCH = SUBLANES * LANES  # blocks per batch
-MAX_ENC_BLOCK = 8192
+MAX_ENC_BLOCK = 16384
 _OCC = 1 << 30
 
 
@@ -445,7 +445,7 @@ def encode_blocks_pallas(
                 jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
         )(padded_g, valid_g)
@@ -483,7 +483,7 @@ def encode_blocks_pallas(
                 pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
         )(data_g, mlen, mlag, lens_bc)
