@@ -88,8 +88,6 @@ def main(argv: list[str] | None = None) -> int:
     timer = PhaseTimer()
     profiler_ctx = None
     if args.profile:
-        import contextlib
-
         import jax
 
         profiler_ctx = jax.profiler.trace(args.profile)

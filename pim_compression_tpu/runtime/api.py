@@ -6,8 +6,8 @@ Engines (SURVEY.md §2.1 parity):
 - ``native``: C++ threaded host codec (fast sequential path).
 - ``xla``: portable vectorized device kernels (pointer-doubling decode,
   sort-match encode) batched and sharded over a 1-D device mesh.
-- ``pallas``: TPU lane-parallel kernels (falls back to ``xla`` until the
-  Pallas decode/encode land on this engine name).
+- ``pallas``: TPU lane-parallel kernels (decode + encode) for block sizes
+  up to the packing/VMEM envelope; falls back to ``xla`` above it.
 """
 
 from __future__ import annotations

@@ -13,7 +13,6 @@ The UPMEM-specific machinery translates as:
 from __future__ import annotations
 
 import numpy as np
-import jax
 
 from pim_compression_tpu.format import constants as C
 from pim_compression_tpu.format import oracle
