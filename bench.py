@@ -28,14 +28,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 CORPUS = "/root/reference/test/xml.snappy"
 
 
-def measure(engine: str, block_size: int, repeat: int, iters: int) -> dict:
+def measure(
+    engine: str, block_size: int, repeat: int, iters: int, window: int = 512
+) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
     from pim_compression_tpu.utils.config import CodecConfig
 
     stream0 = open(CORPUS, "rb").read()
     plain = native.decompress(stream0) * repeat
-    cfg = CodecConfig(engine=engine, block_size=block_size)
+    cfg = CodecConfig(engine=engine, block_size=block_size, match_window=window)
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
     assert runtime.decompress(stream, cfg) == plain, "bit-exactness failure"
@@ -61,11 +63,13 @@ def measure(engine: str, block_size: int, repeat: int, iters: int) -> dict:
     }
 
 
-def measure_subprocess(engine, block_size, repeat, iters, timeout) -> dict | None:
+def measure_subprocess(
+    engine, block_size, repeat, iters, timeout, window
+) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
-        f"{repeat}, {iters})))"
+        f"{repeat}, {iters}, {window})))"
     )
     try:
         proc = subprocess.run(
@@ -93,6 +97,7 @@ def main() -> int:
     repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
+    window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -109,7 +114,7 @@ def main() -> int:
     t2 = time.perf_counter()
     base = 2 * len(plain) / (t2 - t0) / 1e9
 
-    result = measure_subprocess(engine, block, repeat, iters, timeout)
+    result = measure_subprocess(engine, block, repeat, iters, timeout, window)
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.
         result = measure("native", 32768, repeat, iters)
