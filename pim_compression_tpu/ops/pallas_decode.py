@@ -327,33 +327,44 @@ def _route_kernel(
 
     err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
-    # Fill + resolve in output space.
-    R = E_s[...]
+    # Fill + resolve in output space. Staged through the scratches to keep
+    # live temporaries to a handful of arrays (the straight-line version of
+    # this tail spilled ~80 MB at bs=8192).
     rrows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
-    occupied = (R & OCCUPIED) != 0
-    kind = (R >> KIND_SHIFT) & 3
-    value = R & VALUE_MASK
 
     # Prefix-max fill, in place in the (reused) rank scratch. Every output
     # row is within MAX_COPY_LEN-1 = 63 rows of its covering token (copy
     # interiors are the only gaps), so shifts 1..64 suffice — not log2(bs).
+    R = E_s[...]
     rank_s[0:block_size] = jnp.where(
-        occupied, (rrows << 16) | (kind << KIND_SHIFT) | value, -1
+        (R & OCCUPIED) != 0,
+        (rrows << 16) | (R & (VALUE_MASK | (3 << KIND_SHIFT))),
+        -1,
     )
     sh = 1
     while sh <= C.MAX_COPY_LEN:
         t = rank_s[0:block_size]
         rank_s[0:block_size] = jnp.maximum(t, _shift_down_fill(t, sh))
         sh <<= 1
-    packed = rank_s[0:block_size]
-    cov_kind = (packed >> KIND_SHIFT) & 3
-    cov_value = packed & VALUE_MASK
 
-    is_lit_row = occupied & (kind == KIND_LIT)
+    # Source pointers into W_s rows [0, block_size): literal rows carry their
+    # byte, copy rows point back by the covering offset.
     out_len = out_len_ref[0, 0:1, :]  # (1, 128)
     in_range = rrows < out_len
-    S = jnp.where(is_lit_row, -(value & 0xFF) - 1, rrows - (cov_value + 1))
-    bad = in_range & ~is_lit_row & ((cov_kind != KIND_COPY) | (S >= rrows) | (S < 0))
+    R = E_s[...]
+    packed = rank_s[0:block_size]
+    is_lit_row = ((R & OCCUPIED) != 0) & (((R >> KIND_SHIFT) & 3) == KIND_LIT)
+    W_s[0:block_size] = jnp.where(
+        is_lit_row,
+        -(R & 0xFF) - 1,
+        rrows - ((packed & VALUE_MASK) + 1),
+    )
+    S = W_s[0:block_size]
+    bad = (
+        in_range
+        & ~is_lit_row
+        & ((((packed >> KIND_SHIFT) & 3) != KIND_COPY) | (S >= rrows) | (S < 0))
+    )
     err = err | jnp.where(jnp.any(bad, axis=0, keepdims=True), ERR_BAD_OFFSET, 0)
     S = jnp.where(bad | ~in_range, -1, S)
 
