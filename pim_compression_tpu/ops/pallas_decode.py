@@ -216,8 +216,7 @@ def _route_kernel(
     W_s,  # scratch (cap, 128) i32
     rank_s,  # scratch (cap, 128) i32
     E_s,  # scratch (block_size, 128) i32
-    R_s,  # scratch (2 * block_size, 128) i32 (resolve/expand staging)
-    C_s,  # scratch (2 * cap, 128) i32 (compact-phase staging)
+    C_s,  # scratch (2 * cap, 128) i32 (staging for all shift phases)
     *,
     cap: int,
     block_size: int,
@@ -302,11 +301,11 @@ def _route_kernel(
         occ = (W & OCCUPIED) != 0
         dst = (W >> DST_SHIFT) & 0x3FFF
         move = occ & (dst - rows >= sh)
-        R_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
+        C_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
         start = block_size - sh if isinstance(sh, int) else pl.multiple_of(
             block_size - sh, 8
         )
-        moved_W = R_s[pl.ds(start, block_size), :]  # shift-down
+        moved_W = C_s[pl.ds(start, block_size), :]  # shift-down
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
         conflict = conflict | jnp.any(
@@ -315,7 +314,7 @@ def _route_kernel(
         E_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         return conflict
 
-    R_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
+    C_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
     max_bit = (block_size - 1).bit_length() - 1
 
     def expand_body(j, conflict):
@@ -390,11 +389,11 @@ def _route_kernel(
         # Stage s below a zero pad so each chunk delta is one aligned
         # dynamic-slice read (an unrolled delta loop spills ~nchunks full
         # arrays of register-allocator slots).
-        R_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
-        R_s[block_size : 2 * block_size] = s
+        C_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
+        C_s[block_size : 2 * block_size] = s
 
         def dbody(delta, new):
-            cand = R_s[pl.ds(block_size - delta * LANES, block_size), :]
+            cand = C_s[pl.ds(block_size - delta * LANES, block_size), :]
             got = jnp.take_along_axis(cand, rs, axis=1)
             return jnp.where((s >= 0) & (qrow - qs == delta), got, new)
 
@@ -546,8 +545,7 @@ def decode_blocks_pallas(
                 pltpu.VMEM((cap, LANES), jnp.int32),
                 pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
                 pltpu.VMEM((block_size, LANES), jnp.int32),
-                pltpu.VMEM((2 * block_size, LANES), jnp.int32),
-                pltpu.VMEM((2 * cap, LANES), jnp.int32),
+                pltpu.VMEM((2 * max(cap, block_size), LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
