@@ -229,34 +229,31 @@ def _route_kernel(
     crows = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 0)
 
     # Phase 1a: occupancy prefix-sum over the [0, cap) token rows.
+    # (Unaligned dynamic sublane starts lower fine on this target, so every
+    # round including sh < 8 lives in the fori.)
     W_s[...] = tokens_ref[0]
     rank_s[...] = (W_s[...] & OCCUPIED) // OCCUPIED
-    for sh in (1, 2, 4):  # static small shifts
-        t = rank_s[...]
-        rank_s[...] = t + _shift_down(t, sh)
     C_s[0:cap] = jnp.zeros((cap, LANES), jnp.int32)
 
     def csum_body(j, _):
-        sh = 8 << j
+        sh = jnp.int32(1) << j
         C_s[cap : 2 * cap] = rank_s[...]
-        start = pl.multiple_of(cap - sh, 8)
-        rank_s[...] = rank_s[...] + C_s[pl.ds(start, cap), :]
+        rank_s[...] = rank_s[...] + C_s[pl.ds(cap - sh, cap), :]
         return 0
 
-    n_csum = max(0, (cap - 1).bit_length() - 3)
-    jax.lax.fori_loop(0, n_csum, csum_body, 0)
+    jax.lax.fori_loop(0, (cap - 1).bit_length(), csum_body, 0)
     rank_s[...] = jnp.where((W_s[...] & OCCUPIED) != 0, rank_s[...] - 1, 0)
 
     # Phase 1b: compact up, LSB-first (move up 2^k iff bit k of row - rank;
-    # distances <= cap-1). Rounds k>=3 via staged dynamic shifts.
-    def compact_round(k_dyn, sh, conflict):
+    # distances <= cap-1).
+    def compact_body(k, conflict):
+        sh = jnp.int32(1) << k
         W = W_s[...]
         rank = rank_s[...]
         occ = (W & OCCUPIED) != 0
-        move = occ & ((((crows - rank) >> k_dyn) & 1) == 1)
+        move = occ & ((((crows - rank) >> k) & 1) == 1)
         C_s[0:cap] = jnp.where(move, W, 0)
-        start = pl.multiple_of(sh, 8) if not isinstance(sh, int) else sh
-        moved_W = C_s[pl.ds(start, cap), :]  # shift-up: read at +sh
+        moved_W = C_s[pl.ds(sh, cap), :]  # shift-up: read at +sh
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
         conflict = conflict | jnp.any(
@@ -264,7 +261,7 @@ def _route_kernel(
         ).astype(jnp.int32)
         new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         C_s[0:cap] = jnp.where(move, rank, 0)
-        moved_rank = C_s[pl.ds(start, cap), :]
+        moved_rank = C_s[pl.ds(sh, cap), :]
         rank_s[...] = jnp.where(
             arriving, moved_rank, jnp.where(staying, rank, 0)
         )
@@ -273,16 +270,9 @@ def _route_kernel(
 
     conflict_acc = jnp.zeros((1, LANES), jnp.int32)
     C_s[cap : 2 * cap] = jnp.zeros((cap, LANES), jnp.int32)  # up-shift pad
-    for k in range(3):
-        if (1 << k) < cap:
-            conflict_acc = compact_round(k, 1 << k, conflict_acc)
-
-    def compact_body(j, conflict):
-        k = j + 3
-        return compact_round(k, jnp.int32(8) << j, conflict)
-
-    n_compact = max(0, (cap - 1).bit_length() - 3)
-    conflict_acc = jax.lax.fori_loop(0, n_compact, compact_body, conflict_acc)
+    conflict_acc = jax.lax.fori_loop(
+        0, (cap - 1).bit_length(), compact_body, conflict_acc
+    )
 
     # Hand off to output space: every token produces >= 1 output byte, so
     # the compacted prefix holds at most block_size tokens (<= out_len) and
@@ -296,16 +286,16 @@ def _route_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
 
     # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
-    def expand_round(sh, conflict):
+    max_bit = (block_size - 1).bit_length() - 1
+
+    def expand_body(j, conflict):
+        sh = jnp.int32(1) << (max_bit - j)
         W = E_s[...]
         occ = (W & OCCUPIED) != 0
         dst = (W >> DST_SHIFT) & 0x3FFF
         move = occ & (dst - rows >= sh)
         C_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
-        start = block_size - sh if isinstance(sh, int) else pl.multiple_of(
-            block_size - sh, 8
-        )
-        moved_W = C_s[pl.ds(start, block_size), :]  # shift-down
+        moved_W = C_s[pl.ds(block_size - sh, block_size), :]  # shift-down
         arriving = (moved_W & OCCUPIED) != 0
         staying = occ & ~move
         conflict = conflict | jnp.any(
@@ -315,14 +305,7 @@ def _route_kernel(
         return conflict
 
     C_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
-    max_bit = (block_size - 1).bit_length() - 1
-
-    def expand_body(j, conflict):
-        return expand_round(jnp.int32(8) << (max_bit - 3 - j), conflict)
-
-    conflict_acc = jax.lax.fori_loop(0, max_bit - 2, expand_body, conflict_acc)
-    for k in (2, 1, 0):
-        conflict_acc = expand_round(1 << k, conflict_acc)
+    conflict_acc = jax.lax.fori_loop(0, max_bit + 1, expand_body, conflict_acc)
 
     err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
@@ -340,11 +323,17 @@ def _route_kernel(
         (rrows << 16) | (R & (VALUE_MASK | (3 << KIND_SHIFT))),
         -1,
     )
-    sh = 1
-    while sh <= C.MAX_COPY_LEN:
-        t = rank_s[0:block_size]
-        rank_s[0:block_size] = jnp.maximum(t, _shift_down_fill(t, sh))
-        sh <<= 1
+    C_s[0:block_size] = jnp.full((block_size, LANES), -1, jnp.int32)
+
+    def fill_body(j, _):
+        sh = jnp.int32(1) << j
+        C_s[block_size : 2 * block_size] = rank_s[0:block_size]
+        rank_s[0:block_size] = jnp.maximum(
+            rank_s[0:block_size], C_s[pl.ds(block_size - sh, block_size), :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, C.MAX_COPY_LEN.bit_length(), fill_body, 0)
 
     # Source pointers into W_s rows [0, block_size): literal rows carry their
     # byte, copy rows point back by the covering offset.

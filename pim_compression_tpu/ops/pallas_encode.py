@@ -176,31 +176,31 @@ def _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG):
     bs = tok.shape[0]
     crows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
 
-    # Tokens + occupancy prefix-sum over the [0, bs) source rows.
+    # Tokens + occupancy prefix-sum over the [0, bs) source rows. Every
+    # round lives in a fori with staged (possibly unaligned) dynamic-shift
+    # reads — unrolled rounds leak register-allocator spills.
     W_s[0:bs] = jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0)
     if nrows > bs:
         W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
     rank_s[...] = (W_s[0:bs] & _OCC) // _OCC
-    for sh in (1, 2, 4):
-        t = rank_s[...]
-        rank_s[...] = t + _shift_down(t, sh)
     STG[0:bs] = jnp.zeros((bs, LANES), jnp.int32)
 
     def csum_body(j, _):
-        sh = 8 << j
+        sh = jnp.int32(1) << j
         STG[bs : 2 * bs] = rank_s[...]
-        rank_s[...] = rank_s[...] + STG[pl.ds(pl.multiple_of(bs - sh, 8), bs), :]
+        rank_s[...] = rank_s[...] + STG[pl.ds(bs - sh, bs), :]
         return 0
 
-    jax.lax.fori_loop(0, max(0, (bs - 1).bit_length() - 3), csum_body, 0)
+    jax.lax.fori_loop(0, (bs - 1).bit_length(), csum_body, 0)
     rank_s[...] = jnp.where((W_s[0:bs] & _OCC) != 0, rank_s[...] - 1, 0)
 
-    # Compact up, LSB-first; stage masked arrays for shift-up reads.
-    def compact_round(k_dyn, sh):
+    # Compact up, LSB-first.
+    def compact_body(k, _):
+        sh = jnp.int32(1) << k
         W = W_s[0:bs]
         rank = rank_s[...]
         occ = (W & _OCC) != 0
-        move = occ & ((((crows - rank) >> k_dyn) & 1) == 1)
+        move = occ & ((((crows - rank) >> k) & 1) == 1)
         STG[0:bs] = jnp.where(move, W, 0)
         moved_W = STG[pl.ds(sh, bs), :]
         arriving = (moved_W & _OCC) != 0
@@ -213,46 +213,27 @@ def _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG):
         return 0
 
     STG[bs : 2 * bs] = jnp.zeros((bs, LANES), jnp.int32)  # up-shift pad
-    for k in range(3):
-        if (1 << k) < bs:
-            compact_round(k, 1 << k)
-    jax.lax.fori_loop(
-        0,
-        max(0, (bs - 1).bit_length() - 3),
-        lambda j, _: compact_round(j + 3, pl.multiple_of(jnp.int32(8) << j, 8)),
-        0,
-    )
+    jax.lax.fori_loop(0, (bs - 1).bit_length(), compact_body, 0)
 
     # Expand down, MSB-first over [0, nrows).
     rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
+    max_bit = (nrows - 1).bit_length() - 1
 
-    def expand_round(sh):
+    def expand_body(j, _):
+        sh = jnp.int32(1) << (max_bit - j)
         W = W_s[...]
         occ = (W & _OCC) != 0
         wdst = (W >> 8) & 0x3FFFFF
         move = occ & (wdst - rows >= sh)
         STG[nrows : 2 * nrows] = jnp.where(move, W, 0)
-        start = (
-            nrows - sh
-            if isinstance(sh, int)
-            else pl.multiple_of(nrows - sh, 8)
-        )
-        moved_W = STG[pl.ds(start, nrows), :]
+        moved_W = STG[pl.ds(nrows - sh, nrows), :]
         arriving = (moved_W & _OCC) != 0
         staying = occ & ~move
         W_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         return 0
 
     STG[0:nrows] = jnp.zeros((nrows, LANES), jnp.int32)  # down-shift pad
-    max_bit = (nrows - 1).bit_length() - 1
-    jax.lax.fori_loop(
-        0,
-        max(0, max_bit - 2),
-        lambda j, _: expand_round(jnp.int32(8) << (max_bit - 3 - j)),
-        0,
-    )
-    for k in (2, 1, 0):
-        expand_round(1 << k)
+    jax.lax.fori_loop(0, max_bit + 1, expand_body, 0)
 
     W = W_s[...]
     landed = (W & _OCC) != 0
@@ -309,15 +290,45 @@ def _emit_kernel(
     accept = accept_ref[...] != 0
     is_copy = copy_ref[...] != 0
 
+    # Scratch-staged prefix/suffix scans (value-chained log-shift scans leak
+    # one spilled array per round). W_s/STG are free until routing starts.
+    def scan_down(x, op, fill):
+        W_s[0:bs] = x
+        STG[0:bs] = jnp.full((bs, LANES), fill, jnp.int32)
+
+        def body(j, _):
+            sh = jnp.int32(1) << j
+            STG[bs : 2 * bs] = W_s[0:bs]
+            W_s[0:bs] = op(W_s[0:bs], STG[pl.ds(bs - sh, bs), :])
+            return 0
+
+        jax.lax.fori_loop(0, (bs - 1).bit_length(), body, 0)
+        return W_s[0:bs]
+
+    def scan_up(x, op, fill):
+        W_s[0:bs] = x
+        STG[bs : 2 * bs] = jnp.full((bs, LANES), fill, jnp.int32)
+
+        def body(j, _):
+            sh = jnp.int32(1) << j
+            STG[0:bs] = W_s[0:bs]
+            W_s[0:bs] = op(W_s[0:bs], STG[pl.ds(sh, bs), :])
+            return 0
+
+        jax.lax.fori_loop(0, (bs - 1).bit_length(), body, 0)
+        return W_s[0:bs]
+
     # Literal runs + element layout (mirrors lane_model_encode).
     is_lit = accept & ~is_copy
     prev_lit = _shift_down(is_lit.astype(jnp.int32), 1) != 0
     head_lit = is_lit & ~prev_lit
-    head_row = _scan_max_down(jnp.where(head_lit, rows, -1))
+    head_row = scan_down(jnp.where(head_lit, rows, -1), jnp.maximum, -1)
 
     INF = jnp.int32(1 << 28)
     nonlit_next = jnp.where((accept & is_copy) | ~in_range, rows, INF)
-    run_end = jnp.minimum(_scan_min_up(nonlit_next), lens)
+    run_end = jnp.minimum(
+        scan_up(nonlit_next, jnp.minimum, jnp.iinfo(jnp.int32).max), lens
+    )
     run_len = jnp.where(head_lit, run_end - rows, 0)
 
     L1 = jnp.maximum(run_len - 1, 0)
@@ -326,15 +337,17 @@ def _emit_kernel(
     copy1 = is_copy & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
     hdr_copy = jnp.where(is_copy, jnp.where(copy1, 2, 3), 0)
     emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
-    incl = _scan_sum_down(emit)
+    incl = scan_down(emit, jnp.add, 0)
     out_start = incl - emit
     sizes = incl[bs - 1 : bs, :]  # (1, 128)
 
     is_head = accept & (head_lit | is_copy)
     hdr_here = hdr_lit + hdr_copy
     # Covering head's first-data position, for literal data byte dsts.
-    packed = _scan_max_down(
-        jnp.where(is_head, (rows << 18) | (out_start + hdr_here), -1)
+    packed = scan_down(
+        jnp.where(is_head, (rows << 18) | (out_start + hdr_here), -1),
+        jnp.maximum,
+        -1,
     )
     cov_data0 = packed & ((1 << 18) - 1)
 
