@@ -253,6 +253,7 @@ def _emit_kernel(
     rank_s,  # scratch (bs, 128) i32
     STG,  # scratch (2 * nrows, 128) i32
     comp_s,  # scratch (nrows, 128) i32
+    meta_s,  # scratch (bs, 128) i32 (parked layout metadata)
     *,
     bs: int,
     cap: int,
@@ -368,17 +369,34 @@ def _emit_kernel(
         jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
     )
 
+    # Park the big layout products in the (now dead) mask scratches so ~20
+    # full arrays are not live across the four routing passes (that liveness
+    # alone was 85 MB at bs=8192). meta: litdst(15) | lit(1<<15) |
+    # head(1<<16) | hdr(2 bits << 17).
+    copy_ref[...] = h0 | (h1 << 8) | (h2 << 16)
+    litdst = jnp.clip(
+        cov_data0 + (rows - jnp.maximum(head_row, 0)), 0, (1 << 15) - 1
+    )
+    meta_s[...] = (
+        litdst
+        | (is_lit.astype(jnp.int32) << 15)
+        | (is_head.astype(jnp.int32) << 16)
+        | (hdr_here << 17)
+    )
+    accept_ref[...] = out_start
+
     nrows = _route_rows(bs, cap)
     comp_s[...] = jnp.zeros((nrows, LANES), jnp.int32)
     for ch in range(4):
+        meta = meta_s[...]
         if ch < 3:
-            tok = is_head & (hdr_here > ch)
-            dst = out_start + ch
-            val = [h0, h1, h2][ch]
+            tok = (((meta >> 16) & 1) != 0) & (((meta >> 17) & 3) > ch)
+            dst = accept_ref[...] + ch
+            val = (copy_ref[...] >> (8 * ch)) & 0xFF
         else:
-            tok = is_lit
-            dst = cov_data0 + (rows - jnp.maximum(head_row, 0))
-            val = data
+            tok = ((meta >> 15) & 1) != 0
+            dst = meta & 0x7FFF
+            val = data_ref[0]
         _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG)
 
     comp_ref[0] = comp_s[0:cap]
@@ -494,6 +512,7 @@ def encode_blocks_pallas(
                 pltpu.VMEM((bs, LANES), jnp.int32),
                 pltpu.VMEM((2 * _route_rows(bs, cap), LANES), jnp.int32),
                 pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
+                pltpu.VMEM((bs, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=120 * 1024 * 1024,
