@@ -242,8 +242,7 @@ def _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG):
 
 def _emit_kernel(
     data_ref,  # (1, bs, 128) i32 byte values
-    mlen_ref,  # (1, bs, 128) i32 bucketed match length
-    mlag_ref,  # (1, bs, 128) i32 match lag
+    match_ref,  # (1, bs, 128) i32: bucketed len (7 bits) | lag << 7
     lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
     comp_ref,  # (1, cap, 128) i32 out
     size_ref,  # (1, 8, 128) i32 out
@@ -259,8 +258,8 @@ def _emit_kernel(
     cap: int,
 ):
     data = data_ref[0]
-    best_len = mlen_ref[0]
-    best_off = mlag_ref[0]
+    best_len = match_ref[0] & 0x7F
+    best_off = match_ref[0] >> 7
     lens = lens_ref[0, 0:1, :]  # (1, 128)
     rows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
     in_range = rows < lens
@@ -269,7 +268,7 @@ def _emit_kernel(
     # masks accumulate into VMEM scratch via 8-aligned stores.
     def scan_outer(i, next_accept):
         base = i * SUBLANES
-        bl8 = mlen_ref[0, pl.ds(base * 1, SUBLANES), :]
+        bl8 = match_ref[0, pl.ds(base * 1, SUBLANES), :] & 0x7F
         acc_rows = []
         cp_rows = []
         for j in range(SUBLANES):
@@ -482,11 +481,11 @@ def encode_blocks_pallas(
         )(padded_g, valid_g)
 
         lens_bc = jnp.broadcast_to(lens_t[:, None, :], (SUBLANES, SUBLANES, LANES))
+        match_g = mlen | (mlag << 7)
         comp_g, size_g = pl.pallas_call(
             functools.partial(_emit_kernel, bs=bs, cap=cap),
             grid=(SUBLANES,),
             in_specs=[
-                pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
@@ -518,7 +517,7 @@ def encode_blocks_pallas(
                 vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(data_g, mlen, mlag, lens_bc)
+        )(data_g, match_g, lens_bc)
 
         comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
         size_b = size_g[:, 0, :].reshape(BATCH)
