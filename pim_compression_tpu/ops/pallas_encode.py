@@ -241,7 +241,7 @@ def _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG):
 
 
 def _emit_kernel(
-    data_ref,  # (1, bs, 128) i32 byte values
+    data_ref,  # (1, bs, 128) i8 byte values (converted on read)
     match_ref,  # (1, bs, 128) i32: bucketed len (7 bits) | lag << 7
     lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
     comp_ref,  # (1, cap, 128) i32 out
@@ -257,7 +257,6 @@ def _emit_kernel(
     bs: int,
     cap: int,
 ):
-    data = data_ref[0]
     best_len = match_ref[0] & 0x7F
     best_off = match_ref[0] >> 7
     lens = lens_ref[0, 0:1, :]  # (1, 128)
@@ -395,7 +394,7 @@ def _emit_kernel(
         else:
             tok = ((meta >> 15) & 1) != 0
             dst = meta & 0x7FFF
-            val = data_ref[0]
+            val = data_ref[0].astype(jnp.int32) & 0xFF
         _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG)
 
     comp_ref[0] = comp_s[0:cap]
@@ -517,7 +516,7 @@ def encode_blocks_pallas(
                 vmem_limit_bytes=120 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(data_g, match_g, lens_bc)
+        )(data_g.astype(jnp.int8), match_g, lens_bc)
 
         comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
         size_b = size_g[:, 0, :].reshape(BATCH)
