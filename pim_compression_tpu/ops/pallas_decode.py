@@ -490,7 +490,7 @@ def decode_blocks_pallas(
             ],
             scratch_shapes=[pltpu.VMEM((7, SUBLANES, LANES), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
         )(comp_t, clen_t, olen_t)
@@ -537,7 +537,7 @@ def decode_blocks_pallas(
                 pltpu.VMEM((2 * max(cap, block_size), LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
         )(tokens_g, olen_g)

@@ -474,7 +474,7 @@ def encode_blocks_pallas(
                 jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
         )(padded_g, valid_g)
@@ -513,7 +513,7 @@ def encode_blocks_pallas(
                 pltpu.VMEM((bs, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=120 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
         )(data_g.astype(jnp.int8), match_g, lens_bc)
