@@ -92,12 +92,12 @@ def measure_subprocess(
 def main() -> int:
     engine = os.environ.get("PIM_BENCH_ENGINE", "pallas")
     block = int(
-        os.environ.get("PIM_BENCH_BLOCK", "4096" if engine == "pallas" else "32768")
+        os.environ.get("PIM_BENCH_BLOCK", "8192" if engine == "pallas" else "32768")
     )
     repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
-    window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
+    window = int(os.environ.get("PIM_BENCH_WINDOW", "2048"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
