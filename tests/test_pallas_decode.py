@@ -135,3 +135,23 @@ def test_lane_model_accepts_copy4():
     )
     assert not err.any()
     assert out[0, : len(expected)].tobytes() == expected
+
+
+def test_pallas_runtime_rejects_corrupt_structure():
+    """Structural corruption must surface as a typed error through the
+    pallas engine's validation flags (not silent garbage)."""
+    from pim_compression_tpu import runtime
+    from pim_compression_tpu.utils.config import CodecConfig
+    from pim_compression_tpu.utils.errors import SnappyError
+
+    data = b"validate the pallas path " * 40
+    cfg = CodecConfig(engine="pallas", block_size=256)
+    stream = bytearray(runtime.compress(data, cfg))
+    # Truncate the final block's payload but keep the frame word intact:
+    # the DFA must flag ELEMENT_OVERRUN / LENGTH_MISMATCH.
+    del stream[-3:]
+    try:
+        out = runtime.decompress(bytes(stream), cfg)
+    except (SnappyError, ValueError):
+        return  # typed rejection — good
+    assert out != data, "corrupt stream decoded to the original?!"
