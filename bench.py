@@ -12,7 +12,8 @@ reporting the threaded native engine.
 
 Env knobs: PIM_BENCH_ENGINE (default pallas), PIM_BENCH_BLOCK (default 8192
 for pallas, 32768 otherwise), PIM_BENCH_REPEAT, PIM_BENCH_ITERS,
-PIM_BENCH_TIMEOUT (seconds, default 900).
+PIM_BENCH_TIMEOUT (seconds, default 2700), PIM_BENCH_WINDOW,
+PIM_BENCH_COARSE (long-range sampled-lag reach, 0 = off).
 """
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ CORPUS = "/root/reference/test/xml.snappy"
 
 
 def measure(
-    engine: str, block_size: int, repeat: int, iters: int, window: int = 512
+    engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
+    coarse: int = 0,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -37,7 +39,10 @@ def measure(
 
     stream0 = open(CORPUS, "rb").read()
     plain = native.decompress(stream0) * repeat
-    cfg = CodecConfig(engine=engine, block_size=block_size, match_window=window)
+    cfg = CodecConfig(
+        engine=engine, block_size=block_size, match_window=window,
+        coarse_window=coarse,
+    )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
     assert runtime.decompress(stream, cfg) == plain, "bit-exactness failure"
@@ -64,12 +69,12 @@ def measure(
 
 
 def measure_subprocess(
-    engine, block_size, repeat, iters, timeout, window
+    engine, block_size, repeat, iters, timeout, window, coarse
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
-        f"{repeat}, {iters}, {window})))"
+        f"{repeat}, {iters}, {window}, {coarse})))"
     )
     try:
         proc = subprocess.run(
@@ -98,6 +103,7 @@ def main() -> int:
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
     window = int(os.environ.get("PIM_BENCH_WINDOW", "2048"))
+    coarse = int(os.environ.get("PIM_BENCH_COARSE", "0"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -114,7 +120,9 @@ def main() -> int:
     t2 = time.perf_counter()
     base = 2 * len(plain) / (t2 - t0) / 1e9
 
-    result = measure_subprocess(engine, block, repeat, iters, timeout, window)
+    result = measure_subprocess(
+        engine, block, repeat, iters, timeout, window, coarse
+    )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.
         result = measure("native", 32768, repeat, iters)

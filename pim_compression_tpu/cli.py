@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--window", type=int, default=512,
         help="pallas encoder match window (bigger = better ratio, slower)",
     )
+    p.add_argument(
+        "--coarse-window", type=int, default=0,
+        help="pallas encoder long-range match reach; lags beyond --window "
+        "are sampled every 8 bytes up to this distance (0 = off)",
+    )
     p.add_argument("--json", action="store_true", help="emit structured metrics")
     p.add_argument(
         "--profile",
@@ -73,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         config = CodecConfig(
             block_size=block_size, engine=engine, num_threads=args.threads,
-            match_window=args.window,
+            match_window=args.window, coarse_window=args.coarse_window,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

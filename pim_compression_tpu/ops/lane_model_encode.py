@@ -47,13 +47,25 @@ def match_search(
     data: np.ndarray,  # int32 [bs, lanes]
     lens: np.ndarray,  # int32 [lanes]
     window: int,
+    coarse_window: int = 0,
+    coarse_step: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (best_len [bs, lanes], best_off [bs, lanes]), bucketed."""
+    """Returns (best_len [bs, lanes], best_off [bs, lanes]), bucketed.
+
+    Lags in [1, window] are searched exhaustively. When ``coarse_window >
+    window``, lags in (window, coarse_window] are sampled every
+    ``coarse_step`` — full byte resolution, exact equality (no
+    fingerprints), so every reported match is real; only matches at
+    unsampled long distances are missed. On repetitive data a frequent
+    substring occurs at many prior distances, so sampling recovers most of
+    the long-range redundancy at ~1/step the cost of an exhaustive sweep.
+    """
     bs, lanes = data.shape
     rows = np.arange(bs, dtype=np.int32)[:, None]
     valid = rows < lens[None, :]
-    score = np.zeros((bs, lanes), np.int32)  # len << 16 | (window - d)
-    for d in range(1, min(window, bs - 1) + 1):
+    score = np.zeros((bs, lanes), np.int32)  # len << 16 | (0xFFFF - d)
+
+    def sweep(score, d):
         eq = (data == _shift_down(data, d)) & valid & (rows >= d)
         run = {1: eq}
         # run[L][p] == True iff positions p..p+L-1 all match at lag d
@@ -62,10 +74,19 @@ def match_search(
         ml = np.zeros((bs, lanes), np.int32)
         for L in BUCKETS:
             ml = np.where((ml == 0) & run[L], L, ml)
-        cand = np.where(ml >= 4, (ml << 16) | (window - d), 0)
-        score = np.maximum(score, cand)
+        cand = np.where(ml >= 4, (ml << 16) | (0xFFFF - d), 0)
+        return np.maximum(score, cand)
+
+    for d in range(1, min(window, bs - 1) + 1):
+        score = sweep(score, d)
+    for d in range(
+        window + coarse_step,
+        min(coarse_window, bs - 1) + 1,
+        coarse_step,
+    ):
+        score = sweep(score, d)
     best_len = score >> 16
-    best_off = np.where(best_len > 0, window - (score & 0xFFFF), 0)
+    best_off = np.where(best_len > 0, 0xFFFF - (score & 0xFFFF), 0)
     return best_len, best_off
 
 
@@ -236,10 +257,11 @@ def encode_lanes(
     block_size: int,
     cap: int,
     window: int = 512,
+    coarse_window: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
-    best_len, best_off = match_search(data, lens, window)
+    best_len, best_off = match_search(data, lens, window, coarse_window)
     accept, is_copy = greedy_parse(best_len, lens)
     comp, sizes = layout_and_emit(
         data, lens, accept, is_copy, best_len, best_off, cap

@@ -105,31 +105,35 @@ def _scan_sum_down(x):
 
 
 def _match_kernel(
-    padded_ref,  # (1, window + bs + 64, 128) i32; zeros in the pads
+    padded_ref,  # (1, pad + bs + 64, 128) i32; zeros in the pads
     valid_ref,  # (1, bs + 64, 128) i32: 1 where row < block length
     len_out,  # (1, bs, 128) i32: bucketed best length (0 or 4..64)
     lag_out,  # (1, bs, 128) i32: best lag
     *,
     bs: int,
     window: int,
+    coarse_window: int = 0,
 ):
+    # pad = total left zero-pad = reach of the deepest searched lag.
+    pad = max(window, coarse_window)
     ext = bs + 64  # runs may extend a little past bs for end-of-block buckets
-    data = padded_ref[0, window : window + ext]
+    data = padded_ref[0, pad : pad + ext]
     valid = valid_ref[0] != 0
     rows = jax.lax.broadcasted_iota(jnp.int32, (ext, LANES), 0)
 
-    def lag_chunk(ci, best):
-        # Lags d = base+1 .. base+32. One 32-aligned dynamic slice gives the
-        # window for the deepest lag; the 32 sub-shifts are static.
-        base = ci * 32
-        start = pl.multiple_of(window - base - 32, 32)
-        src32 = padded_ref[0, pl.ds(start, ext + 32), :]
+    def chunk(base, span, stride, best):
+        # 32 lags d = base + stride .. base + 32*stride. One 32-aligned
+        # dynamic slice reaches the deepest lag; 32 static sub-shifts pick
+        # the individual lags (stride 1 = fine sweep, stride 8 = sampled
+        # coarse sweep per lane_model_encode.match_search).
+        start = pl.multiple_of(pad - base - span, 32)
+        src = padded_ref[0, pl.ds(start, ext + span), :]
         cur_ml = jnp.zeros((bs, LANES), jnp.int32)
         cur_idx = jnp.zeros((bs, LANES), jnp.int32)
         for j in range(32):
-            d_static_back = 32 - 1 - j  # d = base + j + 1 -> start offset
-            shifted = src32[d_static_back : d_static_back + ext]
-            d = base + j + 1
+            back = span - (j + 1) * stride  # static offset within the slice
+            shifted = src[back : back + ext]
+            d = base + (j + 1) * stride
             # Run-doubling in int32: Mosaic cannot shift (concat) i1 masks.
             r = ((data == shifted) & valid & (rows >= d)).astype(jnp.int32)
             ml = jnp.zeros((ext, LANES), jnp.int32)
@@ -141,7 +145,7 @@ def _match_kernel(
             take = ml > cur_ml
             cur_ml = jnp.where(take, ml, cur_ml)
             cur_idx = jnp.where(take, j, cur_idx)
-        lag = base + cur_idx + 1
+        lag = base + (cur_idx + 1) * stride
         cand = jnp.where(
             cur_ml >= 4,
             (cur_ml << 16) | (0xFFFF - lag),
@@ -152,9 +156,16 @@ def _match_kernel(
     best = jax.lax.fori_loop(
         0,
         window // 32,
-        lag_chunk,
+        lambda ci, best: chunk(ci * 32, 32, 1, best),
         jnp.zeros((bs, LANES), jnp.int32),
     )
+    if coarse_window > window:
+        best = jax.lax.fori_loop(
+            0,
+            (coarse_window - window) // 256,
+            lambda ci, best: chunk(window + ci * 256, 256, 8, best),
+            best,
+        )
     len_out[0] = best >> 16
     lag_out[0] = jnp.where(best > 0, 0xFFFF - (best & 0xFFFF), 0)
 
@@ -406,23 +417,38 @@ def _emit_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "window", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "window", "coarse_window", "interpret"),
+)
 def encode_blocks_pallas(
     blocks: jax.Array,  # uint8[num_blocks, block_size], multiple of 1024
     lens: jax.Array,  # int32[num_blocks]
     *,
     block_size: int = 4096,
     window: int = 512,
+    coarse_window: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
 
-    Returns (comp uint8[num_blocks, cap], sizes int32[num_blocks]).
+    ``window`` lags are searched exhaustively; when ``coarse_window >
+    window``, lags in (window, coarse_window] are additionally sampled
+    every 8 bytes (exact matches at sampled distances — see
+    lane_model_encode.match_search). Returns (comp uint8[num_blocks, cap],
+    sizes int32[num_blocks]).
     """
     if block_size > MAX_ENC_BLOCK:
         raise ValueError(f"pallas encoder supports block_size <= {MAX_ENC_BLOCK}")
     window = min(window, block_size)
     window = (window + 31) // 32 * 32
+    coarse_window = min(coarse_window, block_size)
+    if coarse_window > window:
+        # Coarse chunks cover 256 lags each; round down to a whole number.
+        coarse_window = window + (coarse_window - window) // 256 * 256
+    if coarse_window <= window:
+        coarse_window = 0
+    pad = max(window, coarse_window)
     nb, _ = blocks.shape
     assert nb % BATCH == 0, "pad the batch to a multiple of 1024 blocks"
     nbatch = nb // BATCH
@@ -439,7 +465,7 @@ def encode_blocks_pallas(
 
         padded_g = jnp.concatenate(
             [
-                jnp.zeros((SUBLANES, window, LANES), jnp.int32),
+                jnp.zeros((SUBLANES, pad, LANES), jnp.int32),
                 data_g.astype(jnp.int32),
                 jnp.zeros((SUBLANES, 64, LANES), jnp.int32),
             ],
@@ -449,11 +475,13 @@ def encode_blocks_pallas(
         valid_g = (rows < lens_g).astype(jnp.int32)
 
         mlen, mlag = pl.pallas_call(
-            functools.partial(_match_kernel, bs=bs, window=window),
+            functools.partial(
+                _match_kernel, bs=bs, window=window, coarse_window=coarse_window
+            ),
             grid=(SUBLANES,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, window + bs + 64, LANES), lambda g: (g, 0, 0),
+                    (1, pad + bs + 64, LANES), lambda g: (g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -535,6 +563,7 @@ def encode_blocks_pallas_sharded(
     *,
     block_size: int,
     window: int = 512,
+    coarse_window: int = 0,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -547,6 +576,7 @@ def encode_blocks_pallas_sharded(
         encode_blocks_pallas,
         block_size=block_size,
         window=window,
+        coarse_window=coarse_window,
         interpret=interpret,
     )
     sharded = shard_map(

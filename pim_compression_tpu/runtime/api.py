@@ -175,7 +175,7 @@ def compress(
                 comp, sizes = pallas_encode.encode_blocks_pallas_sharded(
                     blocks_d, lens_d, mesh,
                     block_size=block_size, window=config.match_window,
-                    interpret=interpret,
+                    coarse_window=config.coarse_window, interpret=interpret,
                 )
             else:
                 comp, sizes = encode_ops.encode_blocks(

@@ -28,6 +28,7 @@ class CodecConfig:
     num_threads: int = 0
     validate: bool = True
     match_window: int = 512  # pallas encoder search window (ratio/speed knob)
+    coarse_window: int = 0  # long-range reach, lags sampled every 8 (0 = off)
 
     def __post_init__(self) -> None:
         if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:

@@ -13,7 +13,9 @@ from pim_compression_tpu.ops import lane_model_encode as lme
 from conftest import corpus_pair
 
 
-def _encode(data: bytes, bs: int = 4096, window: int = 512) -> bytes:
+def _encode(
+    data: bytes, bs: int = 4096, window: int = 512, coarse: int = 0
+) -> bytes:
     nb = max(1, (len(data) + bs - 1) // bs)
     cap = (C.max_compressed_length(bs) + 127) // 128 * 128
     blocks = np.zeros((nb, bs), np.uint8)
@@ -23,7 +25,7 @@ def _encode(data: bytes, bs: int = 4096, window: int = 512) -> bytes:
         ch = raw[i * bs : (i + 1) * bs]
         blocks[i, : len(ch)] = ch
         lens[i] = len(ch)
-    comp, sizes = lme.encode_lanes(blocks, lens, bs, cap, window)
+    comp, sizes = lme.encode_lanes(blocks, lens, bs, cap, window, coarse)
     assert sizes.max(initial=0) <= cap
     stream = bytearray(encode_varint32(len(data)) + encode_varint32(bs))
     if len(data):
@@ -61,6 +63,29 @@ def test_lane_encode_window_tradeoff():
     data = corpus_pair("terror2")[0]
     sizes = {w: len(_encode(data, window=w)) for w in (64, 512)}
     assert sizes[512] < sizes[64]  # bigger window => better ratio
+
+
+def test_lane_encode_coarse_long_range():
+    # Redundancy only at a long, 8-aligned distance: invisible to the fine
+    # window, caught exactly by the sampled coarse sweep.
+    r = random.Random(11)
+    chunk = r.randbytes(600)
+    gap = r.randbytes(2400 - 600)  # second occurrence starts at lag 2400
+    data = chunk + gap + chunk + r.randbytes(300)
+    fine = _encode(data, window=512)
+    coarse = _encode(data, window=512, coarse=4096)
+    assert oracle.decompress(coarse) == data
+    assert len(coarse) < len(fine) - 400  # the 600-B repeat must compress
+
+
+def test_lane_encode_coarse_unsampled_lag_still_valid():
+    # Distance not a multiple of 8: the coarse sweep misses it, but the
+    # stream must remain well-formed and exact.
+    r = random.Random(12)
+    chunk = r.randbytes(200)
+    data = chunk + r.randbytes(803 - 200) + chunk
+    stream = _encode(data, window=64, coarse=2048)
+    assert oracle.decompress(stream) == data
 
 
 def test_lane_encode_copy1_emission():

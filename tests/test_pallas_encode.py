@@ -11,7 +11,7 @@ from pim_compression_tpu.format.varint import encode_varint32
 from pim_compression_tpu.ops import pallas_encode as pe
 
 
-def _encode(data: bytes, bs: int = 256, window: int = 64) -> bytes:
+def _encode(data: bytes, bs: int = 256, window: int = 64, coarse: int = 0) -> bytes:
     cap = pe.encode_capacity(bs)
     blocks = np.zeros((pe.BATCH, bs), np.uint8)
     lens = np.zeros(pe.BATCH, np.int32)
@@ -23,7 +23,8 @@ def _encode(data: bytes, bs: int = 256, window: int = 64) -> bytes:
         blocks[i, : len(ch)] = ch
         lens[i] = len(ch)
     comp, sizes = pe.encode_blocks_pallas(
-        blocks, lens, block_size=bs, window=window, interpret=True
+        blocks, lens, block_size=bs, window=window, coarse_window=coarse,
+        interpret=True,
     )
     comp, sizes = np.asarray(comp), np.asarray(sizes)
     assert sizes.max(initial=0) <= cap
@@ -53,6 +54,29 @@ def test_pallas_encode_adversarial():
     r = random.Random(8)
     for data in [b"", b"x", b"q" * 256, r.randbytes(300), b"xyz" * 170]:
         assert oracle.decompress(_encode(data)) == data
+
+
+def test_pallas_encode_coarse_long_range():
+    # Repeat at an 8-aligned lag beyond the fine window; the sampled coarse
+    # sweep must find it, and the result must match the NumPy lane model.
+    from pim_compression_tpu.ops import lane_model_encode as lme
+
+    r = random.Random(21)
+    chunk = r.randbytes(300)
+    data = chunk + r.randbytes(800 - 300) + chunk + r.randbytes(100)
+    bs, window, coarse = 2048, 64, 1088  # 1088 = 64 + 4 * 256
+    fine = _encode(data, bs=bs, window=window)
+    stream = _encode(data, bs=bs, window=window, coarse=coarse)
+    assert oracle.decompress(stream) == data
+    assert len(stream) < len(fine) - 200
+
+    blocks = np.zeros((1, bs), np.uint8)
+    blocks[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lens = np.array([len(data)], np.int32)
+    cap = pe.encode_capacity(bs)
+    mcomp, msizes = lme.encode_lanes(blocks, lens, bs, cap, window, coarse)
+    body = stream[len(stream) - len(mcomp[0, : msizes[0]].tobytes()) :]
+    assert body == mcomp[0, : msizes[0]].tobytes()
 
 
 def test_pallas_runtime_engine_compress():
