@@ -32,6 +32,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=4096)
     ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--coarse", type=int, default=0)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -46,7 +47,8 @@ def main() -> int:
     from pim_compression_tpu.ops import pallas_decode as pd
     from pim_compression_tpu.ops import pallas_encode as pe
 
-    results: dict = {"device": str(jax.devices()[0]), "bs": args.bs}
+    results: dict = {"device": str(jax.devices()[0]), "bs": args.bs,
+        "window": args.window, "coarse": args.coarse}
     bs = args.bs
 
     def step(name: str, fn):
@@ -129,7 +131,8 @@ def main() -> int:
 
     def run_encode():
         c, s = pe.encode_blocks_pallas(
-            blocks_d, lens_d, block_size=bs, window=args.window
+            blocks_d, lens_d, block_size=bs, window=args.window,
+            coarse_window=args.coarse,
         )
         sync(c)
         return c, s
@@ -151,7 +154,8 @@ def main() -> int:
         t0 = time.time()
         for _ in range(args.iters):
             c, s = pe.encode_blocks_pallas(
-                blocks_d, lens_d, block_size=bs, window=args.window
+                blocks_d, lens_d, block_size=bs, window=args.window,
+                coarse_window=args.coarse,
             )
         sync(c)
         return (time.time() - t0) / args.iters
