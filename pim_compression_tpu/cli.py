@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="pallas encoder long-range match reach; lags beyond --window "
         "are sampled every 8 bytes up to this distance (0 = off)",
     )
+    p.add_argument(
+        "--pipeline-depth", type=int, default=2,
+        help="device batches in flight (1 = synchronous phases, exact "
+        "per-phase timing breakdown)",
+    )
     p.add_argument("--json", action="store_true", help="emit structured metrics")
     p.add_argument(
         "--profile",
@@ -79,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         config = CodecConfig(
             block_size=block_size, engine=engine, num_threads=args.threads,
             match_window=args.window, coarse_window=args.coarse_window,
+            pipeline_depth=args.pipeline_depth,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -85,6 +85,30 @@ def decompress(
     sharding = block_sharding(mesh)
     interpret = jax.default_backend() == "cpu"
     out_np = np.empty((nb, block_size), dtype=np.uint8)
+    # Bounded-depth pipelining: with depth > 1 and several batches, h2d +
+    # kernel dispatch of batch i+1 overlap the d2h drain of batch i (JAX
+    # async dispatch); the depth bound keeps the number of queued device
+    # dispatches small. Sync mode (depth <= 1 or a single batch) blocks at
+    # every phase for exact reference-taxonomy timing attribution.
+    depth = max(1, config.pipeline_depth)
+    sync = depth <= 1 or padded <= batch
+    inflight: list[tuple[int, object, object]] = []
+
+    def drain_one():
+        start, out, err = inflight.pop(0)
+        with timer.phase("d2h"):
+            out_h = np.asarray(out)
+            err_h = np.asarray(err)
+        if config.validate and err_h.any():
+            bad = int(np.nonzero(err_h)[0][0]) + start
+            raise SnappyError(
+                SnappyStatus.INVALID_INPUT,
+                f"block {bad} failed validation (flags={int(err_h.max())})",
+            )
+        take = min(nb, start + batch) - start
+        if take > 0:
+            out_np[start : start + take] = out_h[:take]
+
     for start in range(0, padded, batch):
         sl = slice(start, start + batch)
         with timer.phase("h2d"):
@@ -101,19 +125,13 @@ def decompress(
                 out, err = decode_ops.decode_blocks(
                     comp_d, clen_d, olen_d, block_size=block_size
                 )
-            jax.block_until_ready(out)
-        with timer.phase("d2h"):
-            out_h = np.asarray(out)
-            err_h = np.asarray(err)
-        if config.validate and err_h.any():
-            bad = int(np.nonzero(err_h)[0][0]) + start
-            raise SnappyError(
-                SnappyStatus.INVALID_INPUT,
-                f"block {bad} failed validation (flags={int(err_h.max())})",
-            )
-        take = min(nb, start + batch) - start
-        if take > 0:
-            out_np[start : start + take] = out_h[:take]
+            if sync:
+                jax.block_until_ready(out)
+        inflight.append((start, out, err))
+        if sync or len(inflight) >= depth:
+            drain_one()
+    while inflight:
+        drain_one()
 
     with timer.phase("post"):
         return pipeline.assemble_decompressed(out_np, total_len)
@@ -165,6 +183,21 @@ def compress(
     interpret = jax.default_backend() == "cpu"
     comp_np = np.empty((nb, cap), dtype=np.uint8)
     sizes_np = np.empty(nb, dtype=np.int32)
+    # Same bounded-depth pipelining scheme as decompress (see above).
+    depth = max(1, config.pipeline_depth)
+    sync = depth <= 1 or padded <= batch
+    inflight: list[tuple[int, object, object]] = []
+
+    def drain_one():
+        start, comp, sizes = inflight.pop(0)
+        with timer.phase("d2h"):
+            comp_h = np.asarray(comp)
+            sizes_h = np.asarray(sizes)
+        take = min(nb, start + batch) - start
+        if take > 0:
+            comp_np[start : start + take] = comp_h[:take]
+            sizes_np[start : start + take] = sizes_h[:take]
+
     for start in range(0, padded, batch):
         sl = slice(start, start + batch)
         with timer.phase("h2d"):
@@ -181,14 +214,13 @@ def compress(
                 comp, sizes = encode_ops.encode_blocks(
                     blocks_d, lens_d, block_size=block_size
                 )
-            jax.block_until_ready(comp)
-        with timer.phase("d2h"):
-            comp_h = np.asarray(comp)
-            sizes_h = np.asarray(sizes)
-        take = min(nb, start + batch) - start
-        if take > 0:
-            comp_np[start : start + take] = comp_h[:take]
-            sizes_np[start : start + take] = sizes_h[:take]
+            if sync:
+                jax.block_until_ready(comp)
+        inflight.append((start, comp, sizes))
+        if sync or len(inflight) >= depth:
+            drain_one()
+    while inflight:
+        drain_one()
 
     with timer.phase("post"):
         if config.validate and int(sizes_np.max(initial=0)) > cap:

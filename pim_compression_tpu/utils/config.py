@@ -29,6 +29,10 @@ class CodecConfig:
     validate: bool = True
     match_window: int = 512  # pallas encoder search window (ratio/speed knob)
     coarse_window: int = 0  # long-range reach, lags sampled every 8 (0 = off)
+    # Device-batch pipelining: up to this many batches in flight; h2d+kernel
+    # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
+    # (exact per-phase timing attribution, the reference's phase taxonomy).
+    pipeline_depth: int = 2
 
     def __post_init__(self) -> None:
         if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:

@@ -50,6 +50,19 @@ def test_runtime_small_batches_force_multiple_dispatches():
     assert runtime.decompress(stream, cfg) == data
 
 
+def test_runtime_pipeline_depths_agree():
+    # Sync (depth 1) and pipelined (depth 3) batch schedules must produce
+    # identical streams and round-trip across several in-flight batches.
+    data = random.Random(5).randbytes(500_000)  # 16 blocks @ 32K
+    streams = []
+    for depth in (1, 3):
+        cfg = CodecConfig(engine="xla", batch_blocks=4, pipeline_depth=depth)
+        stream = runtime.compress(data, cfg)
+        assert runtime.decompress(stream, cfg) == data
+        streams.append(stream)
+    assert streams[0] == streams[1]
+
+
 def test_runtime_empty_and_tiny():
     for engine in ("xla", "native", "oracle"):
         cfg = CodecConfig(engine=engine)
