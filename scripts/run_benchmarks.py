@@ -8,7 +8,8 @@ the chart scripts.
 
 Usage:
     python scripts/run_benchmarks.py [--engines native,xla] [--files xml]
-        [--block-sizes 4096,32768] [--iters 3] [--out results.csv]
+        [--block-sizes 4096,32768] [--iters 3] [--window 512]
+        [--coarse-window 0] [--out results.csv]
 """
 
 from __future__ import annotations
@@ -48,6 +49,8 @@ def main() -> int:
     ap.add_argument("--block-sizes", default="32768")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--coarse-window", type=int, default=0)
     ap.add_argument("--out", default="bench_results.csv")
     args = ap.parse_args()
 
@@ -64,7 +67,8 @@ def main() -> int:
         for engine in engines:
             for bs in block_sizes:
                 cfg = CodecConfig(
-                    block_size=bs, engine=engine, num_threads=args.threads
+                    block_size=bs, engine=engine, num_threads=args.threads,
+                    match_window=args.window, coarse_window=args.coarse_window,
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)
