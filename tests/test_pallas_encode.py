@@ -79,6 +79,48 @@ def test_pallas_encode_coarse_long_range():
     assert body == mcomp[0, : msizes[0]].tobytes()
 
 
+def test_pallas_encode_coarse_randomized_model_parity():
+    # Random mixes of short- and long-range redundancy: kernel output must
+    # equal the NumPy spec byte-for-byte, and every stream must decode.
+    from pim_compression_tpu.ops import lane_model_encode as lme
+
+    bs, window, coarse = 1024, 32, 544  # 544 = 32 + 2 * 256
+    cap = pe.encode_capacity(bs)
+    r = random.Random(33)
+    cases = []
+    for _ in range(4):
+        seed = r.randbytes(r.randint(40, 200))
+        body = bytearray()
+        while len(body) < bs - 100:
+            if r.random() < 0.5:
+                body += seed[: r.randint(4, len(seed))]
+            else:
+                body += r.randbytes(r.randint(1, 120))
+        cases.append(bytes(body[: r.randint(bs // 2, bs)]))
+
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    for i, data in enumerate(cases):
+        blocks[i, : len(data)] = np.frombuffer(data, np.uint8)
+        lens[i] = len(data)
+    comp, sizes = pe.encode_blocks_pallas(
+        blocks, lens, block_size=bs, window=window, coarse_window=coarse,
+        interpret=True,
+    )
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    mcomp, msizes = lme.encode_lanes(
+        blocks[: pe.BATCH], lens[: pe.BATCH], bs, cap, window, coarse
+    )
+    for i, data in enumerate(cases):
+        assert sizes[i] == msizes[i]
+        assert comp[i, : sizes[i]].tobytes() == mcomp[i, : msizes[i]].tobytes()
+        stream = (
+            encode_varint32(len(data)) + encode_varint32(bs)
+            + int(sizes[i]).to_bytes(4, "little") + comp[i, : sizes[i]].tobytes()
+        )
+        assert oracle.decompress(stream) == data
+
+
 def test_pallas_runtime_engine_compress():
     from pim_compression_tpu import runtime
     from pim_compression_tpu.utils.config import CodecConfig
