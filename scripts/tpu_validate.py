@@ -28,6 +28,17 @@ def sync(x) -> None:
     np.asarray(x).ravel()[:1]  # force full execution + readback
 
 
+def save(results: dict) -> None:
+    """Append this run to tpu_validation.json (list of run records)."""
+    path = REPO / "tpu_validation.json"
+    runs: list = []
+    if path.exists():
+        prev = json.loads(path.read_text())
+        runs = prev if isinstance(prev, list) else [prev]
+    runs.append(results)
+    path.write_text(json.dumps(runs, indent=2))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=4096)
@@ -114,7 +125,7 @@ def main() -> int:
         print(f"decode: {results['decode_gbps']} GB/s")
 
     if args.skip_encode:
-        (REPO / "tpu_validation.json").write_text(json.dumps(results, indent=2))
+        save(results)
         print(json.dumps(results, indent=2))
         return 0
 
@@ -164,7 +175,7 @@ def main() -> int:
     results["encode_gbps"] = round(len(plain) / dt / 1e9, 4)
     print(f"encode: {results['encode_gbps']} GB/s")
 
-    (REPO / "tpu_validation.json").write_text(json.dumps(results, indent=2))
+    save(results)
     print(json.dumps(results, indent=2))
     return 0
 
