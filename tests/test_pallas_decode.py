@@ -137,6 +137,26 @@ def test_lane_model_accepts_copy4():
     assert out[0, : len(expected)].tobytes() == expected
 
 
+def test_pallas_decode_resolves_coarse_long_offsets():
+    # Streams from the coarse matcher carry COPY_2 offsets approaching the
+    # block size; the pallas decoder's adaptive resolve sweep must cover
+    # those distances, end-to-end through the runtime (encode + decode both
+    # pallas, interpret mode on CPU).
+    from pim_compression_tpu import runtime
+    from pim_compression_tpu.utils.config import CodecConfig
+
+    r = random.Random(41)
+    chunk = r.randbytes(400)
+    data = (chunk + r.randbytes(1504 - 400) + chunk) * 3  # lags 1504 & in-block
+    cfg = CodecConfig(
+        engine="pallas", block_size=2048, match_window=64, coarse_window=1600
+    )
+    stream = runtime.compress(data, cfg)
+    assert len(stream) < len(data) - 500  # long-lag repeats must compress
+    assert oracle.decompress(stream) == data
+    assert runtime.decompress(stream, cfg) == data
+
+
 def test_pallas_runtime_rejects_corrupt_structure():
     """Structural corruption must surface as a typed error through the
     pallas engine's validation flags (not silent garbage)."""
