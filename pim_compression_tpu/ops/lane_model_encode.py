@@ -90,6 +90,94 @@ def match_search(
     return best_len, best_off
 
 
+def granule_search(
+    data: np.ndarray,  # int32 [bs, lanes]
+    lens: np.ndarray,  # int32 [lanes]
+    window: int,
+    coarse_window: int,
+) -> np.ndarray:
+    """Phased-granule long-range search: ALL lags in (window, coarse_window]
+    at ~1/8 the cost of an exhaustive byte sweep (executable spec for the
+    round-2 Pallas kernel; supersedes the every-8th-lag sampling miss).
+
+    Granule arrays at 8 byte-phases: G_r[i] = bytes[8i+r, 8i+r+8) held as
+    two exact int32 words (no fingerprints). Comparing phase-0 granules at
+    position-granule i against phase-r granules at granule i-D detects an
+    8-byte match at byte position 8i with lag d = 8D - r; r sweeps the lag
+    residues mod 8, D the coarse distance, both on arrays of bs/8 rows.
+    Granule run-doubling turns consecutive hits into byte buckets
+    {8,16,32,64}. Matches start only at granule-aligned positions (a long
+    match loses at most 7 leading bytes). Returns a packed score array
+    [bs, lanes] ((len << 16) | (0xFFFF - d), 0 where no match) mergeable
+    with match_search's fold.
+    """
+    bs, lanes = data.shape
+    ng = bs // 8
+    if ng == 0 or coarse_window <= window:
+        return np.zeros((bs, lanes), np.int32)
+    # Packed 4-byte little-endian words at every byte position (int64 to
+    # stay exact); W4[p] == W4[q] iff bytes p..p+3 == q..q+3.
+    W4 = np.zeros((bs, lanes), np.int64)
+    for b in range(4):
+        w = data if b == 0 else _shift_up(data, b)
+        W4 += w.astype(np.int64) << (8 * b)
+    rows = np.arange(bs, dtype=np.int32)[:, None]
+    # A granule at byte p is in-range iff its 8 bytes are within the block.
+    tail_ok = rows + 8 <= lens[None, :]
+
+    grow = np.arange(ng, dtype=np.int32)[:, None] * 8  # byte row per granule
+    score = np.zeros((bs, lanes), np.int32)
+    g_scores = np.zeros((ng, lanes), np.int32)
+    lo0, hi0 = W4[0::8][:ng], W4[4::8][:ng]  # phase-0 granules
+    ok0 = tail_ok[0::8][:ng]
+    for r in range(8):
+        # Phase-r granule words at granule j live at byte 8j + r.
+        lo_r = np.zeros((ng, lanes), np.int64)
+        hi_r = np.zeros((ng, lanes), np.int64)
+        nr = (bs - r - 4) // 8 + 1 if bs - r >= 4 else 0
+        lo_r[:nr] = W4[r::8][:nr]
+        nr2 = (bs - r - 8) // 8 + 1 if bs - r >= 8 else 0
+        hi_r[:nr2] = W4[r + 4 :: 8][:nr2]
+        d_min = window + 1  # only lags the fine sweep does not reach
+        D_lo = (d_min + r + 7) // 8
+        D_hi = (coarse_window + r) // 8
+        for D in range(max(D_lo, 1), D_hi + 1):
+            d = 8 * D - r
+            eq = (
+                (lo0 == _shift_down(lo_r, D))
+                & (hi0 == _shift_down(hi_r, D))
+                & ok0
+                & (grow >= d)
+            )
+            run = {1: eq.astype(np.int32)}
+            for G in (2, 4, 8):
+                run[G] = run[G // 2] & _shift_up(run[G // 2], G // 2)
+            gl = np.zeros((ng, lanes), np.int32)
+            for G in (8, 4, 2, 1):  # bytes = 8 * G
+                gl = np.where((gl == 0) & (run[G] != 0), 8 * G, gl)
+            cand = np.where(gl >= 8, (gl << 16) | (0xFFFF - d), 0)
+            g_scores = np.maximum(g_scores, cand)
+    score[0::8][:ng] = g_scores
+    return score
+
+
+def match_search_granular(
+    data: np.ndarray,
+    lens: np.ndarray,
+    window: int,
+    coarse_window: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fine exhaustive sweep + phased-granule long-range search, merged."""
+    best_len, best_off = match_search(data, lens, window)
+    fine = np.where(
+        best_len > 0, (best_len << 16) | (0xFFFF - best_off), 0
+    ).astype(np.int32)
+    merged = np.maximum(fine, granule_search(data, lens, window, coarse_window))
+    best_len = merged >> 16
+    best_off = np.where(best_len > 0, 0xFFFF - (merged & 0xFFFF), 0)
+    return best_len, best_off
+
+
 def greedy_parse(
     best_len: np.ndarray, lens: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

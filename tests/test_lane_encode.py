@@ -88,6 +88,49 @@ def test_lane_encode_coarse_unsampled_lag_still_valid():
     assert oracle.decompress(stream) == data
 
 
+def _encode_granular(data: bytes, bs: int, window: int, coarse: int) -> bytes:
+    cap = (C.max_compressed_length(bs) + 127) // 128 * 128
+    blocks = np.zeros((1, bs), np.uint8)
+    blocks[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lens = np.array([len(data)], np.int32)
+    d = blocks.T.astype(np.int32)
+    best_len, best_off = lme.match_search_granular(d, lens, window, coarse)
+    accept, is_copy = lme.greedy_parse(best_len, lens)
+    comp, sizes = lme.layout_and_emit(
+        d, lens, accept, is_copy, best_len, best_off, cap
+    )
+    return bytes(
+        encode_varint32(len(data)) + encode_varint32(bs)
+        + int(sizes[0]).to_bytes(4, "little") + comp[:, 0][: sizes[0]].tobytes()
+    )
+
+
+def test_granule_search_covers_unsampled_lags():
+    # Repeat at lag 1237 (not a multiple of 8): the sampled-lag coarse sweep
+    # misses it; the phased-granule search must not.
+    r = random.Random(17)
+    chunk = r.randbytes(256)
+    data = chunk + r.randbytes(1237 - 256) + chunk + r.randbytes(64)
+    bs, window = 2048, 64
+    sampled = _encode(data, bs=bs, window=window, coarse=2048)
+    granular = _encode_granular(data, bs=bs, window=window, coarse=2048)
+    assert oracle.decompress(granular) == data
+    # chunk repeat compresses under granular search, stays literal otherwise
+    assert len(granular) < len(sampled) - 150
+
+
+def test_granule_search_randomized_valid():
+    r = random.Random(18)
+    for _ in range(4):
+        seed = r.randbytes(r.randint(30, 300))
+        body = bytearray()
+        while len(body) < 3500:
+            body += seed if r.random() < 0.4 else r.randbytes(r.randint(5, 200))
+        data = bytes(body[: r.randint(2000, 4096)])
+        stream = _encode_granular(data, bs=4096, window=64, coarse=4096)
+        assert oracle.decompress(stream) == data
+
+
 def test_lane_encode_copy1_emission():
     # short match at small offset must use the 2-byte COPY_1 form
     data = b"abcdefgh" + b"abcd" + b"XYZW" * 4
