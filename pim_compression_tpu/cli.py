@@ -49,8 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--coarse-window", type=int, default=0,
-        help="pallas encoder long-range match reach; lags beyond --window "
-        "are sampled every 8 bytes up to this distance (0 = off)",
+        help="pallas encoder long-range match reach beyond --window (0 = off)",
+    )
+    p.add_argument(
+        "--coarse-mode", choices=["sampled", "granular"], default="sampled",
+        help="long-range search: every-8th lag at byte resolution, or ALL "
+        "lags via the 1/8-resolution phased-granule kernel",
     )
     p.add_argument(
         "--pipeline-depth", type=int, default=2,
@@ -84,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         config = CodecConfig(
             block_size=block_size, engine=engine, num_threads=args.threads,
             match_window=args.window, coarse_window=args.coarse_window,
-            pipeline_depth=args.pipeline_depth,
+            coarse_mode=args.coarse_mode, pipeline_depth=args.pipeline_depth,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -171,6 +171,111 @@ def _match_kernel(
 
 
 # ---------------------------------------------------------------------------
+# K1b: phased-granule long-range search (implements
+# lane_model_encode.granule_search). Arrays are 1/8 resolution: one row per
+# 8-byte granule. Covers ALL lags in (window, coarse] at ~1/8 the cost of an
+# exhaustive byte sweep; matches start at granule-aligned byte positions.
+# ---------------------------------------------------------------------------
+
+
+def _granule_kernel(
+    lo0_ref,  # (1, ng, 128) i32: phase-0 granule words, bytes [8i, 8i+4)
+    hi0_ref,  # (1, ng, 128) i32: bytes [8i+4, 8i+8)
+    ok0_ref,  # (1, ng, 128) i32: 1 where the dest granule is within len
+    lop_ref,  # (1, 8 * (Dpad + ng), 128) i32: per-phase lo planes, Dpad zeros
+    hip_ref,  # (1, 8 * (Dpad + ng), 128) i32: per-phase hi planes
+    out_ref,  # (1, ng, 128) i32: packed granule scores (len<<16 | 0xFFFF-d)
+    *,
+    ng: int,
+    Dpad: int,
+    nchunks: int,
+    window: int,
+    coarse: int,
+):
+    lo0 = lo0_ref[0]
+    hi0 = hi0_ref[0]
+    ok0 = ok0_ref[0] != 0
+    grow = jax.lax.broadcasted_iota(jnp.int32, (ng, LANES), 0) * 8
+    P = Dpad + ng
+    best = jnp.zeros((ng, LANES), jnp.int32)
+
+    for r in range(8):  # static unroll over the 8 lag residues
+        def chunk(ci, best, r=r):
+            # Granule-lags D = base+1 .. base+32 for phase r, one 32-aligned
+            # dynamic slice + 32 static sub-shifts (fine-chunk pattern).
+            base = ci * 32
+            start = pl.multiple_of(r * P + Dpad - base - 32, 32)
+            slo = lop_ref[0, pl.ds(start, ng + 32), :]
+            shi = hip_ref[0, pl.ds(start, ng + 32), :]
+            cur = jnp.zeros((ng, LANES), jnp.int32)
+            for j in range(32):
+                back = 32 - 1 - j
+                D = base + j + 1
+                d = 8 * D - r  # byte lag
+                eq = (
+                    (lo0 == slo[back : back + ng])
+                    & (hi0 == shi[back : back + ng])
+                    & ok0
+                    & (grow >= d)
+                ).astype(jnp.int32)
+                r2 = eq & _shift_up(eq, 1)
+                r4 = r2 & _shift_up(r2, 2)
+                r8 = r4 & _shift_up(r4, 4)
+                gl = jnp.where(
+                    r8 != 0,
+                    64,
+                    jnp.where(
+                        r4 != 0, 32, jnp.where(r2 != 0, 16, jnp.where(eq != 0, 8, 0))
+                    ),
+                )
+                # Only lags the fine sweep does not already cover.
+                dok = ((d > window) & (d <= coarse)).astype(jnp.int32)
+                cand = jnp.where(gl >= 8, (gl << 16) | (0xFFFF - d), 0) * dok
+                cur = jnp.maximum(cur, cand)
+            return jnp.maximum(best, cur)
+
+        best = jax.lax.fori_loop(0, nchunks, chunk, best)
+    out_ref[0] = best
+
+
+def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
+    """XLA-side prep: packed 4-byte words + strided per-phase granule planes.
+
+    data_g: (8, bs, 128) i32 byte values; lens_g: (8, 1, 128).
+    Returns (lo0, hi0, ok0, lo_planes, hi_planes) per _granule_kernel's spec.
+    """
+    bs = data_g.shape[1]
+    W4 = data_g
+    for b in (1, 2, 3):
+        shifted = jnp.concatenate(
+            [data_g[:, b:], jnp.zeros((SUBLANES, b, LANES), jnp.int32)], axis=1
+        )
+        W4 = W4 | (shifted << (8 * b))
+    lo0 = W4[:, 0::8][:, :ng]
+    hi0 = W4[:, 4::8][:, :ng]
+    gend = (jnp.arange(ng, dtype=jnp.int32) * 8 + 8)[None, :, None]
+    ok0 = (gend <= lens_g).astype(jnp.int32)
+    los, his = [], []
+    zpad = jnp.zeros((SUBLANES, Dpad, LANES), jnp.int32)
+    for r in range(8):
+        lo_r = W4[:, r::8][:, :ng]
+        hi_r = W4[:, r + 4 :: 8][:, :ng]
+        if lo_r.shape[1] < ng:  # high phases run past bs; zero rows are
+            lo_r = jnp.concatenate(  # never read by a valid comparison
+                [lo_r, jnp.zeros((SUBLANES, ng - lo_r.shape[1], LANES), jnp.int32)],
+                axis=1,
+            )
+        if hi_r.shape[1] < ng:
+            hi_r = jnp.concatenate(
+                [hi_r, jnp.zeros((SUBLANES, ng - hi_r.shape[1], LANES), jnp.int32)],
+                axis=1,
+            )
+        los += [zpad, lo_r]
+        his += [zpad, hi_r]
+    return lo0, hi0, ok0, jnp.concatenate(los, axis=1), jnp.concatenate(his, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # K2: greedy parse + layout + 4-channel routing.
 # ---------------------------------------------------------------------------
 
@@ -419,7 +524,7 @@ def _emit_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "window", "coarse_window", "interpret"),
+    static_argnames=("block_size", "window", "coarse_window", "granular", "interpret"),
 )
 def encode_blocks_pallas(
     blocks: jax.Array,  # uint8[num_blocks, block_size], multiple of 1024
@@ -428,27 +533,34 @@ def encode_blocks_pallas(
     block_size: int = 4096,
     window: int = 512,
     coarse_window: int = 0,
+    granular: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
 
-    ``window`` lags are searched exhaustively; when ``coarse_window >
-    window``, lags in (window, coarse_window] are additionally sampled
-    every 8 bytes (exact matches at sampled distances — see
-    lane_model_encode.match_search). Returns (comp uint8[num_blocks, cap],
-    sizes int32[num_blocks]).
+    ``window`` lags are searched exhaustively. When ``coarse_window >
+    window``, long lags in (window, coarse_window] are also searched:
+    ``granular=False`` samples every-8th lag at full byte resolution
+    (lane_model_encode.match_search); ``granular=True`` covers ALL long
+    lags with the 1/8-resolution phased-granule kernel
+    (lane_model_encode.granule_search, granule-aligned match starts).
+    Returns (comp uint8[num_blocks, cap], sizes int32[num_blocks]).
     """
     if block_size > MAX_ENC_BLOCK:
         raise ValueError(f"pallas encoder supports block_size <= {MAX_ENC_BLOCK}")
     window = min(window, block_size)
     window = (window + 31) // 32 * 32
     coarse_window = min(coarse_window, block_size)
-    if coarse_window > window:
-        # Coarse chunks cover 256 lags each; round down to a whole number.
+    if granular and coarse_window > window and block_size % 256 != 0:
+        raise ValueError("granular coarse matching needs block_size % 256 == 0")
+    if not granular and coarse_window > window:
+        # Sampled coarse chunks cover 256 lags each; round to whole chunks.
         coarse_window = window + (coarse_window - window) // 256 * 256
     if coarse_window <= window:
         coarse_window = 0
-    pad = max(window, coarse_window)
+    # K1's left pad covers only the lags K1 itself sweeps.
+    k1_coarse = 0 if granular else coarse_window
+    pad = max(window, k1_coarse)
     nb, _ = blocks.shape
     assert nb % BATCH == 0, "pad the batch to a multiple of 1024 blocks"
     nbatch = nb // BATCH
@@ -476,7 +588,7 @@ def encode_blocks_pallas(
 
         mlen, mlag = pl.pallas_call(
             functools.partial(
-                _match_kernel, bs=bs, window=window, coarse_window=coarse_window
+                _match_kernel, bs=bs, window=window, coarse_window=k1_coarse
             ),
             grid=(SUBLANES,),
             in_specs=[
@@ -506,6 +618,46 @@ def encode_blocks_pallas(
             ),
             interpret=interpret,
         )(padded_g, valid_g)
+
+        if granular and coarse_window > window:
+            ng = bs // 8
+            Dmax = (coarse_window + 7) // 8
+            nchunks = -(-Dmax // 32)
+            Dpad = nchunks * 32
+            lo0, hi0, ok0, lop, hip = _granule_planes(data_g, lens_g, ng, Dpad)
+            P = Dpad + ng
+            gsc = pl.pallas_call(
+                functools.partial(
+                    _granule_kernel, ng=ng, Dpad=Dpad, nchunks=nchunks,
+                    window=window, coarse=coarse_window,
+                ),
+                grid=(SUBLANES,),
+                in_specs=[
+                    pl.BlockSpec((1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 8 * P, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 8 * P, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((SUBLANES, ng, LANES), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(lo0, hi0, ok0, lop, hip)
+            # Upsample granule scores to byte rows (non-aligned rows = 0) and
+            # fold into K1's packed candidates.
+            up = jnp.concatenate(
+                [gsc[:, :, None, :], jnp.zeros((SUBLANES, ng, 7, LANES), jnp.int32)],
+                axis=2,
+            ).reshape(SUBLANES, bs, LANES)
+            fine = jnp.where(mlen > 0, (mlen << 16) | (0xFFFF - mlag), 0)
+            merged = jnp.maximum(fine, up)
+            mlen = merged >> 16
+            mlag = jnp.where(mlen > 0, 0xFFFF - (merged & 0xFFFF), 0)
 
         lens_bc = jnp.broadcast_to(lens_t[:, None, :], (SUBLANES, SUBLANES, LANES))
         match_g = mlen | (mlag << 7)
@@ -564,6 +716,7 @@ def encode_blocks_pallas_sharded(
     block_size: int,
     window: int = 512,
     coarse_window: int = 0,
+    granular: bool = False,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -577,6 +730,7 @@ def encode_blocks_pallas_sharded(
         block_size=block_size,
         window=window,
         coarse_window=coarse_window,
+        granular=granular,
         interpret=interpret,
     )
     sharded = shard_map(

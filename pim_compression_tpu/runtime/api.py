@@ -208,7 +208,9 @@ def compress(
                 comp, sizes = pallas_encode.encode_blocks_pallas_sharded(
                     blocks_d, lens_d, mesh,
                     block_size=block_size, window=config.match_window,
-                    coarse_window=config.coarse_window, interpret=interpret,
+                    coarse_window=config.coarse_window,
+                    granular=(config.coarse_mode == "granular"),
+                    interpret=interpret,
                 )
             else:
                 comp, sizes = encode_ops.encode_blocks(

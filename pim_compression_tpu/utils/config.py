@@ -28,7 +28,10 @@ class CodecConfig:
     num_threads: int = 0
     validate: bool = True
     match_window: int = 512  # pallas encoder search window (ratio/speed knob)
-    coarse_window: int = 0  # long-range reach, lags sampled every 8 (0 = off)
+    coarse_window: int = 0  # long-range match reach beyond match_window (0 = off)
+    # "sampled": every-8th lag at full byte resolution; "granular": ALL lags
+    # via the 1/8-resolution phased-granule kernel (block_size % 256 == 0).
+    coarse_mode: str = "sampled"
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -39,3 +42,5 @@ class CodecConfig:
             raise ValueError(f"block_size must be in (0, {C.MAX_BLOCK_SIZE}]")
         if self.engine not in ("xla", "pallas", "native", "oracle"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.coarse_mode not in ("sampled", "granular"):
+            raise ValueError(f"unknown coarse_mode {self.coarse_mode!r}")

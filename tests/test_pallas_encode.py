@@ -11,7 +11,10 @@ from pim_compression_tpu.format.varint import encode_varint32
 from pim_compression_tpu.ops import pallas_encode as pe
 
 
-def _encode(data: bytes, bs: int = 256, window: int = 64, coarse: int = 0) -> bytes:
+def _encode(
+    data: bytes, bs: int = 256, window: int = 64, coarse: int = 0,
+    granular: bool = False,
+) -> bytes:
     cap = pe.encode_capacity(bs)
     blocks = np.zeros((pe.BATCH, bs), np.uint8)
     lens = np.zeros(pe.BATCH, np.int32)
@@ -24,7 +27,7 @@ def _encode(data: bytes, bs: int = 256, window: int = 64, coarse: int = 0) -> by
         lens[i] = len(ch)
     comp, sizes = pe.encode_blocks_pallas(
         blocks, lens, block_size=bs, window=window, coarse_window=coarse,
-        interpret=True,
+        granular=granular, interpret=True,
     )
     comp, sizes = np.asarray(comp), np.asarray(sizes)
     assert sizes.max(initial=0) <= cap
@@ -119,6 +122,53 @@ def test_pallas_encode_coarse_randomized_model_parity():
             + int(sizes[i]).to_bytes(4, "little") + comp[i, : sizes[i]].tobytes()
         )
         assert oracle.decompress(stream) == data
+
+
+def test_pallas_encode_granular_model_parity():
+    # Phased-granule kernel vs the NumPy spec, including a repeat at a
+    # long NON-multiple-of-8 lag that the sampled sweep cannot see.
+    from pim_compression_tpu.format import constants as C
+    from pim_compression_tpu.ops import lane_model_encode as lme
+
+    bs, window = 2048, 64
+    coarse = 1500  # deliberately not chunk-aligned; dok mask bounds it
+    r = random.Random(55)
+    chunk = r.randbytes(250)
+    cases = [
+        chunk + r.randbytes(1237 - 250) + chunk + r.randbytes(80),
+        (chunk + r.randbytes(711 - 250)) * 2 + chunk,
+        r.randbytes(2000),
+    ]
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    for i, data in enumerate(cases):
+        blocks[i, : len(data)] = np.frombuffer(data, np.uint8)
+        lens[i] = len(data)
+    comp, sizes = pe.encode_blocks_pallas(
+        blocks, lens, block_size=bs, window=window, coarse_window=coarse,
+        granular=True, interpret=True,
+    )
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+
+    cap = (C.max_compressed_length(bs) + 127) // 128 * 128
+    d = blocks.T.astype(np.int32)
+    best_len, best_off = lme.match_search_granular(
+        d, lens, window, min(coarse, bs)
+    )
+    accept, is_copy = lme.greedy_parse(best_len, lens)
+    mcomp, msizes = lme.layout_and_emit(
+        d, lens, accept, is_copy, best_len, best_off, cap
+    )
+    for i, data in enumerate(cases):
+        assert sizes[i] == msizes[i], f"case {i}"
+        assert comp[i, : sizes[i]].tobytes() == mcomp[:, i][: msizes[i]].tobytes()
+        stream = (
+            encode_varint32(len(data)) + encode_varint32(bs)
+            + int(sizes[i]).to_bytes(4, "little") + comp[i, : sizes[i]].tobytes()
+        )
+        assert oracle.decompress(stream) == data
+    # the unsampled-lag repeat must actually compress
+    assert sizes[0] < len(cases[0]) - 150
 
 
 def test_pallas_runtime_engine_compress():
