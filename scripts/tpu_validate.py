@@ -44,6 +44,7 @@ def main() -> int:
     ap.add_argument("--bs", type=int, default=4096)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--coarse", type=int, default=0)
+    ap.add_argument("--granular", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -59,7 +60,8 @@ def main() -> int:
     from pim_compression_tpu.ops import pallas_encode as pe
 
     results: dict = {"device": str(jax.devices()[0]), "bs": args.bs,
-        "window": args.window, "coarse": args.coarse}
+        "window": args.window, "coarse": args.coarse,
+        "granular": args.granular}
     bs = args.bs
 
     def step(name: str, fn):
@@ -143,7 +145,7 @@ def main() -> int:
     def run_encode():
         c, s = pe.encode_blocks_pallas(
             blocks_d, lens_d, block_size=bs, window=args.window,
-            coarse_window=args.coarse,
+            coarse_window=args.coarse, granular=args.granular,
         )
         sync(c)
         return c, s
@@ -166,7 +168,7 @@ def main() -> int:
         for _ in range(args.iters):
             c, s = pe.encode_blocks_pallas(
                 blocks_d, lens_d, block_size=bs, window=args.window,
-                coarse_window=args.coarse,
+                coarse_window=args.coarse, granular=args.granular,
             )
         sync(c)
         return (time.time() - t0) / args.iters
