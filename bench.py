@@ -13,7 +13,9 @@ reporting the threaded native engine.
 Env knobs: PIM_BENCH_ENGINE (default pallas), PIM_BENCH_BLOCK (default 8192
 for pallas, 32768 otherwise), PIM_BENCH_REPEAT, PIM_BENCH_ITERS,
 PIM_BENCH_TIMEOUT (seconds, default 2700), PIM_BENCH_WINDOW,
-PIM_BENCH_COARSE (long-range sampled-lag reach, 0 = off).
+PIM_BENCH_WINDOW (default 512), PIM_BENCH_COARSE (long-range reach, default
+4096), PIM_BENCH_COARSE_MODE (granular|sampled, default granular — the
+phased-granule matcher dominates sampled on both ratio and speed).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ CORPUS = "/root/reference/test/xml.snappy"
 
 def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
-    coarse: int = 0,
+    coarse: int = 0, granular: bool = False,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -42,6 +44,7 @@ def measure(
     cfg = CodecConfig(
         engine=engine, block_size=block_size, match_window=window,
         coarse_window=coarse,
+        coarse_mode="granular" if granular else "sampled",
     )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
@@ -69,12 +72,12 @@ def measure(
 
 
 def measure_subprocess(
-    engine, block_size, repeat, iters, timeout, window, coarse
+    engine, block_size, repeat, iters, timeout, window, coarse, granular
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
-        f"{repeat}, {iters}, {window}, {coarse})))"
+        f"{repeat}, {iters}, {window}, {coarse}, {granular})))"
     )
     try:
         proc = subprocess.run(
@@ -102,8 +105,9 @@ def main() -> int:
     repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
-    window = int(os.environ.get("PIM_BENCH_WINDOW", "2048"))
-    coarse = int(os.environ.get("PIM_BENCH_COARSE", "0"))
+    window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
+    coarse = int(os.environ.get("PIM_BENCH_COARSE", "4096"))
+    granular = os.environ.get("PIM_BENCH_COARSE_MODE", "granular") == "granular"
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -121,7 +125,7 @@ def main() -> int:
     base = 2 * len(plain) / (t2 - t0) / 1e9
 
     result = measure_subprocess(
-        engine, block, repeat, iters, timeout, window, coarse
+        engine, block, repeat, iters, timeout, window, coarse, granular
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.
