@@ -252,6 +252,8 @@ def decompress(stream: bytes) -> bytes:
     _block_size, pos = decode_varint32(view, pos)
     out = bytearray()
     while pos < len(view):
+        if len(out) >= total_len:
+            raise ValueError("trailing frame after output is complete")
         if pos + C.BLOCK_FRAME_BYTES > len(view):
             raise ValueError("truncated block frame")
         comp_size = int.from_bytes(view[pos : pos + C.BLOCK_FRAME_BYTES], "little")
@@ -277,11 +279,15 @@ def scan_block_frames(stream: bytes) -> tuple[int, int, list[tuple[int, int]]]:
     total_len, pos = decode_varint32(view, 0)
     block_size, pos = decode_varint32(view, pos)
     frames: list[tuple[int, int]] = []
+    out_off = 0
     while pos < len(view):
+        if out_off >= total_len:
+            raise ValueError("trailing frame after output is complete")
         comp_size = int.from_bytes(view[pos : pos + C.BLOCK_FRAME_BYTES], "little")
         pos += C.BLOCK_FRAME_BYTES
         frames.append((pos, comp_size))
         pos += comp_size
+        out_off += min(block_size, total_len - out_off)
     if pos != len(view):
         raise ValueError("trailing garbage after final block")
     return total_len, block_size, frames

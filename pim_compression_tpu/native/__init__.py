@@ -53,7 +53,7 @@ def _load() -> ctypes.CDLL | None:
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.stpu_max_compressed_length.restype = ctypes.c_int64
-    lib.stpu_max_compressed_length.argtypes = [ctypes.c_int64]
+    lib.stpu_max_compressed_length.argtypes = [ctypes.c_int64, ctypes.c_uint32]
     lib.stpu_compress.restype = ctypes.c_int64
     lib.stpu_compress.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_uint32, u8p, ctypes.c_int64, ctypes.c_int
@@ -102,7 +102,7 @@ def compress(
     if num_threads == 0:
         num_threads = os.cpu_count() or 1
     src = np.frombuffer(data, dtype=np.uint8)
-    cap = lib.stpu_max_compressed_length(len(data))
+    cap = _check(lib.stpu_max_compressed_length(len(data), block_size))
     out = np.empty(cap, dtype=np.uint8)
     n = _check(
         lib.stpu_compress(

@@ -306,6 +306,10 @@ int64_t ScanFrames(const uint8_t* in, int64_t n, uint32_t* total_len,
   if (*block_size == 0 || *block_size > kMaxBlockSize) return kInvalidInput;
   int64_t out_off = 0;
   while (pos < n) {
+    // Reject trailing frames once the output is complete (a zero-payload
+    // frame appended after the last real block is malformed; the compressor
+    // never emits one — empty inputs get a header and zero frames).
+    if (out_off == *total_len) return kInvalidInput;
     if (pos + 4 > n) return kInvalidInput;
     const uint32_t size = Load32(in + pos);
     pos += 4;
@@ -354,10 +358,14 @@ void ParallelFor(int64_t count, int num_threads, Fn fn) {
 // ---------------------------------------------------------------------------
 extern "C" {
 
-int64_t stpu_max_compressed_length(int64_t n) {
-  // Whole-stream bound: header varints + per-block frame words + payloads.
-  if (n < 0) return stpu::kBadArgument;
-  return 10 + stpu::MaxCompressedLength(n);
+int64_t stpu_max_compressed_length(int64_t n, uint32_t block_size) {
+  // Whole-stream bound: header varints + per-block frame words + per-block
+  // worst-case payloads. The per-block constant matters: for tiny block
+  // sizes the 4-byte frames + 32-byte slack per block dominate, so a bound
+  // in terms of n alone (10 + 32 + n + n/6) under-allocates.
+  if (n < 0 || block_size == 0) return stpu::kBadArgument;
+  const int64_t num_blocks = n == 0 ? 0 : (n + block_size - 1) / block_size;
+  return 10 + num_blocks * (4 + stpu::MaxCompressedLength(block_size));
 }
 
 // Compress in[0, n) with the given block size; writes the framed stream to
@@ -366,7 +374,8 @@ int64_t stpu_compress(const uint8_t* in, int64_t n, uint32_t block_size,
                       uint8_t* out, int64_t out_cap, int num_threads) {
   if (n < 0 || block_size == 0 || block_size > stpu::kMaxBlockSize)
     return stpu::kBadArgument;
-  if (out_cap < stpu_max_compressed_length(n)) return stpu::kBufferTooSmall;
+  if (out_cap < stpu_max_compressed_length(n, block_size))
+    return stpu::kBufferTooSmall;
 
   uint8_t* op = stpu::WriteVarint32(out, static_cast<uint32_t>(n));
   op = stpu::WriteVarint32(op, block_size);

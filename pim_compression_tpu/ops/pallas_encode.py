@@ -459,12 +459,14 @@ def _emit_kernel(
     is_head = accept & (head_lit | is_copy)
     hdr_here = hdr_lit + hdr_copy
     # Covering head's first-data position, for literal data byte dsts.
-    packed = scan_down(
-        jnp.where(is_head, (rows << 18) | (out_start + hdr_here), -1),
-        jnp.maximum,
-        -1,
+    # out_start + hdr_here is strictly increasing across heads (out_start is
+    # the prefix sum of emit and emit >= hdr_here at every head), so a plain
+    # max-scan of the value yields the most recent head's value — no row
+    # packing needed (a packed (rows << k) | value scheme overflows int32
+    # once rows * 2^k reaches 2^31; this form scales to any block size).
+    cov_data0 = scan_down(
+        jnp.where(is_head, out_start + hdr_here, -1), jnp.maximum, -1
     )
-    cov_data0 = packed & ((1 << 18) - 1)
 
     off = best_off
     h0 = jnp.where(
@@ -485,17 +487,17 @@ def _emit_kernel(
 
     # Park the big layout products in the (now dead) mask scratches so ~20
     # full arrays are not live across the four routing passes (that liveness
-    # alone was 85 MB at bs=8192). meta: litdst(15) | lit(1<<15) |
-    # head(1<<16) | hdr(2 bits << 17).
+    # alone was 85 MB at bs=8192). meta: litdst(16) | lit(1<<16) |
+    # head(1<<17) | hdr(2 bits << 18). 16 litdst bits cover cap(32768)=38261.
     copy_ref[...] = h0 | (h1 << 8) | (h2 << 16)
     litdst = jnp.clip(
-        cov_data0 + (rows - jnp.maximum(head_row, 0)), 0, (1 << 15) - 1
+        cov_data0 + (rows - jnp.maximum(head_row, 0)), 0, (1 << 16) - 1
     )
     meta_s[...] = (
         litdst
-        | (is_lit.astype(jnp.int32) << 15)
-        | (is_head.astype(jnp.int32) << 16)
-        | (hdr_here << 17)
+        | (is_lit.astype(jnp.int32) << 16)
+        | (is_head.astype(jnp.int32) << 17)
+        | (hdr_here << 18)
     )
     accept_ref[...] = out_start
 
@@ -504,12 +506,12 @@ def _emit_kernel(
     for ch in range(4):
         meta = meta_s[...]
         if ch < 3:
-            tok = (((meta >> 16) & 1) != 0) & (((meta >> 17) & 3) > ch)
+            tok = (((meta >> 17) & 1) != 0) & (((meta >> 18) & 3) > ch)
             dst = accept_ref[...] + ch
             val = (copy_ref[...] >> (8 * ch)) & 0xFF
         else:
-            tok = ((meta >> 15) & 1) != 0
-            dst = meta & 0x7FFF
+            tok = ((meta >> 16) & 1) != 0
+            dst = meta & 0xFFFF
             val = data_ref[0].astype(jnp.int32) & 0xFF
         _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG)
 

@@ -73,3 +73,28 @@ def test_native_scan_frames(corpus_dir):
     assert info["payload_off"].tolist() == [f[0] for f in ref_frames]
     assert info["payload_size"].tolist() == [f[1] for f in ref_frames]
     assert info["out_off"][-1] + info["out_size"][-1] == ref_total
+
+
+def test_native_tiny_block_sizes():
+    # Regression (round-1 advisor): with tiny blocks the per-block 4-byte
+    # frames + 32-byte slack dominate, so a capacity bound in terms of n
+    # alone under-allocates and the compact pass overran the heap buffer.
+    rng = random.Random(11)
+    data = rng.randbytes(2000)
+    for bs in [1, 2, 4, 7, 16, 33]:
+        stream = native.compress(data, block_size=bs)
+        assert stream == oracle.compress(data, block_size=bs)
+        assert native.decompress(stream) == data
+
+
+def test_native_rejects_trailing_empty_frame():
+    # A zero-payload frame appended after the output is complete is
+    # malformed; both the native scanner and the oracle must reject it.
+    good = native.compress(b"reject trailing frames " * 10)
+    bad = good + (0).to_bytes(4, "little")
+    with pytest.raises(SnappyError):
+        native.decompress(bad)
+    with pytest.raises(ValueError):
+        oracle.decompress(bad)
+    with pytest.raises(ValueError):
+        oracle.scan_block_frames(bad)

@@ -180,3 +180,86 @@ def test_pallas_runtime_engine_compress():
     stream = runtime.compress(data, cfg)
     assert oracle.decompress(stream) == data
     assert runtime.decompress(stream, cfg) == data
+
+
+def test_pallas_emit_kernel_high_rows_bs16384():
+    # Regression (round-1 advisor): the covering-head scan used a packed
+    # (rows << 18) | value word that wraps negative for rows >= 8192, so at
+    # bs=16384 literal destinations in the second half of the block were
+    # wrong and the encoder silently emitted corrupt streams. Drive the emit
+    # kernel directly (grid=1 group) at bs=16384 with match inputs from the
+    # NumPy spec and require byte parity + oracle decode.
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pim_compression_tpu.ops import lane_model_encode as lme
+
+    bs = 16384
+    cap = pe.encode_capacity(bs)
+    r = random.Random(99)
+    phrase = b"second-half-rows-need-literals-and-copies-"
+    body = bytearray()
+    while len(body) < bs:
+        body += r.randbytes(r.randint(20, 90))
+        body += phrase
+    data = bytes(body[:bs])
+
+    blocks = np.zeros((1, bs), np.uint8)
+    blocks[0] = np.frombuffer(data, np.uint8)
+    lens = np.array([bs], np.int32)
+    d = blocks.T.astype(np.int32)
+    best_len, best_off = lme.match_search(d, lens, 64)
+    accept, is_copy = lme.greedy_parse(best_len, lens)
+    mcomp, msizes = lme.layout_and_emit(
+        d, lens, accept, is_copy, best_len, best_off, cap
+    )
+
+    data_g = np.zeros((1, bs, pe.LANES), np.uint8)
+    data_g[0, :, 0] = blocks[0]
+    match_g = np.zeros((1, bs, pe.LANES), np.int32)
+    match_g[0, :, 0] = best_len[:, 0] | (best_off[:, 0] << 7)
+    lens_g = np.zeros((1, pe.SUBLANES, pe.LANES), np.int32)
+    lens_g[0, :, 0] = bs
+
+    nrows = pe._route_rows(bs, cap)
+    comp_g, size_g = pl.pallas_call(
+        functools.partial(pe._emit_kernel, bs=bs, cap=cap),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, pe.SUBLANES, pe.LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cap, pe.LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, pe.SUBLANES, pe.LANES), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, cap, pe.LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, pe.SUBLANES, pe.LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, pe.LANES), jnp.int32),
+            pltpu.VMEM((bs, pe.LANES), jnp.int32),
+            pltpu.VMEM((nrows, pe.LANES), jnp.int32),
+            pltpu.VMEM((bs, pe.LANES), jnp.int32),
+            pltpu.VMEM((2 * nrows, pe.LANES), jnp.int32),
+            pltpu.VMEM((nrows, pe.LANES), jnp.int32),
+            pltpu.VMEM((bs, pe.LANES), jnp.int32),
+        ],
+        interpret=True,
+    )(jnp.asarray(data_g.view(np.int8)), jnp.asarray(match_g), jnp.asarray(lens_g))
+
+    size = int(np.asarray(size_g)[0, 0, 0])
+    assert size == int(msizes[0])
+    out = np.asarray(comp_g)[0, :size, 0].astype(np.uint8).tobytes()
+    assert out == mcomp[:, 0][:size].tobytes()
+    stream = (
+        encode_varint32(len(data)) + encode_varint32(bs)
+        + size.to_bytes(4, "little") + out
+    )
+    assert oracle.decompress(stream) == data
