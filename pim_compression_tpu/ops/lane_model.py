@@ -18,15 +18,17 @@ from __future__ import annotations
 
 import numpy as np
 
-# Packing (fits int32 for block_size <= 16384):
-#   token = OCCUPIED | dst << DST_SHIFT | kind << KIND_SHIFT | value
-# For copies the 14-bit value field stores offset-1 (so offset == 16384 fits).
-OCCUPIED = 1 << 30
+# Packing (fits int32 for block_size <= 32768, the format's default,
+# dpu_snappy.c:100): token = OCCUPIED | dst << DST_SHIFT | kind << KIND_SHIFT
+# | value. value (15 bits) stores the literal byte or offset-1 (so offset ==
+# 32768 fits); kind is 1 bit (copy = 0 so an "uncovered row" prefix-fill of
+# -1 reads as non-copy); dst is 15 bits; OCCUPIED is the sign bit.
+OCCUPIED = -(1 << 31)
 DST_SHIFT = 16
-KIND_SHIFT = 14
-VALUE_MASK = (1 << 14) - 1
+KIND_SHIFT = 15
+VALUE_MASK = (1 << 15) - 1
 KIND_LIT = 1
-KIND_COPY = 2
+KIND_COPY = 0
 
 # DFA modes.
 TAG, EXT, LIT, OFF = 0, 1, 2, 3
@@ -218,7 +220,7 @@ def butterfly_route(
     for k in range(max(1, (nrows - 1)).bit_length() - 1, -1, -1):
         sh = 1 << k
         occ = (W & OCCUPIED) != 0
-        dst = (W >> DST_SHIFT) & 0x3FFF
+        dst = (W >> DST_SHIFT) & 0x7FFF
         move = occ & (dst - rows >= sh)
         moved_W = np.zeros_like(W)
         moved_W[sh:] = np.where(move, W, 0)[:-sh]
@@ -245,18 +247,16 @@ def fill_and_resolve(
     rows = np.arange(block_size, dtype=np.int32)[:, None]
 
     occupied = (R & OCCUPIED) != 0
-    kind = (R >> KIND_SHIFT) & 3
+    kind = (R >> KIND_SHIFT) & 1
     value = R & VALUE_MASK
 
-    # Prefix-max of (row << 15 | value) over occupied rows: every row learns
-    # its nearest preceding routed row (its covering element).
-    packed = np.where(occupied, (rows << 16) | value, -1)
+    # Prefix-max of (row << 16 | kind << 15 | value) over occupied rows:
+    # every row learns its nearest preceding routed row (its covering
+    # element), with the record's kind and value carried in the low 16 bits.
+    # rows <= 32767 so rows << 16 stays within int31.
+    packed = np.where(occupied, (rows << 16) | (R & 0xFFFF), -1)
     packed = np.maximum.accumulate(packed, axis=0)
-    src_kind = np.where(occupied, kind, 0)
-    # propagate kind alongside via the same prefix (kind of the max row)
-    kpacked = np.where(occupied, (rows << 2) | kind, -1)
-    kpacked = np.maximum.accumulate(kpacked, axis=0)
-    cov_kind = kpacked & 3
+    cov_kind = (packed >> KIND_SHIFT) & 1
     cov_value = packed & VALUE_MASK
 
     # Source pointers: literal rows already carry their byte; copy rows point

@@ -14,8 +14,9 @@ kernels:
   log-shift prefix-max, and pointer-doubles copy chains (the only gathers
   in the whole decoder, via ``take_along_axis`` -> ``tpu.dynamic_gather``).
 
-Token packing (int32, block_size <= 16384): OCCUPIED(1<<30) | dst<<16 |
-kind<<14 | value(14 bits); value holds the literal byte or offset-1.
+Token packing (int32, block_size <= 32768, the format default): OCCUPIED
+(sign bit) | dst<<16 (15 bits) | kind<<15 (1 bit) | value (15 bits); value
+holds the literal byte or offset-1.
 
 The per-block serial tag walk of the reference decoder
 (``snappy_decompress.c:218-289``, ``dpu-decompress/dpu_decompress.c:224-299``)
@@ -45,9 +46,9 @@ from pim_compression_tpu.ops.lane_model import (
 )
 
 DST_SHIFT = 16
-KIND_SHIFT = 14
-VALUE_MASK = (1 << 14) - 1
-MAX_PALLAS_BLOCK = 16384  # packing budget (14-bit dst/value fields)
+KIND_SHIFT = 15
+VALUE_MASK = (1 << 15) - 1
+MAX_PALLAS_BLOCK = 32768  # packing budget (15-bit dst/value fields)
 
 LANES = 128
 SUBLANES = 8
@@ -231,25 +232,29 @@ def _route_kernel(
     # Phase 1a: occupancy prefix-sum over the [0, cap) token rows.
     # (Unaligned dynamic sublane starts lower fine on this target, so every
     # round including sh < 8 lives in the fori.)
+    # rank_s is sized max(cap, block_size); index its [0, cap) prefix here
+    # (cap < block_size is legal for well-compressed batches).
     W_s[...] = tokens_ref[0]
-    rank_s[...] = (W_s[...] & OCCUPIED) // OCCUPIED
+    rank_s[0:cap] = ((W_s[...] & OCCUPIED) != 0).astype(jnp.int32)
     C_s[0:cap] = jnp.zeros((cap, LANES), jnp.int32)
 
     def csum_body(j, _):
         sh = jnp.int32(1) << j
-        C_s[cap : 2 * cap] = rank_s[...]
-        rank_s[...] = rank_s[...] + C_s[pl.ds(cap - sh, cap), :]
+        C_s[cap : 2 * cap] = rank_s[0:cap]
+        rank_s[0:cap] = rank_s[0:cap] + C_s[pl.ds(cap - sh, cap), :]
         return 0
 
     jax.lax.fori_loop(0, (cap - 1).bit_length(), csum_body, 0)
-    rank_s[...] = jnp.where((W_s[...] & OCCUPIED) != 0, rank_s[...] - 1, 0)
+    rank_s[0:cap] = jnp.where(
+        (W_s[...] & OCCUPIED) != 0, rank_s[0:cap] - 1, 0
+    )
 
     # Phase 1b: compact up, LSB-first (move up 2^k iff bit k of row - rank;
     # distances <= cap-1).
     def compact_body(k, conflict):
         sh = jnp.int32(1) << k
         W = W_s[...]
-        rank = rank_s[...]
+        rank = rank_s[0:cap]
         occ = (W & OCCUPIED) != 0
         move = occ & ((((crows - rank) >> k) & 1) == 1)
         C_s[0:cap] = jnp.where(move, W, 0)
@@ -262,7 +267,7 @@ def _route_kernel(
         new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
         C_s[0:cap] = jnp.where(move, rank, 0)
         moved_rank = C_s[pl.ds(sh, cap), :]
-        rank_s[...] = jnp.where(
+        rank_s[0:cap] = jnp.where(
             arriving, moved_rank, jnp.where(staying, rank, 0)
         )
         W_s[...] = new_W
@@ -292,7 +297,7 @@ def _route_kernel(
         sh = jnp.int32(1) << (max_bit - j)
         W = E_s[...]
         occ = (W & OCCUPIED) != 0
-        dst = (W >> DST_SHIFT) & 0x3FFF
+        dst = (W >> DST_SHIFT) & 0x7FFF
         move = occ & (dst - rows >= sh)
         C_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
         moved_W = C_s[pl.ds(block_size - sh, block_size), :]  # shift-down
@@ -320,7 +325,7 @@ def _route_kernel(
     R = E_s[...]
     rank_s[0:block_size] = jnp.where(
         (R & OCCUPIED) != 0,
-        (rrows << 16) | (R & (VALUE_MASK | (3 << KIND_SHIFT))),
+        (rrows << 16) | (R & 0xFFFF),
         -1,
     )
     C_s[0:block_size] = jnp.full((block_size, LANES), -1, jnp.int32)
@@ -340,18 +345,20 @@ def _route_kernel(
     out_len = out_len_ref[0, 0:1, :]  # (1, 128)
     in_range = rrows < out_len
     R = E_s[...]
-    packed = rank_s[0:block_size]
-    is_lit_row = ((R & OCCUPIED) != 0) & (((R >> KIND_SHIFT) & 3) == KIND_LIT)
-    W_s[0:block_size] = jnp.where(
+    packed = rank_s[0:block_size]  # loaded value; safe to overwrite below
+    is_lit_row = ((R & OCCUPIED) != 0) & (((R >> KIND_SHIFT) & 1) == KIND_LIT)
+    # Park S in rank_s (sized max(cap, block_size) — W_s is only cap rows,
+    # which can be smaller than block_size for well-compressed batches).
+    rank_s[0:block_size] = jnp.where(
         is_lit_row,
         -(R & 0xFF) - 1,
         rrows - ((packed & VALUE_MASK) + 1),
     )
-    S = W_s[0:block_size]
+    S = rank_s[0:block_size]
     bad = (
         in_range
         & ~is_lit_row
-        & ((((packed >> KIND_SHIFT) & 3) != KIND_COPY) | (S >= rrows) | (S < 0))
+        & ((((packed >> KIND_SHIFT) & 1) != KIND_COPY) | (S >= rrows) | (S < 0))
     )
     err = err | jnp.where(jnp.any(bad, axis=0, keepdims=True), ERR_BAD_OFFSET, 0)
     S = jnp.where(bad | ~in_range, -1, S)
@@ -399,7 +406,9 @@ def _route_kernel(
         jnp.any(S >= 0, axis=0, keepdims=True), ERR_UNRESOLVED, 0
     )
 
-    out_ref[0] = jnp.where(in_range, (-S - 1) & 0xFF, 0)
+    # int8 output (byte values bit-exact mod 256): at bs=32768 an int32 out
+    # block would cost 16.8 MB of the ~126 MB VMEM budget; int8 costs 4.2.
+    out_ref[0] = jnp.where(in_range, (-S - 1) & 0xFF, 0).astype(jnp.int8)
     err_ref[0] = jnp.broadcast_to(err, (SUBLANES, LANES))
 
 
@@ -436,7 +445,7 @@ def decode_blocks_pallas(
     *,
     block_size: int = 4096,
     interpret: bool = False,
-    resolve_rounds: int = 14,
+    resolve_rounds: int = 17,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode a batch of blocks with the lane-parallel kernels.
 
@@ -527,7 +536,7 @@ def decode_blocks_pallas(
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((SUBLANES, block_size, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((SUBLANES, block_size, LANES), jnp.int8),
                 jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
             ],
             scratch_shapes=[

@@ -27,6 +27,32 @@ from pim_compression_tpu.utils.config import CodecConfig
 from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
 
 
+def _pallas_or_fallback(
+    config: CodecConfig, block_size: int, max_block: int, timer: PhaseTimer
+) -> bool:
+    """Gate the pallas engine on the kernel envelope, loudly.
+
+    A user benchmarking "the pallas engine" must never silently measure the
+    xla kernels; surface the fallback as a warning + a timer note, or raise
+    under ``strict_engine``.
+    """
+    if config.engine != "pallas":
+        return False
+    if block_size <= max_block:
+        return True
+    msg = (
+        f"pallas kernels support block_size <= {max_block}; "
+        f"stream uses {block_size} — falling back to the xla engine"
+    )
+    if config.strict_engine:
+        raise SnappyError(SnappyStatus.BAD_ARGUMENT, msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=3)
+    timer.notes["engine_fallback"] = f"pallas->xla (block_size {block_size})"
+    return False
+
+
 def _device_batches(num_blocks: int, config: CodecConfig, mesh) -> tuple[int, int]:
     """(padded_total, batch) — batch is a multiple of the mesh size."""
     nd = mesh.devices.size
@@ -62,8 +88,8 @@ def decompress(
         padded, batch = _device_batches(nb, config, mesh)
         comp, comp_len, out_len = pipeline.blockize_compressed(stream, info, padded)
 
-    use_pallas = (
-        config.engine == "pallas" and block_size <= pallas_decode.MAX_PALLAS_BLOCK
+    use_pallas = _pallas_or_fallback(
+        config, block_size, pallas_decode.MAX_PALLAS_BLOCK, timer
     )
     if use_pallas:
         # The lane-parallel kernels want 1024-block batches *per device*
@@ -165,8 +191,8 @@ def compress(
             )
         mesh = get_mesh()
         padded, batch = _device_batches(nb, config, mesh)
-        use_pallas = (
-            config.engine == "pallas" and block_size <= pallas_encode.MAX_ENC_BLOCK
+        use_pallas = _pallas_or_fallback(
+            config, block_size, pallas_encode.MAX_ENC_BLOCK, timer
         )
         if use_pallas:
             per_device = pallas_encode.BATCH * mesh.devices.size

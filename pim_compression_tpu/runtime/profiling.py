@@ -21,6 +21,9 @@ PHASES = ("pre", "compile", "h2d", "kernel", "d2h", "post")
 class PhaseTimer:
     def __init__(self) -> None:
         self.seconds: dict[str, float] = {p: 0.0 for p in PHASES}
+        # Free-form run metadata (e.g. engine_fallback) surfaced in both the
+        # human and JSON outputs.
+        self.notes: dict[str, str] = {}
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -39,7 +42,11 @@ class PhaseTimer:
     def human(self) -> str:
         lines = [f"{name} time: {secs:.6f}s" for name, secs in self.seconds.items()]
         lines.append(f"Total time: {self.total:.6f}s")
+        lines.extend(f"note {k}: {v}" for k, v in self.notes.items())
         return "\n".join(lines)
 
     def json(self, **extra) -> str:
-        return json.dumps({"phases_s": self.seconds, "total_s": self.total, **extra})
+        payload = {"phases_s": self.seconds, "total_s": self.total, **extra}
+        if self.notes:
+            payload["notes"] = self.notes
+        return json.dumps(payload)

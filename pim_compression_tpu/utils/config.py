@@ -36,6 +36,9 @@ class CodecConfig:
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
     pipeline_depth: int = 2
+    # When True, engine="pallas" raises instead of silently falling back to
+    # the xla kernels for block sizes beyond the pallas envelope.
+    strict_engine: bool = False
 
     def __post_init__(self) -> None:
         if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:

@@ -1,0 +1,64 @@
+"""Mosaic lowering regression tier (VERDICT r1 item 8).
+
+CI runs the Pallas kernels only in interpret mode at small block sizes; these
+tests run the *TPU lowering path* (``jax.jit(...).trace(...).lower(
+lowering_platforms=("tpu",))``) for the production shapes, so kernel edits
+cannot silently break Mosaic lowering while the suite stays CPU-only. This
+is the tier DESIGN.md's "Mosaic compatibility notes" describes: value-level
+dynamic slices, cum* primitives, zero-size concats etc. all fail here, not
+on hardware.
+
+No execution happens: lowering builds the Mosaic MLIR module only (the
+heavy Mosaic -> LLO compile still happens on device at first run).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pim_compression_tpu.ops import pallas_decode as pd
+from pim_compression_tpu.ops import pallas_encode as pe
+
+
+def _lower(fn, *args):
+    lowered = jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+    text = lowered.as_text()
+    assert "tpu_custom_call" in text, "pallas kernel did not lower via Mosaic"
+    return text
+
+
+@pytest.mark.parametrize("bs", [8192, 32768])
+def test_decode_lowering_production_shapes(bs):
+    cap = pd.pallas_capacity(bs)
+    fn = functools.partial(pd.decode_blocks_pallas, block_size=bs)
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((pd.DFA_LANES, cap), jnp.uint8),
+        jax.ShapeDtypeStruct((pd.DFA_LANES,), jnp.int32),
+        jax.ShapeDtypeStruct((pd.DFA_LANES,), jnp.int32),
+    )
+
+
+@pytest.mark.parametrize(
+    "bs,window,coarse,granular",
+    [
+        (8192, 512, 4096, True),  # bench default config
+        (8192, 2048, 8192, True),  # best-ratio ladder config
+        (16384, 512, 4096, True),
+    ],
+)
+def test_encode_lowering_production_shapes(bs, window, coarse, granular):
+    fn = functools.partial(
+        pe.encode_blocks_pallas,
+        block_size=bs,
+        window=window,
+        coarse_window=coarse,
+        granular=granular,
+    )
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
+        jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
+    )

@@ -175,3 +175,53 @@ def test_pallas_runtime_rejects_corrupt_structure():
     except (SnappyError, ValueError):
         return  # typed rejection — good
     assert out != data, "corrupt stream decoded to the original?!"
+
+
+def test_pallas_kernels_interpret_32k_blocks():
+    # The format's default 32 KB blocks (dpu_snappy.c:100): exercises the
+    # wide token packing (dst/value 15 bits, OCCUPIED at the sign bit), the
+    # 32768-row expand/fill, and deep RLE chains through the adaptive
+    # resolve. Highly compressible data keeps cap (and so interpret-mode
+    # cost) small while the output space is the full 32 K rows.
+    bs = 32768
+    r = random.Random(13)
+    phrase = b"thirty-two kilobyte blocks are the reference operating point. "
+    data = (
+        phrase * 200
+        + b"z" * 20000  # RLE chain ~20000 deep -> needs 15 resolve rounds
+        + r.randbytes(700)
+        + phrase * 80
+    )
+    data = data[: bs + 2000]  # 2 blocks: one full, one partial
+    stream = oracle.compress(data, bs)
+    _, _, frames = oracle.scan_block_frames(stream)
+    cap = ((max(s for _, s in frames) + 127) // 128 * 128) + 128
+    comp, clen, olen, nb, _ = _blockize(stream, cap, pad_to=pallas_decode.DFA_LANES)
+    out, err = pallas_decode.decode_blocks_pallas(
+        comp, clen, olen, block_size=bs, interpret=True
+    )
+    out, err = np.asarray(out), np.asarray(err)
+    assert not err[:nb].any()
+    got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
+    assert got == data
+
+
+def test_lane_model_32k_wide_packing():
+    # Spec-level check at bs=32768 with destinations past the old 14-bit
+    # packing limit and copies whose sources sit below 16384 while their
+    # destinations sit above it.
+    bs = 32768
+    r = random.Random(17)
+    seed = r.randbytes(120)
+    body = bytearray(r.randbytes(16000))
+    while len(body) < 31000:
+        body += seed + r.randbytes(r.randint(10, 60))
+    data = bytes(body[:bs])
+    stream = oracle.compress(data, bs)
+    _, _, frames = oracle.scan_block_frames(stream)
+    cap = (max(s for _, s in frames) + 127) // 128 * 128
+    comp, clen, olen, nb, _ = _blockize(stream, cap, pad_to=0)
+    out, err = lane_model.decode_lanes(comp, clen, olen, bs)
+    assert not err[:nb].any()
+    got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
+    assert got == data
