@@ -209,225 +209,352 @@ def _dfa_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _pick_chunk(rows: int, target: int = 4096) -> int:
+    """Largest divisor of ``rows`` that is <= target and a multiple of 8.
+
+    Phase bodies operate on (chunk, 128) slices so the register allocator
+    never has to materialize more than a few MB of live vector values: at
+    bs=32768 a single whole-array expression costs 16 MB of spill slots and
+    the straight-line kernel needed 281 MB of VMEM (measured; budget 128).
+    """
+    ch = min(rows, target)
+    while ch > 8 and (rows % ch or ch % 8):
+        ch -= 8
+    if rows % ch or ch % 8:
+        raise ValueError(f"no chunk divisor for {rows}")
+    return ch
+
+
 def _route_kernel(
-    tokens_ref,  # (1, cap, 128) i32
+    tokens_hbm,  # (8, cap, 128) i32 in ANY (HBM); group g is DMA'd in
     out_len_ref,  # (1, 8, 128) i32  (row 0 used)
-    out_ref,  # (1, block_size, 128) i32
+    out_ref,  # (1, block_size, 128) i8
     err_ref,  # (1, 8, 128) i32
     W_s,  # scratch (cap, 128) i32
-    rank_s,  # scratch (cap, 128) i32
+    rank_s,  # scratch (max(cap, block_size), 128) i32
     E_s,  # scratch (block_size, 128) i32
-    C_s,  # scratch (2 * cap, 128) i32 (staging for all shift phases)
+    C_s,  # scratch (2 * max(cap, block_size) + chunk, 128) i32 (staging)
+    sem,  # DMA semaphore
     *,
     cap: int,
     block_size: int,
     resolve_rounds: int,
 ):
-    # Every phase's shift rounds run as fori_loops reading staged scratch at
-    # dynamic (8-aligned) offsets: an unrolled round chain leaks ~1 full
-    # array of register-allocator spill per round (observed 141-152 MB at
-    # bs=4096, over the chip's 128 MB VMEM budget).
-    crows = jax.lax.broadcasted_iota(jnp.int32, (cap, LANES), 0)
+    # Structure: every phase is a (rounds x chunks) fori nest. Pure-copy
+    # staging runs on the DMA engines (VMEM->VMEM async copies); compute
+    # staging and combines run chunk-wise so peak value liveness stays a few
+    # (chunk, 128) arrays. The token input lives in HBM and is DMA'd into
+    # W_s once — a windowed input would hold 2 x cap rows of VMEM.
+    bs = block_size
+    g = pl.program_id(0)
+    CHC = _pick_chunk(cap)
+    CHB = _pick_chunk(bs)
+    NCC = cap // CHC
+    NCB = bs // CHB
+    nq = bs // LANES  # 128-row transpose chunks (resolve layout)
 
-    # Phase 1a: occupancy prefix-sum over the [0, cap) token rows.
-    # (Unaligned dynamic sublane starts lower fine on this target, so every
-    # round including sh < 8 lives in the fori.)
-    # rank_s is sized max(cap, block_size); index its [0, cap) prefix here
-    # (cap < block_size is legal for well-compressed batches).
-    W_s[...] = tokens_ref[0]
-    rank_s[0:cap] = ((W_s[...] & OCCUPIED) != 0).astype(jnp.int32)
-    C_s[0:cap] = jnp.zeros((cap, LANES), jnp.int32)
+    def dma(src, dst):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
 
-    def csum_body(j, _):
-        sh = jnp.int32(1) << j
-        C_s[cap : 2 * cap] = rank_s[0:cap]
-        rank_s[0:cap] = rank_s[0:cap] + C_s[pl.ds(cap - sh, cap), :]
+    def ch_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+
+    dma(tokens_hbm.at[g], W_s)
+
+    # ---- Phase 1a: occupancy prefix-sum over the [0, cap) token rows. ----
+    # (Unaligned dynamic sublane starts lower fine on this target.)
+    def occ_init(c, _):
+        W = W_s[pl.ds(c * CHC, CHC)]
+        rank_s[pl.ds(c * CHC, CHC)] = ((W & OCCUPIED) != 0).astype(jnp.int32)
+        # Hardware scratch is NOT zero-initialized (interpret mode is): the
+        # csum rounds read C_s rows below cap via the staged-shift window,
+        # so the [0, cap) region must start as zeros.
+        C_s[pl.ds(c * CHC, CHC)] = jnp.zeros((CHC, LANES), jnp.int32)
         return 0
 
-    jax.lax.fori_loop(0, (cap - 1).bit_length(), csum_body, 0)
-    rank_s[0:cap] = jnp.where(
-        (W_s[...] & OCCUPIED) != 0, rank_s[0:cap] - 1, 0
-    )
+    jax.lax.fori_loop(0, NCC, occ_init, 0)
 
-    # Phase 1b: compact up, LSB-first (move up 2^k iff bit k of row - rank;
-    # distances <= cap-1).
-    def compact_body(k, conflict):
+    def csum_round(j, _):
+        sh = jnp.int32(1) << j
+        dma(rank_s.at[pl.ds(0, cap)], C_s.at[pl.ds(cap, cap)])
+
+        def add(c, _):
+            r = rank_s[pl.ds(c * CHC, CHC)]
+            rank_s[pl.ds(c * CHC, CHC)] = (
+                r + C_s[pl.ds(cap + c * CHC - sh, CHC)]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, NCC, add, 0)
+        return 0
+
+    jax.lax.fori_loop(0, (cap - 1).bit_length(), csum_round, 0)
+
+    def rank_fix(c, _):
+        W = W_s[pl.ds(c * CHC, CHC)]
+        r = rank_s[pl.ds(c * CHC, CHC)]
+        rank_s[pl.ds(c * CHC, CHC)] = jnp.where((W & OCCUPIED) != 0, r - 1, 0)
+        return 0
+
+    jax.lax.fori_loop(0, NCC, rank_fix, 0)
+
+    # ---- Phase 1b: compact up, LSB-first (move up 2^k iff bit k of
+    # row - rank). Masked W / rank staged at C_s[0:cap] / C_s[cap:2cap];
+    # reads past cap are clamped into the chunk-sized pad and masked off.
+    def compact_round(k, conflict):
         sh = jnp.int32(1) << k
-        W = W_s[...]
-        rank = rank_s[0:cap]
-        occ = (W & OCCUPIED) != 0
-        move = occ & ((((crows - rank) >> k) & 1) == 1)
-        C_s[0:cap] = jnp.where(move, W, 0)
-        moved_W = C_s[pl.ds(sh, cap), :]  # shift-up: read at +sh
-        arriving = (moved_W & OCCUPIED) != 0
-        staying = occ & ~move
-        conflict = conflict | jnp.any(
-            arriving & staying, axis=0, keepdims=True
-        ).astype(jnp.int32)
-        new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
-        C_s[0:cap] = jnp.where(move, rank, 0)
-        moved_rank = C_s[pl.ds(sh, cap), :]
-        rank_s[0:cap] = jnp.where(
-            arriving, moved_rank, jnp.where(staying, rank, 0)
-        )
-        W_s[...] = new_W
-        return conflict
 
-    conflict_acc = jnp.zeros((1, LANES), jnp.int32)
-    C_s[cap : 2 * cap] = jnp.zeros((cap, LANES), jnp.int32)  # up-shift pad
+        def stage(c, _):
+            W = W_s[pl.ds(c * CHC, CHC)]
+            rank = rank_s[pl.ds(c * CHC, CHC)]
+            rows = c * CHC + ch_iota(CHC)
+            move = ((W & OCCUPIED) != 0) & ((((rows - rank) >> k) & 1) == 1)
+            C_s[pl.ds(c * CHC, CHC)] = jnp.where(move, W, 0)
+            C_s[pl.ds(cap + c * CHC, CHC)] = jnp.where(move, rank, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NCC, stage, 0)
+
+        def combine(c, conflict):
+            W = W_s[pl.ds(c * CHC, CHC)]
+            rank = rank_s[pl.ds(c * CHC, CHC)]
+            rows = c * CHC + ch_iota(CHC)
+            occ = (W & OCCUPIED) != 0
+            move = occ & ((((rows - rank) >> k) & 1) == 1)
+            src_ok = rows + sh < cap  # no tokens exist at/past cap
+            mW = jnp.where(src_ok, C_s[pl.ds(c * CHC + sh, CHC)], 0)
+            rstart = jnp.minimum(cap + c * CHC + sh, 2 * cap)
+            mR = jnp.where(src_ok, C_s[pl.ds(rstart, CHC)], 0)
+            arriving = (mW & OCCUPIED) != 0
+            staying = occ & ~move
+            conflict = conflict | jnp.any(
+                arriving & staying, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            W_s[pl.ds(c * CHC, CHC)] = jnp.where(
+                arriving, mW, jnp.where(staying, W, 0)
+            )
+            rank_s[pl.ds(c * CHC, CHC)] = jnp.where(
+                arriving, mR, jnp.where(staying, rank, 0)
+            )
+            return conflict
+
+        return jax.lax.fori_loop(0, NCC, combine, conflict)
+
     conflict_acc = jax.lax.fori_loop(
-        0, (cap - 1).bit_length(), compact_body, conflict_acc
+        0, (cap - 1).bit_length(), compact_round,
+        jnp.zeros((1, LANES), jnp.int32),
     )
 
-    # Hand off to output space: every token produces >= 1 output byte, so
-    # the compacted prefix holds at most block_size tokens (<= out_len) and
-    # the expand phase fits a [block_size, 128] array — destinations are
-    # plain output positions (no bias), independent of cap.
-    if cap >= block_size:
-        E_s[...] = W_s[0:block_size]
+    # ---- Handoff to output space: every token produces >= 1 output byte,
+    # so the compacted prefix holds at most block_size tokens and expand
+    # runs in E_s with plain output-position destinations.
+    def zero_e(c, _):
+        E_s[pl.ds(c * CHB, CHB)] = jnp.zeros((CHB, LANES), jnp.int32)
+        return 0
+
+    if cap >= bs:
+        dma(W_s.at[pl.ds(0, bs)], E_s)
     else:
-        E_s[0:cap] = W_s[...]
-        E_s[cap:block_size] = jnp.zeros((block_size - cap, LANES), jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
+        jax.lax.fori_loop(0, NCB, zero_e, 0)
+        dma(W_s, E_s.at[pl.ds(0, cap)])
 
-    # Phase 2: expand down, MSB-first (move down 2^k iff dst - row >= 2^k).
-    max_bit = (block_size - 1).bit_length() - 1
+    # Zero the sub-bs staging region once: expand reads below bs hit it.
+    def zero_c(c, _):
+        C_s[pl.ds(c * CHB, CHB)] = jnp.zeros((CHB, LANES), jnp.int32)
+        return 0
 
-    def expand_body(j, conflict):
+    jax.lax.fori_loop(0, NCB, zero_c, 0)
+
+    # ---- Phase 2: expand down, MSB-first (move down 2^k iff dst - row >=
+    # 2^k). Masked W staged at C_s[bs:2bs].
+    max_bit = (bs - 1).bit_length() - 1
+
+    def expand_round(j, conflict):
         sh = jnp.int32(1) << (max_bit - j)
-        W = E_s[...]
-        occ = (W & OCCUPIED) != 0
-        dst = (W >> DST_SHIFT) & 0x7FFF
-        move = occ & (dst - rows >= sh)
-        C_s[block_size : 2 * block_size] = jnp.where(move, W, 0)
-        moved_W = C_s[pl.ds(block_size - sh, block_size), :]  # shift-down
-        arriving = (moved_W & OCCUPIED) != 0
-        staying = occ & ~move
-        conflict = conflict | jnp.any(
-            arriving & staying, axis=0, keepdims=True
-        ).astype(jnp.int32)
-        E_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
-        return conflict
 
-    C_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
-    conflict_acc = jax.lax.fori_loop(0, max_bit + 1, expand_body, conflict_acc)
+        def stage(c, _):
+            W = E_s[pl.ds(c * CHB, CHB)]
+            rows = c * CHB + ch_iota(CHB)
+            dst = (W >> DST_SHIFT) & 0x7FFF
+            move = ((W & OCCUPIED) != 0) & (dst - rows >= sh)
+            C_s[pl.ds(bs + c * CHB, CHB)] = jnp.where(move, W, 0)
+            return 0
 
+        jax.lax.fori_loop(0, NCB, stage, 0)
+
+        def combine(c, conflict):
+            W = E_s[pl.ds(c * CHB, CHB)]
+            rows = c * CHB + ch_iota(CHB)
+            occ = (W & OCCUPIED) != 0
+            dst = (W >> DST_SHIFT) & 0x7FFF
+            move = occ & (dst - rows >= sh)
+            mW = C_s[pl.ds(bs + c * CHB - sh, CHB)]
+            arriving = (mW & OCCUPIED) != 0
+            staying = occ & ~move
+            conflict = conflict | jnp.any(
+                arriving & staying, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            E_s[pl.ds(c * CHB, CHB)] = jnp.where(
+                arriving, mW, jnp.where(staying, W, 0)
+            )
+            return conflict
+
+        return jax.lax.fori_loop(0, NCB, combine, conflict)
+
+    conflict_acc = jax.lax.fori_loop(0, max_bit + 1, expand_round, conflict_acc)
     err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
-    # Fill + resolve in output space. Staged through the scratches to keep
-    # live temporaries to a handful of arrays (the straight-line version of
-    # this tail spilled ~80 MB at bs=8192).
-    rrows = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0)
+    # ---- Phase 3: prefix-max fill of copy interiors. Every output row is
+    # within MAX_COPY_LEN-1 = 63 rows of its covering token, so shifts 1..64
+    # suffice. packed = (row << 16) | kind | value, parked in rank_s.
+    C_s[pl.ds(bs - 64, 64)] = jnp.full((64, LANES), -1, jnp.int32)
 
-    # Prefix-max fill, in place in the (reused) rank scratch. Every output
-    # row is within MAX_COPY_LEN-1 = 63 rows of its covering token (copy
-    # interiors are the only gaps), so shifts 1..64 suffice — not log2(bs).
-    R = E_s[...]
-    rank_s[0:block_size] = jnp.where(
-        (R & OCCUPIED) != 0,
-        (rrows << 16) | (R & 0xFFFF),
-        -1,
-    )
-    C_s[0:block_size] = jnp.full((block_size, LANES), -1, jnp.int32)
-
-    def fill_body(j, _):
-        sh = jnp.int32(1) << j
-        C_s[block_size : 2 * block_size] = rank_s[0:block_size]
-        rank_s[0:block_size] = jnp.maximum(
-            rank_s[0:block_size], C_s[pl.ds(block_size - sh, block_size), :]
+    def pack_init(c, _):
+        R = E_s[pl.ds(c * CHB, CHB)]
+        rows = c * CHB + ch_iota(CHB)
+        rank_s[pl.ds(c * CHB, CHB)] = jnp.where(
+            (R & OCCUPIED) != 0, (rows << 16) | (R & 0xFFFF), -1
         )
         return 0
 
-    jax.lax.fori_loop(0, C.MAX_COPY_LEN.bit_length(), fill_body, 0)
+    jax.lax.fori_loop(0, NCB, pack_init, 0)
 
-    # Source pointers into W_s rows [0, block_size): literal rows carry their
-    # byte, copy rows point back by the covering offset.
+    def fill_round(j, _):
+        sh = jnp.int32(1) << j
+        dma(rank_s.at[pl.ds(0, bs)], C_s.at[pl.ds(bs, bs)])
+
+        def mx(c, _):
+            r = rank_s[pl.ds(c * CHB, CHB)]
+            rank_s[pl.ds(c * CHB, CHB)] = jnp.maximum(
+                r, C_s[pl.ds(bs + c * CHB - sh, CHB)]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, NCB, mx, 0)
+        return 0
+
+    jax.lax.fori_loop(0, C.MAX_COPY_LEN.bit_length(), fill_round, 0)
+
+    # ---- Phase 4: source pointers. Literal rows carry their byte (encoded
+    # negative); copy rows point back by the covering offset.
     out_len = out_len_ref[0, 0:1, :]  # (1, 128)
-    in_range = rrows < out_len
-    R = E_s[...]
-    packed = rank_s[0:block_size]  # loaded value; safe to overwrite below
-    is_lit_row = ((R & OCCUPIED) != 0) & (((R >> KIND_SHIFT) & 1) == KIND_LIT)
-    # Park S in rank_s (sized max(cap, block_size) — W_s is only cap rows,
-    # which can be smaller than block_size for well-compressed batches).
-    rank_s[0:block_size] = jnp.where(
-        is_lit_row,
-        -(R & 0xFF) - 1,
-        rrows - ((packed & VALUE_MASK) + 1),
-    )
-    S = rank_s[0:block_size]
-    bad = (
-        in_range
-        & ~is_lit_row
-        & ((((packed >> KIND_SHIFT) & 1) != KIND_COPY) | (S >= rrows) | (S < 0))
-    )
-    err = err | jnp.where(jnp.any(bad, axis=0, keepdims=True), ERR_BAD_OFFSET, 0)
-    S = jnp.where(bad | ~in_range, -1, S)
 
-    # Adaptive pointer doubling. Mosaic's dynamic_gather cannot cross vregs
-    # along the gather dimension (verified on hardware), so the chains are
-    # chased in a transposed layout: positions move onto lanes in chunks of
-    # 128 (rows become (chunk, block)), where per-row lane-gather is native;
-    # the cross-chunk component is a static sweep of block-aligned row
-    # shifts. Real chains resolve in 2-5 adaptive rounds.
-    nchunks = block_size // LANES
-    S = _to_pos_lanes(S, nchunks)
-    qrow = jax.lax.broadcasted_iota(jnp.int32, (block_size, LANES), 0) // LANES
+    def sbad(c, bad_acc):
+        R = E_s[pl.ds(c * CHB, CHB)]
+        packed = rank_s[pl.ds(c * CHB, CHB)]
+        rows = c * CHB + ch_iota(CHB)
+        in_range = rows < out_len
+        is_lit = ((R & OCCUPIED) != 0) & (((R >> KIND_SHIFT) & 1) == KIND_LIT)
+        S = jnp.where(
+            is_lit, -(R & 0xFF) - 1, rows - ((packed & VALUE_MASK) + 1)
+        )
+        bad = (
+            in_range
+            & ~is_lit
+            & (
+                (((packed >> KIND_SHIFT) & 1) != KIND_COPY)
+                | (S >= rows)
+                | (S < 0)
+            )
+        )
+        bad_acc = bad_acc | jnp.any(bad, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+        rank_s[pl.ds(c * CHB, CHB)] = jnp.where(bad | ~in_range, -1, S)
+        return bad_acc
 
-    def resolve_cond(carry):
-        r, s = carry
-        return (r < resolve_rounds) & jnp.any(s >= 0)
+    bad_acc = jax.lax.fori_loop(0, NCB, sbad, jnp.zeros((1, LANES), jnp.int32))
+    err = err | jnp.where(bad_acc != 0, ERR_BAD_OFFSET, 0)
 
-    def resolve_body(carry):
-        r, s = carry
-        ptr = jnp.maximum(s, 0)
-        qs = ptr // LANES
-        rs = ptr % LANES
-        # Stage s below a zero pad so each chunk delta is one aligned
-        # dynamic-slice read (an unrolled delta loop spills ~nchunks full
-        # arrays of register-allocator slots).
-        C_s[0:block_size] = jnp.zeros((block_size, LANES), jnp.int32)
-        C_s[block_size : 2 * block_size] = s
+    # ---- Phase 5: transpose to position-lane layout. Mosaic's
+    # dynamic_gather cannot cross vregs along the gather dimension
+    # (hardware-verified), so chains are chased with positions on lanes:
+    # row (q*128 + block), lane (position % 128); the cross-chunk component
+    # is a 128-aligned row shift. Chunk-wise (128, 128) transposes.
+    def tr(q, alive):
+        x = rank_s[pl.ds(q * LANES, LANES)]  # [pos residue, block]
+        E_s[pl.ds(q * LANES, LANES)] = jnp.transpose(x)  # [block, residue]
+        return alive | jnp.any(x >= 0, axis=0, keepdims=True).astype(jnp.int32)
 
-        def dbody(delta, new):
-            cand = C_s[pl.ds(block_size - delta * LANES, block_size), :]
-            got = jnp.take_along_axis(cand, rs, axis=1)
-            return jnp.where((s >= 0) & (qrow - qs == delta), got, new)
+    alive0 = jax.lax.fori_loop(0, nq, tr, jnp.zeros((1, LANES), jnp.int32))
 
-        # Only sweep deltas that exist this round: real streams have mostly
-        # small offsets, so the max pending chunk distance is usually 0-4,
-        # not nchunks.
-        max_delta = jnp.max(jnp.where(s >= 0, qrow - qs, 0))
-        new = jax.lax.fori_loop(0, max_delta + 1, dbody, s)
-        return r + 1, new
+    # ---- Phase 6: adaptive pointer jumping. Real chains resolve in 2-5
+    # rounds; the delta sweep only covers chunk distances that exist this
+    # round (real streams have mostly small offsets).
+    def cond(carry):
+        r, alive = carry
+        return (r < resolve_rounds) & jnp.any(alive != 0)
 
-    _, S = jax.lax.while_loop(resolve_cond, resolve_body, (jnp.int32(0), S))
-    S = _from_pos_lanes(S, nchunks)
-    err = err | jnp.where(
-        jnp.any(S >= 0, axis=0, keepdims=True), ERR_UNRESOLVED, 0
-    )
+    def body(carry):
+        r, _ = carry
 
-    # int8 output (byte values bit-exact mod 256): at bs=32768 an int32 out
-    # block would cost 16.8 MB of the ~126 MB VMEM budget; int8 costs 4.2.
-    out_ref[0] = jnp.where(in_range, (-S - 1) & 0xFF, 0).astype(jnp.int8)
+        def stat(c, md):
+            s = E_s[pl.ds(c * CHB, CHB)]
+            rows = c * CHB + ch_iota(CHB)
+            qs = jnp.maximum(s, 0) // LANES
+            return jnp.maximum(
+                md, jnp.max(jnp.where(s >= 0, rows // LANES - qs, 0))
+            )
+
+        max_delta = jax.lax.fori_loop(0, NCB, stat, jnp.int32(0))
+        dma(E_s, C_s.at[pl.ds(bs, bs)])  # staged s (gather source)
+        dma(E_s, rank_s.at[pl.ds(0, bs)])  # hop accumulator, init = s
+
+        def per_delta(delta, _):
+            def per_chunk(c, _):
+                s = E_s[pl.ds(c * CHB, CHB)]
+                rows = c * CHB + ch_iota(CHB)
+                ptr = jnp.maximum(s, 0)
+                qs = ptr // LANES
+                rs = ptr - qs * LANES
+                cand = C_s[pl.ds(bs + c * CHB - delta * LANES, CHB)]
+                got = jnp.take_along_axis(cand, rs, axis=1)
+                acc = rank_s[pl.ds(c * CHB, CHB)]
+                rank_s[pl.ds(c * CHB, CHB)] = jnp.where(
+                    (s >= 0) & (rows // LANES - qs == delta), got, acc
+                )
+                return 0
+
+            jax.lax.fori_loop(0, NCB, per_chunk, 0)
+            return 0
+
+        jax.lax.fori_loop(0, max_delta + 1, per_delta, 0)
+        dma(rank_s.at[pl.ds(0, bs)], E_s)
+
+        def alive_scan(c, alive):
+            s = E_s[pl.ds(c * CHB, CHB)]
+            return alive | jnp.any(s >= 0, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+
+        alive = jax.lax.fori_loop(
+            0, NCB, alive_scan, jnp.zeros((1, LANES), jnp.int32)
+        )
+        return r + 1, alive
+
+    _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), alive0))
+
+    # ---- Phase 7: back-transpose + int8 output (byte values bit-exact mod
+    # 256: at bs=32768 an int32 out block would cost 16.8 MB of VMEM; int8
+    # costs 4.2). Unresolved chains are flagged per block.
+    def outw(q, unres):
+        x = E_s[pl.ds(q * LANES, LANES)]  # [block, residue]
+        S = jnp.transpose(x)  # [pos residue, block]
+        rows = q * LANES + ch_iota(LANES)
+        in_range = rows < out_len
+        unres = unres | jnp.any(
+            in_range & (S >= 0), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        out_ref[0, pl.ds(q * LANES, LANES), :] = jnp.where(
+            in_range, (-S - 1) & 0xFF, 0
+        ).astype(jnp.int8)
+        return unres
+
+    unres = jax.lax.fori_loop(0, nq, outw, jnp.zeros((1, LANES), jnp.int32))
+    err = err | jnp.where(unres != 0, ERR_UNRESOLVED, 0)
     err_ref[0] = jnp.broadcast_to(err, (SUBLANES, LANES))
-
-
-def _shift_down_fill(x: jax.Array, sh: int) -> jax.Array:
-    """Shift down filling with -1 (for prefix-max over packed words)."""
-    return jnp.concatenate(
-        [jnp.full((sh,) + x.shape[1:], -1, x.dtype), x[:-sh]], axis=0
-    )
-
-
-def _to_pos_lanes(x: jax.Array, nchunks: int) -> jax.Array:
-    """[pos(q,r), block] -> [(q, block), r]: positions onto lanes."""
-    x3 = x.reshape(nchunks, LANES, LANES)  # (q, r, b)
-    return jnp.transpose(x3, (0, 2, 1)).reshape(nchunks * LANES, LANES)
-
-
-def _from_pos_lanes(x: jax.Array, nchunks: int) -> jax.Array:
-    x3 = x.reshape(nchunks, LANES, LANES)  # (q, b, r)
-    return jnp.transpose(x3, (0, 2, 1)).reshape(nchunks * LANES, LANES)
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +644,8 @@ def decode_blocks_pallas(
             ),
             grid=(SUBLANES,),
             in_specs=[
-                pl.BlockSpec(
-                    (1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-                ),
+                # tokens stay in HBM; the kernel DMAs group g into W_s.
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (1, SUBLANES, LANES), lambda g: (g, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -543,7 +669,11 @@ def decode_blocks_pallas(
                 pltpu.VMEM((cap, LANES), jnp.int32),
                 pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
                 pltpu.VMEM((block_size, LANES), jnp.int32),
-                pltpu.VMEM((2 * max(cap, block_size), LANES), jnp.int32),
+                pltpu.VMEM(
+                    (2 * max(cap, block_size) + _pick_chunk(cap), LANES),
+                    jnp.int32,
+                ),
+                pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=126 * 1024 * 1024,
