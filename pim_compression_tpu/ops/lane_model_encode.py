@@ -178,6 +178,155 @@ def match_search_granular(
     return best_len, best_off
 
 
+# 32-bit odd multipliers for the wrapping hash ladder (kernel-faithful:
+# int32 multiply wraps mod 2^32 on TPU and in NumPy's int64-masked emulation).
+HASH_M1 = 0x9E3779B1
+HASH_M2 = 0x85EBCA77
+SORT_SENTINEL = np.int32(0x7FFFFFFF)
+
+
+def _pack_word4(data: np.ndarray) -> np.ndarray:
+    """Exact little-endian 4-byte words at every position, int32 (wrapping).
+
+    W4[p] == W4[q] iff bytes p..p+3 == q..q+3 (the top byte uses the sign
+    bit; equality is unaffected).
+    """
+    w = data.astype(np.int64)
+    for b in (1, 2, 3):
+        w = w + (_shift_up(data, b).astype(np.int64) << (8 * b))
+    return (w & 0xFFFFFFFF).astype(np.uint32).view(np.int32).reshape(data.shape)
+
+
+def _hash_ladder_step(h: np.ndarray, span: int) -> np.ndarray:
+    """H[2L] from H[L]: wrapping int32 mix of a span-L-shifted pair.
+
+    h covers bytes [p, p+span); the result covers [p, p+2*span). All
+    arithmetic wraps mod 2^32 exactly like TPU int32 ops.
+    """
+    a = (h.view(np.uint32).astype(np.uint64) * HASH_M1) & 0xFFFFFFFF
+    b = (_shift_up(h, span).view(np.uint32).astype(np.uint64) * HASH_M2) & 0xFFFFFFFF
+    return (a ^ b).astype(np.uint32).view(np.int32)
+
+
+def nearest_prev_lags(
+    key: np.ndarray,  # int32 [bs, lanes]; SORT_SENTINEL marks invalid rows
+    prev_k: int = 1,
+) -> list[np.ndarray]:
+    """Sort-based candidate search: for each position, the lag to the
+    nearest previous position with an equal key (and the k-th previous for
+    prev_k > 1). Returns prev_k arrays [bs, lanes] of lags (0 = none).
+
+    Spec for the Pallas bitonic rung sort: sorting (key, pos) pairs
+    ascending groups equal keys into position-ordered runs, so sorted
+    neighbor j steps back is the j-th most recent prior occurrence. The
+    scatter back to position order is itself a sort of (pos << 16) | lag
+    packed words (pos is the high field, so packed order == position
+    order). Any comparison sort yields identical results because the
+    (key, pos) pairs are unique — the kernel's bitonic network and this
+    argsort agree exactly.
+    """
+    bs, lanes = key.shape
+    order = np.argsort(key, axis=0, kind="stable").astype(np.int64)
+    skey = np.take_along_axis(key, order, 0)
+    srow = np.arange(bs)[:, None]
+    out = []
+    for j in range(1, prev_k + 1):
+        same = (
+            (skey == _shift_down(skey, j))
+            & (skey != SORT_SENTINEL)
+            & (srow >= j)
+        )
+        lag_sorted = np.where(same, order - _shift_down(order, j), 0)
+        cand = np.zeros((bs, lanes), np.int64)
+        np.put_along_axis(cand, order, lag_sorted, axis=0)
+        out.append(cand.astype(np.int32))
+    return out
+
+
+def extend_match(
+    W4: np.ndarray,  # int32 [bs, lanes] packed words
+    lens: np.ndarray,
+    cand: np.ndarray,  # int32 [bs, lanes] candidate lags (0 = none)
+    max_len: int = 64,
+) -> np.ndarray:
+    """Exact byte-verified match length (0 or 4..max_len) for each candidate.
+
+    Gathers the candidate's words at +4k offsets and XOR-compares against
+    own words; a trailing partial word contributes its matching prefix
+    bytes. Out-of-range gather rows are clamped — any accidental equality
+    past the block end is cut by the final length cap. This is the spec for
+    the Pallas extend kernel's take_along_axis rounds.
+    """
+    bs, lanes = W4.shape
+    rows = np.arange(bs, dtype=np.int64)[:, None]
+    has = cand > 0
+    idx = rows - cand
+    lenacc = np.zeros((bs, lanes), np.int64)
+    still = has.copy()
+    own = W4
+    for k in range(max_len // 4):
+        a = _shift_up(own, 4 * k) if k else own
+        b = np.take_along_axis(W4, np.clip(idx + 4 * k, 0, bs - 1), axis=0)
+        x = a ^ b
+        weq = still & (x == 0)
+        lenacc += np.where(weq, 4, 0)
+        t = (
+            ((x & 0xFF) == 0).astype(np.int64)
+            + ((x & 0xFFFF) == 0).astype(np.int64)
+            + ((x & 0xFFFFFF) == 0).astype(np.int64)
+        )
+        lenacc += np.where(still & ~weq, t, 0)
+        still = weq
+    lenacc = np.minimum(lenacc, lens[None, :] - rows)
+    el = np.where(has, np.minimum(lenacc, max_len), 0)
+    return np.where(el >= 4, el, 0).astype(np.int32)
+
+
+def match_search_sorted(
+    data: np.ndarray,  # int32 [bs, lanes]
+    lens: np.ndarray,  # int32 [lanes]
+    rungs: tuple[int, ...] = (4, 8, 16, 32, 64),
+    prev_k: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sort-based exact match finder — full-block window at O(bs log^2 bs).
+
+    For each rung length L, every position is keyed by an exact word
+    (L = 4) or a wrapping 32-bit hash of its L-byte prefix (L >= 8), and a
+    per-lane sort finds the nearest previous position with an equal key —
+    the nearest exact L-byte match (hash rungs: modulo collisions, which
+    the exact extension pass then rejects). Larger rungs find sources that
+    match *longer*, which greedy parsing turns into 64-byte copy chains;
+    the window is the whole block, unlimited.
+
+    Replaces the O(bs * window) shifted-compare sweeps (match_search /
+    granule_search): better candidates (exact nearest at any lag, full
+    32 KB window) at sort cost. The reference's analog is its hash-probe
+    loop (snappy_compress.c:333-348) — collision-prone, sequential; sorting
+    is the TPU-native equivalent. Returns exact (best_len, best_off) with
+    lengths in [4, 64].
+    """
+    bs, lanes = data.shape
+    rows = np.arange(bs, dtype=np.int64)[:, None]
+    W4 = _pack_word4(data)
+    best_len = np.zeros((bs, lanes), np.int32)
+    best_off = np.zeros((bs, lanes), np.int32)
+    h = W4
+    span = 4
+    for L in rungs:
+        while span < L:
+            h = _hash_ladder_step(h, span)
+            span *= 2
+        valid = rows + L <= lens[None, :]
+        key = np.where(valid, h, SORT_SENTINEL).astype(np.int32)
+        k = prev_k if L == 4 else 1
+        for cand in nearest_prev_lags(key, k):
+            el = extend_match(W4, lens, cand)
+            better = el > best_len
+            best_len = np.where(better, el, best_len)
+            best_off = np.where(better, cand, best_off)
+    return best_len, best_off
+
+
 def greedy_parse(
     best_len: np.ndarray, lens: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

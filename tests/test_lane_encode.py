@@ -136,3 +136,116 @@ def test_lane_encode_copy1_emission():
     data = b"abcdefgh" + b"abcd" + b"XYZW" * 4
     stream = _encode(data)
     assert oracle.decompress(stream) == data
+
+
+# ---------------------------------------------------------------------------
+# Sorted matcher (round-2): exactness, validity, ratio dominance.
+# ---------------------------------------------------------------------------
+
+
+def _encode_sorted(
+    data: bytes, bs: int, rungs=(4, 8, 16, 32, 64), prev_k: int = 1
+) -> bytes:
+    cap = (C.max_compressed_length(bs) + 127) // 128 * 128
+    nb = max(1, (len(data) + bs - 1) // bs)
+    blocks = np.zeros((nb, bs), np.uint8)
+    lens = np.zeros(nb, np.int32)
+    raw = np.frombuffer(data, np.uint8)
+    for i in range(nb):
+        ch = raw[i * bs : (i + 1) * bs]
+        blocks[i, : len(ch)] = ch
+        lens[i] = len(ch)
+    d = blocks.T.astype(np.int32)
+    best_len, best_off = lme.match_search_sorted(d, lens, rungs, prev_k)
+    # Every reported match must be a real byte match within the block.
+    rows = np.arange(bs)[:, None]
+    has = best_len > 0
+    assert (best_len[has] >= 4).all() and (best_len[has] <= 64).all()
+    assert (best_off[has] > 0).all()
+    assert ((rows - best_off)[has] >= 0).all()
+    for p, lane in zip(*np.nonzero(has)):
+        L, o = int(best_len[p, lane]), int(best_off[p, lane])
+        src = blocks[lane]
+        assert p + L <= lens[lane]
+        for k in range(L):  # forward copy semantics (RLE overlap allowed)
+            assert src[p + k] == src[p - o + k]
+    accept, is_copy = lme.greedy_parse(best_len, lens)
+    comp, sizes = lme.layout_and_emit(
+        d, lens, accept, is_copy, best_len, best_off, cap
+    )
+    stream = bytearray(encode_varint32(len(data)) + encode_varint32(bs))
+    if len(data):
+        for i in range(nb):
+            stream += int(sizes[i]).to_bytes(4, "little")
+            stream += comp[:, i][: sizes[i]].tobytes()
+    return bytes(stream)
+
+
+def test_sorted_matcher_adversarial_roundtrip():
+    r = random.Random(41)
+    for data in [
+        b"",
+        b"x",
+        b"a" * 3000,
+        r.randbytes(2100),
+        b"ab" * 1500,
+        bytes(range(256)) * 10,
+        b"z" * 2048,  # exactly one full block of RLE
+    ]:
+        assert oracle.decompress(_encode_sorted(data, bs=2048)) == data
+
+
+def test_sorted_matcher_randomized_roundtrip():
+    r = random.Random(42)
+    for _ in range(4):
+        seed = r.randbytes(r.randint(20, 400))
+        body = bytearray()
+        while len(body) < 5000:
+            body += seed if r.random() < 0.5 else r.randbytes(r.randint(4, 300))
+        data = bytes(body[: r.randint(3000, 5000)])
+        assert oracle.decompress(_encode_sorted(data, bs=4096)) == data
+
+
+def test_sorted_matcher_full_window_reach():
+    # Repeat at an arbitrary long unaligned lag: out of reach for sweep
+    # windows, trivially found by the sort (whole-block window).
+    r = random.Random(43)
+    chunk = r.randbytes(300)
+    data = chunk + r.randbytes(3001 - 300) + chunk
+    stream = _encode_sorted(data, bs=4096)
+    assert oracle.decompress(stream) == data
+    assert len(stream) < len(data) - 200
+
+
+def test_sorted_matcher_beats_sweep_on_corpus():
+    data = corpus_pair("terror2")[0][:32768]
+    sw = _encode(data, bs=4096, window=512)
+    so = _encode_sorted(data, bs=4096)
+    assert oracle.decompress(so) == data
+    assert len(so) < len(sw)
+
+
+def test_extend_match_exact_lengths():
+    # Hand-built block: "abcdeabcdXabcde" — at p=5 lag 5 matches 4 bytes
+    # ("abcd"), at p=10 lag 10 matches 5 bytes ("abcde").
+    data = np.frombuffer(b"abcdeabcdXabcde" + b"\0", np.uint8)[:16]
+    d = data[:, None].astype(np.int32)
+    lens = np.array([15], np.int32)
+    W4 = lme._pack_word4(d)
+    cand = np.zeros((16, 1), np.int32)
+    cand[5, 0] = 5
+    cand[10, 0] = 10
+    el = lme.extend_match(W4, lens, cand)
+    assert el[5, 0] == 4
+    assert el[10, 0] == 5
+
+
+def test_extend_match_rle_overlap():
+    # lag 1 in a run of 'a': overlap extension to the 64-byte cap.
+    d = np.full((128, 1), ord("a"), np.int32)
+    lens = np.array([128], np.int32)
+    W4 = lme._pack_word4(d)
+    cand = np.zeros((128, 1), np.int32)
+    cand[1, 0] = 1
+    el = lme.extend_match(W4, lens, cand)
+    assert el[1, 0] == 64
