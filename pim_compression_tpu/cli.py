@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
         "lags via the 1/8-resolution phased-granule kernel",
     )
     p.add_argument(
+        "--matcher", choices=["sorted", "sweep"], default="sorted",
+        help="pallas encoder match finder: 'sorted' = exact whole-block "
+        "window via bitonic rung sorts (ignores --window); 'sweep' = "
+        "exhaustive shifted-compare sweep bounded by --window",
+    )
+    p.add_argument(
         "--strict-engine", action="store_true",
         help="fail instead of falling back to xla when the pallas kernels "
         "do not cover the requested block size",
@@ -94,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             block_size=block_size, engine=engine, num_threads=args.threads,
             match_window=args.window, coarse_window=args.coarse_window,
             coarse_mode=args.coarse_mode, pipeline_depth=args.pipeline_depth,
-            strict_engine=args.strict_engine,
+            matcher=args.matcher, strict_engine=args.strict_engine,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

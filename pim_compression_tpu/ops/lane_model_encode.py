@@ -208,6 +208,51 @@ def _hash_ladder_step(h: np.ndarray, span: int) -> np.ndarray:
     return (a ^ b).astype(np.uint32).view(np.int32)
 
 
+def fold_key17(h: np.ndarray) -> np.ndarray:
+    """Fold a 32-bit hash to the 17-bit sort key the packed kernel uses.
+
+    17 key bits + 15 position bits fill one int32, so the rung sort runs on
+    a single packed array (the kernel's VMEM budget at 32 KB blocks).
+    Collisions only shadow candidates — the exact extension pass rejects
+    false ones — and cost a measured ~0.001 ratio on xml vs exact keys.
+    """
+    return (h ^ (h >> 15)) & 0x1FFFF
+
+
+def packed_prev_lags(
+    h: np.ndarray,  # int32 [bs, lanes] rung hash (full 32-bit)
+    prev_k: int = 1,
+) -> list[np.ndarray]:
+    """Packed-key candidate search (the Pallas kernel's exact semantics).
+
+    Sorts ``(fold_key17(h) << 15) | pos`` as one int32 per position in
+    *unsigned* order (the kernel flips the top bit so its signed bitonic
+    compare matches). Equal-key17 runs are position-ordered, so the j-th
+    sorted predecessor with an equal key is the j-th most recent prior
+    occurrence (modulo fold collisions). There is no validity masking:
+    keys of positions whose window crosses the block end hash pad zeros,
+    which can only yield junk candidates the exact extension pass rejects
+    (its ``min(lenacc, len - p, 64)`` cap floors them below the 4-byte
+    emit minimum) — and the position field stays a permutation, which the
+    kernel's sort-based unsort requires.
+    """
+    bs, lanes = h.shape
+    k17 = fold_key17(h).astype(np.uint32).astype(np.int64)
+    rows = np.arange(bs, dtype=np.int64)[:, None]
+    sp = np.sort((k17 << 15) | rows, axis=0)
+    spos = sp & 0x7FFF
+    skey = sp >> 15
+    out = []
+    srow = np.arange(bs)[:, None]
+    for j in range(1, prev_k + 1):
+        same = (skey == _shift_down(skey, j)) & (srow >= j)
+        lag_sorted = np.where(same, spos - _shift_down(spos, j), 0)
+        cand = np.zeros((bs, lanes), np.int64)
+        np.put_along_axis(cand, spos, lag_sorted, axis=0)
+        out.append(np.where(cand > 0, cand, 0).astype(np.int32))
+    return out
+
+
 def nearest_prev_lags(
     key: np.ndarray,  # int32 [bs, lanes]; SORT_SENTINEL marks invalid rows
     prev_k: int = 1,
@@ -287,6 +332,7 @@ def match_search_sorted(
     lens: np.ndarray,  # int32 [lanes]
     rungs: tuple[int, ...] = (4, 8, 16, 32, 64),
     prev_k: int = 1,
+    packed: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sort-based exact match finder — full-block window at O(bs log^2 bs).
 
@@ -304,6 +350,11 @@ def match_search_sorted(
     loop (snappy_compress.c:333-348) — collision-prone, sequential; sorting
     is the TPU-native equivalent. Returns exact (best_len, best_off) with
     lengths in [4, 64].
+
+    ``packed=True`` is the production (Pallas-kernel-faithful) path:
+    single-array sort of 17-bit-folded keys packed with the position.
+    ``packed=False`` sorts exact 32-bit keys with a position tiebreak
+    (the quality ceiling; xml @32K: 0.7885 vs 0.7871 packed).
     """
     bs, lanes = data.shape
     rows = np.arange(bs, dtype=np.int64)[:, None]
@@ -316,10 +367,14 @@ def match_search_sorted(
         while span < L:
             h = _hash_ladder_step(h, span)
             span *= 2
-        valid = rows + L <= lens[None, :]
-        key = np.where(valid, h, SORT_SENTINEL).astype(np.int32)
         k = prev_k if L == 4 else 1
-        for cand in nearest_prev_lags(key, k):
+        if packed:
+            cands = packed_prev_lags(h, k)
+        else:
+            valid = rows + L <= lens[None, :]
+            key = np.where(valid, h, SORT_SENTINEL).astype(np.int32)
+            cands = nearest_prev_lags(key, k)
+        for cand in cands:
             el = extend_match(W4, lens, cand)
             better = el > best_len
             best_len = np.where(better, el, best_len)
@@ -495,10 +550,14 @@ def encode_lanes(
     cap: int,
     window: int = 512,
     coarse_window: int = 0,
+    matcher: str = "sweep",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
-    best_len, best_off = match_search(data, lens, window, coarse_window)
+    if matcher == "sorted":
+        best_len, best_off = match_search_sorted(data, lens)
+    else:
+        best_len, best_off = match_search(data, lens, window, coarse_window)
     accept, is_copy = greedy_parse(best_len, lens)
     comp, sizes = layout_and_emit(
         data, lens, accept, is_copy, best_len, best_off, cap

@@ -231,11 +231,19 @@ def compress(
             lens_d = jax.device_put(lens[sl], sharding)
         with timer.phase("kernel"):
             if use_pallas:
+                matcher = config.matcher
+                if matcher == "sorted" and block_size & (block_size - 1):
+                    # The rung-sort network needs a power-of-two axis.
+                    matcher = "sweep"
+                    timer.notes["matcher_fallback"] = (
+                        f"sorted->sweep (block_size {block_size})"
+                    )
                 comp, sizes = pallas_encode.encode_blocks_pallas_sharded(
                     blocks_d, lens_d, mesh,
                     block_size=block_size, window=config.match_window,
                     coarse_window=config.coarse_window,
                     granular=(config.coarse_mode == "granular"),
+                    matcher=matcher,
                     interpret=interpret,
                 )
             else:

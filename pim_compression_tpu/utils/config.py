@@ -32,6 +32,12 @@ class CodecConfig:
     # "sampled": every-8th lag at full byte resolution; "granular": ALL lags
     # via the 1/8-resolution phased-granule kernel (block_size % 256 == 0).
     coarse_mode: str = "sampled"
+    # Pallas encoder match finder. "sorted": bitonic rung-sort candidates —
+    # exact nearest previous occurrence at ANY lag (whole-block window;
+    # match_window/coarse_window ignored) at O(bs log^2 bs); requires a
+    # power-of-two block_size. "sweep": the O(bs * window) shifted-compare
+    # sweep bounded by match_window/coarse_window.
+    matcher: str = "sorted"
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -47,3 +53,5 @@ class CodecConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.coarse_mode not in ("sampled", "granular"):
             raise ValueError(f"unknown coarse_mode {self.coarse_mode!r}")
+        if self.matcher not in ("sorted", "sweep"):
+            raise ValueError(f"unknown matcher {self.matcher!r}")

@@ -45,6 +45,7 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--coarse", type=int, default=0)
     ap.add_argument("--granular", action="store_true")
+    ap.add_argument("--matcher", choices=["sweep", "sorted"], default="sweep")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -61,7 +62,7 @@ def main() -> int:
 
     results: dict = {"device": str(jax.devices()[0]), "bs": args.bs,
         "window": args.window, "coarse": args.coarse,
-        "granular": args.granular}
+        "granular": args.granular, "matcher": args.matcher}
     bs = args.bs
 
     def step(name: str, fn):
@@ -146,6 +147,7 @@ def main() -> int:
         c, s = pe.encode_blocks_pallas(
             blocks_d, lens_d, block_size=bs, window=args.window,
             coarse_window=args.coarse, granular=args.granular,
+            matcher=args.matcher,
         )
         sync(c)
         return c, s
@@ -169,6 +171,7 @@ def main() -> int:
             c, s = pe.encode_blocks_pallas(
                 blocks_d, lens_d, block_size=bs, window=args.window,
                 coarse_window=args.coarse, granular=args.granular,
+                matcher=args.matcher,
             )
         sync(c)
         return (time.time() - t0) / args.iters

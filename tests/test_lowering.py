@@ -62,3 +62,15 @@ def test_encode_lowering_production_shapes(bs, window, coarse, granular):
         jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
         jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
     )
+
+
+@pytest.mark.parametrize("bs", [8192, 16384])
+def test_encode_sorted_lowering_production_shapes(bs):
+    fn = functools.partial(
+        pe.encode_blocks_pallas, block_size=bs, matcher="sorted"
+    )
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
+        jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
+    )

@@ -9,6 +9,10 @@ import pytest
 from pim_compression_tpu.format import oracle
 from pim_compression_tpu.format.varint import encode_varint32
 from pim_compression_tpu.ops import pallas_encode as pe
+from pim_compression_tpu.ops import lane_model_encode as lme
+import jax.numpy as jnp
+
+from conftest import corpus_pair
 
 
 def _encode(
@@ -263,3 +267,85 @@ def test_pallas_emit_kernel_high_rows_bs16384():
         + size.to_bytes(4, "little") + out
     )
     assert oracle.decompress(stream) == data
+
+
+# ---------------------------------------------------------------------------
+# Sorted matcher end-to-end (round-2): kernel-vs-spec byte parity + validity.
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_sorted_matcher_parity_with_spec():
+    bs = 1024
+    r = random.Random(61)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(300)
+    for i in range(pe.BATCH):
+        if i % 3 == 0:
+            b = (seed * 5)[: r.randint(1, bs)]
+        elif i % 3 == 1:
+            b = r.randbytes(r.randint(1, bs))
+        else:
+            body = bytearray()
+            while len(body) < bs:
+                body += (
+                    seed[: r.randint(4, 80)]
+                    if r.random() < 0.5
+                    else r.randbytes(r.randint(3, 60))
+                )
+            b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    comp_k, sizes_k = pe.encode_blocks_pallas(
+        jnp.asarray(blocks),
+        jnp.asarray(lens),
+        block_size=bs,
+        matcher="sorted",
+        interpret=True,
+    )
+    cap = pe.encode_capacity(bs)
+    comp_s, sizes_s = lme.encode_lanes(
+        blocks, lens, bs, cap, matcher="sorted"
+    )
+    assert (np.asarray(sizes_k) == sizes_s).all()
+    ck = np.asarray(comp_k)
+    for i in range(pe.BATCH):
+        assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all()
+
+
+def test_pallas_sorted_matcher_oracle_valid():
+    bs = 2048
+    data = corpus_pair("terror2")[0]
+    nb = (len(data) + bs - 1) // bs
+    pad_nb = (nb + pe.BATCH - 1) // pe.BATCH * pe.BATCH
+    blocks = np.zeros((pad_nb, bs), np.uint8)
+    lens = np.zeros(pad_nb, np.int32)
+    raw = np.frombuffer(data, np.uint8)
+    for i in range(nb):
+        ch = raw[i * bs : (i + 1) * bs]
+        blocks[i, : len(ch)] = ch
+        lens[i] = len(ch)
+    comp, sizes = pe.encode_blocks_pallas(
+        jnp.asarray(blocks),
+        jnp.asarray(lens),
+        block_size=bs,
+        matcher="sorted",
+        interpret=True,
+    )
+    comp = np.asarray(comp)
+    sizes = np.asarray(sizes)
+    stream = bytearray(encode_varint32(len(data)) + encode_varint32(bs))
+    for i in range(nb):
+        stream += int(sizes[i]).to_bytes(4, "little")
+        stream += comp[i, : sizes[i]].tobytes()
+    assert oracle.decompress(bytes(stream)) == data
+    # Sorted matcher must beat the round-1 sweep config on ratio.
+    sw, sw_sizes = pe.encode_blocks_pallas(
+        jnp.asarray(blocks),
+        jnp.asarray(lens),
+        block_size=bs,
+        window=512,
+        interpret=True,
+    )
+    assert sizes[:nb].sum() < np.asarray(sw_sizes)[:nb].sum()
