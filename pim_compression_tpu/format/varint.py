@@ -40,3 +40,22 @@ def decode_varint32(buf, pos: int = 0) -> tuple[int, int]:
             return value & 0xFFFFFFFF, pos + i + 1
         shift += 7
     raise ValueError("varint32 longer than 5 bytes")
+
+
+def read_varint32_stream(f) -> int:
+    """Decode a varint32 from a binary file object at its current position.
+
+    Same bounds as :func:`decode_varint32`; reads exactly the varint's bytes
+    so callers can keep seek-walking the stream without buffering it.
+    """
+    value = 0
+    shift = 0
+    for _ in range(MAX_VARINT32_BYTES):
+        b = f.read(1)
+        if not b:
+            raise ValueError("truncated varint32")
+        value |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            return value & 0xFFFFFFFF
+        shift += 7
+    raise ValueError("varint32 longer than 5 bytes")

@@ -122,21 +122,75 @@ def compress_to_file(
     }
 
 
+def _walk_frame_table(stream_path: pathlib.Path) -> dict:
+    """Frame geometry by seeking over the 4-byte frame headers only.
+
+    Per-process memory stays O(#frames), never O(file): each frame header
+    encodes the payload size, so the walk seeks payload bytes instead of
+    reading them (VERDICT r1 item 10 — the whole-stream read defeated range
+    ownership on the large tier). Mirrors the native scanner's traversal
+    (``snappy_native.cpp`` ScanFrames) including the trailing-frame rule.
+    """
+    from pim_compression_tpu.format.varint import read_varint32_stream
+    from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
+
+    offs: list[int] = []
+    sizes: list[int] = []
+    outs: list[int] = []
+    with open(stream_path, "rb") as f:
+        total, bs = read_varint32_stream(f), read_varint32_stream(f)
+        file_size = stream_path.stat().st_size
+        out_off = 0
+        while True:
+            pos = f.tell()
+            hdr = f.read(4)
+            if not hdr:
+                break
+            if len(hdr) < 4 or (out_off >= total and total > 0):
+                raise SnappyError(
+                    SnappyStatus.INVALID_INPUT, "bad frame trailer"
+                )
+            psize = int.from_bytes(hdr, "little")
+            if pos + 4 + psize > file_size:
+                raise SnappyError(
+                    SnappyStatus.INVALID_INPUT, "frame exceeds stream"
+                )
+            out_size = min(bs, total - out_off)
+            offs.append(pos + 4)
+            sizes.append(psize)
+            outs.append(out_size)
+            out_off += out_size
+            f.seek(psize, 1)
+        if out_off != total:
+            raise SnappyError(
+                SnappyStatus.INVALID_INPUT, "stream shorter than header claims"
+            )
+    return {
+        "total_len": total,
+        "block_size": bs,
+        "payload_off": offs,
+        "payload_size": sizes,
+        "out_size": outs,
+    }
+
+
 def decompress_to_file(
     stream_path: str | pathlib.Path,
     out_path: str | pathlib.Path,
     config: CodecConfig | None = None,
     timer: PhaseTimer | None = None,
 ) -> dict:
-    """Decompress a file cooperatively: zero cross-host communication."""
+    """Decompress a file cooperatively: zero cross-host communication.
+
+    Each process reads ONLY the byte range of its owned frames (header walk
+    + one seek/read), so peak RSS per process tracks its segment size, not
+    the file size."""
     config = config or CodecConfig()
     timer = timer if timer is not None else PhaseTimer()
-    stream = pathlib.Path(stream_path).read_bytes()
+    stream_path = pathlib.Path(stream_path)
 
     with timer.phase("pre"):
-        from pim_compression_tpu.runtime.pipeline import scan_frames
-
-        info = scan_frames(stream)
+        info = _walk_frame_table(stream_path)
         nb = len(info["payload_off"])
         bs = int(info["block_size"])
         total = int(info["total_len"])
@@ -151,8 +205,11 @@ def decompress_to_file(
         local_total = int(
             sum(int(info["out_size"][i]) for i in range(lo, hi))
         )
+        with open(stream_path, "rb") as f:
+            f.seek(first)
+            owned = f.read(last - first)
         local_stream = (
-            encode_varint32(local_total) + encode_varint32(bs) + stream[first:last]
+            encode_varint32(local_total) + encode_varint32(bs) + owned
         )
         local_out = _api.decompress(local_stream, config, timer)
     else:

@@ -26,8 +26,14 @@ BLOCK_AXIS = "blocks"
 
 @functools.lru_cache(maxsize=None)
 def get_mesh(num_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first ``num_devices`` devices (default: all)."""
-    devices = jax.devices()
+    """1-D mesh over the first ``num_devices`` LOCAL devices (default: all).
+
+    Local, not global: under ``jax.distributed`` the cross-process split is
+    ownership of block ranges (``distributed.process_block_range``), and each
+    process codecs its range on its own addressable devices — a global-device
+    mesh would make the runtime ``device_put`` onto non-addressable devices.
+    """
+    devices = jax.local_devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(devices, (BLOCK_AXIS,))
