@@ -41,12 +41,16 @@ _OCC = 1 << 30
 
 
 def encode_capacity(block_size: int) -> int:
+    # 1024-row multiple: the chunked emit/route kernels loop the output
+    # block in 1024-row chunks.
     cap = C.max_compressed_length(block_size)
-    return (cap + 127) // 128 * 128
+    return (cap + 1023) // 1024 * 1024
 
 
 def _route_rows(bs: int, cap: int) -> int:
-    return (max(cap, bs) + 15) // 8 * 8
+    # 1024-row multiple for the chunked expand; one spare chunk of
+    # headroom above the capacity.
+    return (max(cap, bs) + 8 + 1023) // 1024 * 1024
 
 
 def _shift_down(x, sh):
@@ -280,80 +284,189 @@ def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
 # ---------------------------------------------------------------------------
 
 
-def _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG):
-    """One monotone channel: tokens (mask/dst/val over [bs, 128]) routed to
-    their compressed-stream rows; lands into the ``comp_s`` scratch.
+def _route_channel(
+    ch, data_ref, meta_s, accept_ref, copy_ref, comp_ref,
+    W_s, rank_s, STG, *, bs, cap, nrows
+):
+    """One monotone channel: tokens routed to their compressed-stream rows,
+    landing directly into the output block.
 
-    Same scratch-based fori-round structure as the decoder's route kernel:
-    unrolled round chains leak ~1 array of register-allocator spill per
-    round (hardware-verified), so rounds >= 8 read staged scratch at
-    dynamic 8-aligned offsets.
+    Fully chunked (the VMEM diet): tokens are built CHB rows at a time
+    straight from the parked layout scratches, the occupancy prefix-sum /
+    LSB-first compact / MSB-first expand all run as (round x chunk) fori
+    nests over staged scratch — the un-chunked form's full-array round
+    bodies held ~9 live (bs, 128) arrays and spilled ~130 MB at
+    bs=16384 (hardware-measured 246 MB total against the 128 MB budget).
+    Staging layout inside STG (3*bs rows minimum):
+      prefix-sum: pad zeros [0,bs), stage [bs,2bs)
+      compact:    W-stage [0,bs) pad [bs,1.5bs); rank-stage [1.5bs,2.5bs)
+                  pad [2.5bs,3bs)
+      expand:     pad zeros [0,nrows), stage [nrows,2nrows)
     """
-    bs = tok.shape[0]
-    crows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
+    CHB = min(bs, 1024)
+    NCB = bs // CHB
+    CHR = min(nrows, 1024)
+    NCR = nrows // CHR
+    RS = 3 * bs // 2  # rank-stage base row
 
-    # Tokens + occupancy prefix-sum over the [0, bs) source rows. Every
-    # round lives in a fori with staged (possibly unaligned) dynamic-shift
-    # reads — unrolled rounds leak register-allocator spills.
-    W_s[0:bs] = jnp.where(tok, _OCC | (dst << 8) | (val & 0xFF), 0)
-    if nrows > bs:
-        W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
-    rank_s[...] = (W_s[0:bs] & _OCC) // _OCC
-    STG[0:bs] = jnp.zeros((bs, LANES), jnp.int32)
+    def ch_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
-    def csum_body(j, _):
+    # Tokens + occupancy into W_s[0:bs] / rank_s (chunked).
+    def tok_init(c, _):
+        base = c * CHB
+        meta = meta_s[pl.ds(base, CHB)]
+        if ch < 3:
+            tok = (((meta >> 17) & 1) != 0) & (((meta >> 18) & 3) > ch)
+            dst = accept_ref[pl.ds(base, CHB)] + ch
+            val = (copy_ref[pl.ds(base, CHB)] >> (8 * ch)) & 0xFF
+        else:
+            tok = ((meta >> 16) & 1) != 0
+            dst = meta & 0xFFFF
+            val = data_ref[0, pl.ds(base, CHB)].astype(jnp.int32) & 0xFF
+        W_s[pl.ds(base, CHB)] = jnp.where(tok, _OCC | (dst << 8) | val, 0)
+        rank_s[pl.ds(base, CHB)] = jnp.where(tok, 1, 0)
+        return 0
+
+    jax.lax.fori_loop(0, NCB, tok_init, 0)
+    W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
+
+    # Occupancy prefix-sum rounds (rank of each token).
+    nbit = (bs - 1).bit_length()
+    STG[0:bs] = jnp.zeros((bs, LANES), jnp.int32)  # down-shift pad
+
+    def csum_round(j, _):
         sh = jnp.int32(1) << j
-        STG[bs : 2 * bs] = rank_s[...]
-        rank_s[...] = rank_s[...] + STG[pl.ds(bs - sh, bs), :]
+
+        def stage(c, _):
+            base = c * CHB
+            STG[pl.ds(bs + base, CHB)] = rank_s[pl.ds(base, CHB)]
+            return 0
+
+        jax.lax.fori_loop(0, NCB, stage, 0)
+
+        def upd(c, _):
+            base = c * CHB
+            rank_s[pl.ds(base, CHB)] = (
+                rank_s[pl.ds(base, CHB)] + STG[pl.ds(bs + base - sh, CHB)]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, NCB, upd, 0)
         return 0
 
-    jax.lax.fori_loop(0, (bs - 1).bit_length(), csum_body, 0)
-    rank_s[...] = jnp.where((W_s[0:bs] & _OCC) != 0, rank_s[...] - 1, 0)
+    jax.lax.fori_loop(0, nbit, csum_round, 0)
 
-    # Compact up, LSB-first.
-    def compact_body(k, _):
+    def rank_fix(c, _):
+        base = c * CHB
+        occ = (W_s[pl.ds(base, CHB)] & _OCC) != 0
+        rank_s[pl.ds(base, CHB)] = jnp.where(
+            occ, rank_s[pl.ds(base, CHB)] - 1, 0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, NCB, rank_fix, 0)
+
+    # Compact up, LSB-first. Two staged arrays (W and rank) per round.
+    STG[bs:RS] = jnp.zeros((RS - bs, LANES), jnp.int32)
+    STG[RS + bs : 3 * bs] = jnp.zeros((bs // 2, LANES), jnp.int32)
+
+    def compact_round(k, _):
         sh = jnp.int32(1) << k
-        W = W_s[0:bs]
-        rank = rank_s[...]
-        occ = (W & _OCC) != 0
-        move = occ & ((((crows - rank) >> k) & 1) == 1)
-        STG[0:bs] = jnp.where(move, W, 0)
-        moved_W = STG[pl.ds(sh, bs), :]
-        arriving = (moved_W & _OCC) != 0
-        staying = occ & ~move
-        new_W = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
-        STG[0:bs] = jnp.where(move, rank, 0)
-        moved_rank = STG[pl.ds(sh, bs), :]
-        rank_s[...] = jnp.where(arriving, moved_rank, jnp.where(staying, rank, 0))
-        W_s[0:bs] = new_W
+
+        def stage(c, _):
+            base = c * CHB
+            W = W_s[pl.ds(base, CHB)]
+            rank = rank_s[pl.ds(base, CHB)]
+            occ = (W & _OCC) != 0
+            crows = base + ch_iota(CHB)
+            move = occ & ((((crows - rank) >> k) & 1) == 1)
+            STG[pl.ds(base, CHB)] = jnp.where(move, W, 0)
+            STG[pl.ds(RS + base, CHB)] = jnp.where(move, rank, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NCB, stage, 0)
+
+        def upd(c, _):
+            base = c * CHB
+            W = W_s[pl.ds(base, CHB)]
+            rank = rank_s[pl.ds(base, CHB)]
+            occ = (W & _OCC) != 0
+            crows = base + ch_iota(CHB)
+            move = occ & ((((crows - rank) >> k) & 1) == 1)
+            moved_W = STG[pl.ds(base + sh, CHB)]
+            moved_rank = STG[pl.ds(RS + base + sh, CHB)]
+            arriving = (moved_W & _OCC) != 0
+            staying = occ & ~move
+            W_s[pl.ds(base, CHB)] = jnp.where(
+                arriving, moved_W, jnp.where(staying, W, 0)
+            )
+            rank_s[pl.ds(base, CHB)] = jnp.where(
+                arriving, moved_rank, jnp.where(staying, rank, 0)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, NCB, upd, 0)
         return 0
 
-    STG[bs : 2 * bs] = jnp.zeros((bs, LANES), jnp.int32)  # up-shift pad
-    jax.lax.fori_loop(0, (bs - 1).bit_length(), compact_body, 0)
+    jax.lax.fori_loop(0, nbit, compact_round, 0)
 
     # Expand down, MSB-first over [0, nrows).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0)
     max_bit = (nrows - 1).bit_length() - 1
 
-    def expand_body(j, _):
-        sh = jnp.int32(1) << (max_bit - j)
-        W = W_s[...]
-        occ = (W & _OCC) != 0
-        wdst = (W >> 8) & 0x3FFFFF
-        move = occ & (wdst - rows >= sh)
-        STG[nrows : 2 * nrows] = jnp.where(move, W, 0)
-        moved_W = STG[pl.ds(nrows - sh, nrows), :]
-        arriving = (moved_W & _OCC) != 0
-        staying = occ & ~move
-        W_s[...] = jnp.where(arriving, moved_W, jnp.where(staying, W, 0))
+    def zpad(c, _):
+        STG[pl.ds(c * CHR, CHR)] = jnp.zeros((CHR, LANES), jnp.int32)
         return 0
 
-    STG[0:nrows] = jnp.zeros((nrows, LANES), jnp.int32)  # down-shift pad
-    jax.lax.fori_loop(0, max_bit + 1, expand_body, 0)
+    jax.lax.fori_loop(0, NCR, zpad, 0)
 
-    W = W_s[...]
-    landed = (W & _OCC) != 0
-    comp_s[0:nrows] = jnp.where(landed, W & 0xFF, comp_s[0:nrows])
+    def expand_round(j, _):
+        sh = jnp.int32(1) << (max_bit - j)
+
+        def stage(c, _):
+            base = c * CHR
+            W = W_s[pl.ds(base, CHR)]
+            occ = (W & _OCC) != 0
+            rows = base + ch_iota(CHR)
+            move = occ & (((W >> 8) & 0x3FFFFF) - rows >= sh)
+            STG[pl.ds(nrows + base, CHR)] = jnp.where(move, W, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NCR, stage, 0)
+
+        def upd(c, _):
+            base = c * CHR
+            W = W_s[pl.ds(base, CHR)]
+            occ = (W & _OCC) != 0
+            rows = base + ch_iota(CHR)
+            move = occ & (((W >> 8) & 0x3FFFFF) - rows >= sh)
+            moved_W = STG[pl.ds(nrows + base - sh, CHR)]
+            arriving = (moved_W & _OCC) != 0
+            staying = occ & ~move
+            W_s[pl.ds(base, CHR)] = jnp.where(
+                arriving, moved_W, jnp.where(staying, W, 0)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, NCR, upd, 0)
+        return 0
+
+    jax.lax.fori_loop(0, max_bit + 1, expand_round, 0)
+
+    # Land into the output block (valid streams never land at rows >= cap:
+    # the capacity bound holds sizes <= cap).
+    CHC = min(cap, 1024)
+
+    def land(c, _):
+        base = c * CHC
+        W = W_s[pl.ds(base, CHC)]
+        landed = (W & _OCC) != 0
+        comp_ref[0, pl.ds(base, CHC)] = jnp.where(
+            landed, W & 0xFF, comp_ref[0, pl.ds(base, CHC)]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, cap // CHC, land, 0)
 
 
 def _emit_kernel(
@@ -362,22 +475,42 @@ def _emit_kernel(
     lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
     comp_ref,  # (1, cap, 128) i32 out
     size_ref,  # (1, 8, 128) i32 out
-    accept_ref,  # scratch (bs, 128) i32
-    copy_ref,  # scratch (bs, 128) i32
-    W_s,  # scratch (nrows, 128) i32
-    rank_s,  # scratch (bs, 128) i32
-    STG,  # scratch (2 * nrows, 128) i32
-    comp_s,  # scratch (nrows, 128) i32
-    meta_s,  # scratch (bs, 128) i32 (parked layout metadata)
+    accept_ref,  # scratch (bs, 128) i32: accept mask -> out_start
+    copy_ref,  # scratch (bs, 128) i32: copy mask -> h-bytes
+    W_s,  # scratch (nrows, 128) i32: scan workspace / channel words
+    rank_s,  # scratch (bs, 128) i32: head-row scan input -> token ranks
+    STG,  # scratch (max(2*nrows, 3*bs), 128) i32: staging + parking
+    meta_s,  # scratch (bs, 128) i32: h-bytes+hdr -> final layout metadata
     *,
     bs: int,
     cap: int,
 ):
-    best_len = match_ref[0] & 0x7F
-    best_off = match_ref[0] >> 7
+    """Greedy parse + layout + 4-channel routing, fully chunked.
+
+    Every full-(bs, 128) phase of the un-chunked form runs here as a
+    CHB-row fori nest with intermediates parked in scratch regions, so
+    register-allocator liveness is bounded by the chunk size at any block
+    size (the full-array form held ~16 live arrays = ~134 MB of spill at
+    bs=16384). Scratch choreography:
+      pass A:  head-lit rows -> rank_s, nonlit_next -> W_s
+      scan     suffix-min on W_s               -> run_end
+      pass B:  emit -> W_s (+copy in STG[2bs:3bs]), h-bytes|hdr -> meta_s
+      scan     prefix-sum on W_s               -> incl (sizes = last row)
+      pass C:  out_start -> accept_ref, h-bytes -> copy_ref,
+               lit|head|hdr -> meta_s, head-emit rows -> W_s
+      scan     prefix-max on W_s               -> cov_data0
+      park cov_data0 -> STG[2bs:3bs], rank_s -> W_s
+      scan     prefix-max on W_s               -> head_row
+      pass D:  litdst into meta_s bits 0-15
+      routing  4 monotone channels (see _route_channel)
+    """
+    nrows = _route_rows(bs, cap)
+    CHB = min(bs, 1024)
+    NCB = bs // CHB
     lens = lens_ref[0, 0:1, :]  # (1, 128)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
-    in_range = rows < lens
+
+    def ch_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
     # Greedy accept scan: 8 rows per aligned step, static unroll inside;
     # masks accumulate into VMEM scratch via 8-aligned stores.
@@ -402,120 +535,196 @@ def _emit_kernel(
     jax.lax.fori_loop(
         0, bs // SUBLANES, scan_outer, jnp.zeros((1, LANES), jnp.int32)
     )
-    accept = accept_ref[...] != 0
-    is_copy = copy_ref[...] != 0
 
-    # Scratch-staged prefix/suffix scans (value-chained log-shift scans leak
-    # one spilled array per round). W_s/STG are free until routing starts.
-    def scan_down(x, op, fill):
-        W_s[0:bs] = x
+    # In-place log-shift scans over W_s[0:bs], staged through STG[0:2bs).
+    nbit = (bs - 1).bit_length()
+
+    def scan_down_ip(op, fill):
         STG[0:bs] = jnp.full((bs, LANES), fill, jnp.int32)
 
-        def body(j, _):
+        def rnd(j, _):
             sh = jnp.int32(1) << j
-            STG[bs : 2 * bs] = W_s[0:bs]
-            W_s[0:bs] = op(W_s[0:bs], STG[pl.ds(bs - sh, bs), :])
+
+            def stage(c, _):
+                base = c * CHB
+                STG[pl.ds(bs + base, CHB)] = W_s[pl.ds(base, CHB)]
+                return 0
+
+            jax.lax.fori_loop(0, NCB, stage, 0)
+
+            def upd(c, _):
+                base = c * CHB
+                W_s[pl.ds(base, CHB)] = op(
+                    W_s[pl.ds(base, CHB)], STG[pl.ds(bs + base - sh, CHB)]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, NCB, upd, 0)
             return 0
 
-        jax.lax.fori_loop(0, (bs - 1).bit_length(), body, 0)
-        return W_s[0:bs]
+        jax.lax.fori_loop(0, nbit, rnd, 0)
 
-    def scan_up(x, op, fill):
-        W_s[0:bs] = x
+    def scan_up_ip(op, fill):
         STG[bs : 2 * bs] = jnp.full((bs, LANES), fill, jnp.int32)
 
-        def body(j, _):
+        def rnd(j, _):
             sh = jnp.int32(1) << j
-            STG[0:bs] = W_s[0:bs]
-            W_s[0:bs] = op(W_s[0:bs], STG[pl.ds(sh, bs), :])
+
+            def stage(c, _):
+                base = c * CHB
+                STG[pl.ds(base, CHB)] = W_s[pl.ds(base, CHB)]
+                return 0
+
+            jax.lax.fori_loop(0, NCB, stage, 0)
+
+            def upd(c, _):
+                base = c * CHB
+                W_s[pl.ds(base, CHB)] = op(
+                    W_s[pl.ds(base, CHB)], STG[pl.ds(base + sh, CHB)]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, NCB, upd, 0)
             return 0
 
-        jax.lax.fori_loop(0, (bs - 1).bit_length(), body, 0)
-        return W_s[0:bs]
+        jax.lax.fori_loop(0, nbit, rnd, 0)
 
-    # Literal runs + element layout (mirrors lane_model_encode).
-    is_lit = accept & ~is_copy
-    prev_lit = _shift_down(is_lit.astype(jnp.int32), 1) != 0
-    head_lit = is_lit & ~prev_lit
-    head_row = scan_down(jnp.where(head_lit, rows, -1), jnp.maximum, -1)
+    def lit_chunk(base, last_lit):
+        """(lit, head_lit, acc, cp) for a chunk, with cross-chunk carry."""
+        acc = accept_ref[pl.ds(base, CHB)] != 0
+        cp = copy_ref[pl.ds(base, CHB)] != 0
+        lit = (acc & ~cp).astype(jnp.int32)
+        prev = (
+            jnp.concatenate([last_lit, lit[: CHB - 1]]) != 0
+            if CHB > 1
+            else (last_lit != 0)
+        )
+        head_lit = (lit != 0) & ~prev
+        return lit, head_lit, acc, cp
 
     INF = jnp.int32(1 << 28)
-    nonlit_next = jnp.where((accept & is_copy) | ~in_range, rows, INF)
-    run_end = jnp.minimum(
-        scan_up(nonlit_next, jnp.minimum, jnp.iinfo(jnp.int32).max), lens
-    )
-    run_len = jnp.where(head_lit, run_end - rows, 0)
 
-    L1 = jnp.maximum(run_len - 1, 0)
-    lit_ext = jnp.where(L1 < 60, 0, jnp.where(L1 < 256, 1, 2))
-    hdr_lit = jnp.where(head_lit, 1 + lit_ext, 0)
-    copy1 = is_copy & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
-    hdr_copy = jnp.where(is_copy, jnp.where(copy1, 2, 3), 0)
-    emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
-    incl = scan_down(emit, jnp.add, 0)
-    out_start = incl - emit
-    sizes = incl[bs - 1 : bs, :]  # (1, 128)
+    # Pass A: scan inputs. Head-lit rows -> rank_s (consumed late, by the
+    # head_row scan); nonlit_next -> W_s (suffix-min input).
+    def passA(c, last_lit):
+        base = c * CHB
+        lit, head_lit, acc, cp = lit_chunk(base, last_lit)
+        crows = base + ch_iota(CHB)
+        rank_s[pl.ds(base, CHB)] = jnp.where(head_lit, crows, -1)
+        in_range = crows < lens
+        W_s[pl.ds(base, CHB)] = jnp.where((acc & cp) | ~in_range, crows, INF)
+        return lit[CHB - 1 : CHB]
 
-    is_head = accept & (head_lit | is_copy)
-    hdr_here = hdr_lit + hdr_copy
-    # Covering head's first-data position, for literal data byte dsts.
-    # out_start + hdr_here is strictly increasing across heads (out_start is
-    # the prefix sum of emit and emit >= hdr_here at every head), so a plain
-    # max-scan of the value yields the most recent head's value — no row
-    # packing needed (a packed (rows << k) | value scheme overflows int32
-    # once rows * 2^k reaches 2^31; this form scales to any block size).
-    cov_data0 = scan_down(
-        jnp.where(is_head, out_start + hdr_here, -1), jnp.maximum, -1
-    )
+    jax.lax.fori_loop(0, NCB, passA, jnp.zeros((1, LANES), jnp.int32))
+    scan_up_ip(jnp.minimum, jnp.iinfo(jnp.int32).max)  # W_s = run_end_raw
 
-    off = best_off
-    h0 = jnp.where(
-        is_copy,
-        jnp.where(
-            copy1,
-            1 | ((best_len - 4) << 2) | ((off >> 8) << 5),
-            2 | ((best_len - 1) << 2),
-        ),
-        jnp.where(lit_ext == 0, L1 << 2, jnp.where(lit_ext == 1, 60 << 2, 61 << 2)),
-    )
-    h1 = jnp.where(is_copy, off & 0xFF, jnp.where(lit_ext >= 1, L1 & 0xFF, 0))
-    h2 = jnp.where(
-        is_copy & ~copy1,
-        (off >> 8) & 0xFF,
-        jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
-    )
+    # Pass B: literal runs, header bytes, per-position emit size.
+    def passB(c, last_lit):
+        base = c * CHB
+        lit, head_lit, acc, cp = lit_chunk(base, last_lit)
+        crows = base + ch_iota(CHB)
+        run_end = jnp.minimum(W_s[pl.ds(base, CHB)], lens)
+        run_len = jnp.where(head_lit, run_end - crows, 0)
+        L1 = jnp.maximum(run_len - 1, 0)
+        lit_ext = jnp.where(L1 < 60, 0, jnp.where(L1 < 256, 1, 2))
+        hdr_lit = jnp.where(head_lit, 1 + lit_ext, 0)
+        m = match_ref[0, pl.ds(base, CHB)]
+        best_len = m & 0x7F
+        best_off = m >> 7
+        copy1 = cp & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
+        hdr_copy = jnp.where(cp, jnp.where(copy1, 2, 3), 0)
+        emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
+        h0 = jnp.where(
+            cp,
+            jnp.where(
+                copy1,
+                1 | ((best_len - 4) << 2) | ((best_off >> 8) << 5),
+                2 | ((best_len - 1) << 2),
+            ),
+            jnp.where(
+                lit_ext == 0, L1 << 2,
+                jnp.where(lit_ext == 1, 60 << 2, 61 << 2),
+            ),
+        )
+        h1 = jnp.where(cp, best_off & 0xFF, jnp.where(lit_ext >= 1, L1 & 0xFF, 0))
+        h2 = jnp.where(
+            cp & ~copy1,
+            (best_off >> 8) & 0xFF,
+            jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
+        )
+        W_s[pl.ds(base, CHB)] = emit
+        STG[pl.ds(2 * bs + base, CHB)] = emit  # PassC needs emit past incl
+        meta_s[pl.ds(base, CHB)] = (
+            h0 | (h1 << 8) | (h2 << 16) | ((hdr_lit + hdr_copy) << 24)
+        )
+        return lit[CHB - 1 : CHB]
 
-    # Park the big layout products in the (now dead) mask scratches so ~20
-    # full arrays are not live across the four routing passes (that liveness
-    # alone was 85 MB at bs=8192). meta: litdst(16) | lit(1<<16) |
-    # head(1<<17) | hdr(2 bits << 18). 16 litdst bits cover cap(32768)=38261.
-    copy_ref[...] = h0 | (h1 << 8) | (h2 << 16)
-    litdst = jnp.clip(
-        cov_data0 + (rows - jnp.maximum(head_row, 0)), 0, (1 << 16) - 1
-    )
-    meta_s[...] = (
-        litdst
-        | (is_lit.astype(jnp.int32) << 16)
-        | (is_head.astype(jnp.int32) << 17)
-        | (hdr_here << 18)
-    )
-    accept_ref[...] = out_start
+    jax.lax.fori_loop(0, NCB, passB, jnp.zeros((1, LANES), jnp.int32))
+    scan_down_ip(jnp.add, 0)  # W_s = inclusive prefix sum of emit
+    sizes = W_s[bs - 1 : bs, :]  # (1, 128)
 
-    nrows = _route_rows(bs, cap)
-    comp_s[...] = jnp.zeros((nrows, LANES), jnp.int32)
+    # Pass C: out_start; meta repack; covering-head scan input.
+    def passC(c, last_lit):
+        base = c * CHB
+        lit, head_lit, acc, cp = lit_chunk(base, last_lit)
+        is_head = acc & (head_lit | cp)
+        meta = meta_s[pl.ds(base, CHB)]
+        hdr_here = (meta >> 24) & 3
+        out_start = W_s[pl.ds(base, CHB)] - STG[pl.ds(2 * bs + base, CHB)]
+        # out_start + hdr_here is strictly increasing across heads (emit >=
+        # hdr at every head), so a plain max-scan recovers the most recent
+        # head's first-data position — scales to any block size without
+        # (rows << k) packing (which wraps int32 at 16 K).
+        W_s[pl.ds(base, CHB)] = jnp.where(is_head, out_start + hdr_here, -1)
+        accept_ref[pl.ds(base, CHB)] = out_start
+        copy_ref[pl.ds(base, CHB)] = meta & 0xFFFFFF
+        meta_s[pl.ds(base, CHB)] = (
+            (lit << 16) | (is_head.astype(jnp.int32) << 17) | (hdr_here << 18)
+        )
+        return lit[CHB - 1 : CHB]
+
+    jax.lax.fori_loop(0, NCB, passC, jnp.zeros((1, LANES), jnp.int32))
+    scan_down_ip(jnp.maximum, -1)  # W_s = cov_data0
+
+    def park_load(c, _):
+        base = c * CHB
+        STG[pl.ds(2 * bs + base, CHB)] = W_s[pl.ds(base, CHB)]
+        W_s[pl.ds(base, CHB)] = rank_s[pl.ds(base, CHB)]
+        return 0
+
+    jax.lax.fori_loop(0, NCB, park_load, 0)
+    scan_down_ip(jnp.maximum, -1)  # W_s = head_row
+
+    # Pass D: literal data byte destinations into meta bits 0-15
+    # (16 bits cover cap(32768)).
+    def passD(c, _):
+        base = c * CHB
+        crows = base + ch_iota(CHB)
+        head_row = W_s[pl.ds(base, CHB)]
+        cov = STG[pl.ds(2 * bs + base, CHB)]
+        litdst = jnp.clip(
+            cov + (crows - jnp.maximum(head_row, 0)), 0, (1 << 16) - 1
+        )
+        meta_s[pl.ds(base, CHB)] = meta_s[pl.ds(base, CHB)] | litdst
+        return 0
+
+    jax.lax.fori_loop(0, NCB, passD, 0)
+
+    # Zero the output block, then route the four monotone channels.
+    CHC = min(cap, 1024)
+
+    def zcomp(c, _):
+        comp_ref[0, pl.ds(c * CHC, CHC)] = jnp.zeros((CHC, LANES), jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, cap // CHC, zcomp, 0)
+
     for ch in range(4):
-        meta = meta_s[...]
-        if ch < 3:
-            tok = (((meta >> 17) & 1) != 0) & (((meta >> 18) & 3) > ch)
-            dst = accept_ref[...] + ch
-            val = (copy_ref[...] >> (8 * ch)) & 0xFF
-        else:
-            tok = ((meta >> 16) & 1) != 0
-            dst = meta & 0xFFFF
-            val = data_ref[0].astype(jnp.int32) & 0xFF
-        _route_channel(comp_s, tok, dst, val, nrows, W_s, rank_s, STG)
+        _route_channel(
+            ch, data_ref, meta_s, accept_ref, copy_ref, comp_ref,
+            W_s, rank_s, STG, bs=bs, cap=cap, nrows=nrows,
+        )
 
-    comp_ref[0] = comp_s[0:cap]
     size_ref[0] = jnp.broadcast_to(sizes, (SUBLANES, LANES))
 
 
@@ -617,13 +826,15 @@ def encode_blocks_pallas(
                     jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((bs, LANES), jnp.int32),
-                    pltpu.VMEM((bs, LANES), jnp.int32),
-                    pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
-                    pltpu.VMEM((bs, LANES), jnp.int32),
-                    pltpu.VMEM((2 * _route_rows(bs, cap), LANES), jnp.int32),
-                    pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
-                    pltpu.VMEM((bs, LANES), jnp.int32),
+                    pltpu.VMEM((bs, LANES), jnp.int32),  # accept -> out_start
+                    pltpu.VMEM((bs, LANES), jnp.int32),  # copy -> h-bytes
+                    pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
+                    pltpu.VMEM((bs, LANES), jnp.int32),  # rank_s
+                    pltpu.VMEM(  # STG: staging + parking
+                        (max(2 * _route_rows(bs, cap), 3 * bs), LANES),
+                        jnp.int32,
+                    ),
+                    pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=126 * 1024 * 1024,

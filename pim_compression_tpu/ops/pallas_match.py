@@ -159,6 +159,20 @@ def _sort_rung_kernel(
 
 # ---------------------------------------------------------------------------
 # Extension kernel: exact byte verification + fold into the running best.
+#
+# Mosaic's dynamic_gather cannot cross vregs along the gather dimension
+# (hardware fact, shared with the decoder's route kernel), so the naive
+# ``take_along_axis(W4, idx, axis=0)`` over bs rows does not lower. The
+# kernel instead works in the decoder's chunk-transposed layout: each
+# 128-position chunk of the (positions, blocks) array is transposed to
+# (blocks, position-residues), putting positions on LANES where per-element
+# gathers are legal within one vreg. The cross-chunk component of a
+# source index becomes a dynamic 128-row offset (plain address arithmetic
+# on the sublane-major axis), swept adaptively: per chunk and round, only
+# the chunk-distances that still-alive candidates actually need run
+# (nearest-previous-occurrence lags are short on real data, so the sweep
+# is shallow). Chunk-outer / round-inner nesting keeps lenacc/still in
+# registers; the only scratch is the transposed word array.
 # ---------------------------------------------------------------------------
 
 
@@ -168,35 +182,95 @@ def _extend_fold_kernel(
     cand_ref,  # (bs, 128) i32 candidate lags
     best_ref,  # (bs, 128) i32 packed (len << 16) | lag, running best
     out_ref,  # (bs, 128) i32 packed, folded best
+    TW_s,  # scratch (bs, 128) i32: chunk-transposed packed words
     *,
     bs: int,
 ):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
-    lens = lens_ref[0:1, :]
-    W4 = _word4(data_ref[...])
-    cand = cand_ref[...]
-    has = cand > 0
-    idx = rows - cand
-    lenacc = jnp.zeros((bs, LANES), jnp.int32)
-    still = has
-    for k in range(16):  # 64-byte copy cap = 16 word rounds
-        a = _shift_up(W4, 4 * k) if k else W4
-        b = jnp.take_along_axis(W4, jnp.clip(idx + 4 * k, 0, bs - 1), axis=0)
-        x = a ^ b
-        weq = still & (x == 0)
-        lenacc = lenacc + jnp.where(weq, 4, 0)
-        t = (
-            ((x & 0xFF) == 0).astype(jnp.int32)
-            + ((x & 0xFFFF) == 0).astype(jnp.int32)
-            + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+    nq = bs // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+    # Phase T: chunk-transposed W4. Word packing reads 3 bytes past the
+    # chunk, so each chunk reads its successor too (zeroed past the block
+    # end, matching the spec's zero-fill shift).
+    def build(q, _):
+        d0 = data_ref[pl.ds(q * LANES, LANES)].astype(jnp.int32) & 0xFF
+        nxt = jnp.minimum(q + 1, nq - 1) * LANES
+        d1 = data_ref[pl.ds(nxt, LANES)].astype(jnp.int32) & 0xFF
+        d1 = jnp.where(q + 1 < nq, d1, 0)
+        dd = jnp.concatenate([d0, d1], axis=0)  # (256, 128)
+        w = dd[0:LANES]
+        for b in (1, 2, 3):
+            w = w | (dd[b : LANES + b] << (8 * b))
+        TW_s[pl.ds(q * LANES, LANES)] = jnp.transpose(w)
+        return 0
+
+    jax.lax.fori_loop(0, nq, build, 0)
+
+    lens_t = jnp.transpose(
+        jnp.broadcast_to(lens_ref[0:1, :], (LANES, LANES))
+    )  # (blocks, _) — per-row block lengths in transposed layout
+
+    # Phase E: per destination chunk, all 16 extension rounds in registers.
+    def per_chunk(c, _):
+        cn = cand_ref[pl.ds(c * LANES, LANES)]  # normal layout (pos, block)
+        cand = jnp.transpose(cn)  # (block, residue)
+        p = c * LANES + lane  # position, per lane
+        has = cand > 0
+        still = has
+        lenacc = jnp.zeros((LANES, LANES), jnp.int32)
+        own = TW_s[pl.ds(c * LANES, LANES)]
+        nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
+        own_nxt = TW_s[pl.ds(nxt_start, LANES)]
+        for k in range(16):  # 64-byte copy cap = 16 word rounds
+            # a = W4[p + 4k], zero past the block end (spec shift_up).
+            if k == 0:
+                a = own
+            else:
+                ai = lane + 4 * k
+                a = jnp.where(
+                    ai < LANES,
+                    jnp.take_along_axis(own, ai & (LANES - 1), axis=1),
+                    jnp.take_along_axis(own_nxt, ai & (LANES - 1), axis=1),
+                )
+                a = jnp.where(p + 4 * k < bs, a, 0)
+            # b = W4[clip(p - cand + 4k)] via adaptive chunk-delta sweep.
+            src = jnp.clip(p - cand + 4 * k, 0, bs - 1)
+            qs = src >> 7
+            rs = src & (LANES - 1)
+            maxd = jnp.max(jnp.where(still, c - qs, -1))
+
+            def sweep(i, b):
+                d = i - 1  # d = -1 covers forward reads (4k > cand)
+                start = jnp.clip(c - d, 0, nq - 1) * LANES
+                got = jnp.take_along_axis(
+                    TW_s[pl.ds(start, LANES)], rs, axis=1
+                )
+                return jnp.where(still & (qs == c - d), got, b)
+
+            b = jax.lax.fori_loop(
+                0, maxd + 2, sweep, jnp.zeros((LANES, LANES), jnp.int32)
+            )
+            x = a ^ b
+            weq = still & (x == 0)
+            lenacc = lenacc + jnp.where(weq, 4, 0)
+            t = (
+                ((x & 0xFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+            )
+            lenacc = lenacc + jnp.where(still & ~weq, t, 0)
+            still = weq
+        el = jnp.minimum(jnp.minimum(lenacc, lens_t - p), 64)
+        el = jnp.where(has & (el >= 4), el, 0)
+        el_n = jnp.transpose(el)  # back to (pos, block)
+        best = best_ref[pl.ds(c * LANES, LANES)]
+        better = el_n > (best >> 16)
+        out_ref[pl.ds(c * LANES, LANES)] = jnp.where(
+            better, (el_n << 16) | cn, best
         )
-        lenacc = lenacc + jnp.where(still & ~weq, t, 0)
-        still = weq
-    el = jnp.minimum(jnp.minimum(lenacc, lens - rows), 64)
-    el = jnp.where(has & (el >= 4), el, 0)
-    best = best_ref[...]
-    better = el > (best >> 16)
-    out_ref[...] = jnp.where(better, (el << 16) | cand, best)
+        return 0
+
+    jax.lax.fori_loop(0, nq, per_chunk, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +322,7 @@ def sorted_match_groups(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
         compiler_params=vmem_cap,
         interpret=interpret,
     )
@@ -258,7 +333,9 @@ def sorted_match_groups(
         for rung in rungs:
             cand = rung_call(rung)(jt, kt, data)
             best = extend_call(data, lens, cand, best)
-        return best
+        # Unpack per group: a whole-batch unpack fusion on the stacked
+        # (groups, bs, 128) map output exceeds XLA's 16 MB scoped-vmem
+        # stack allocation (observed on v5e at bs=8192 x 8 groups).
+        return best >> 16, best & 0xFFFF
 
-    best = jax.lax.map(one_group, (data_g, lens_g))
-    return best >> 16, best & 0xFFFF
+    return jax.lax.map(one_group, (data_g, lens_g))

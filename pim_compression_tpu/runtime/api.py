@@ -84,7 +84,7 @@ def decompress(
         total_len = int(info["total_len"])
         if nb == 0:
             return b""
-        mesh = get_mesh()
+        mesh = get_mesh(config.mesh_devices)
         padded, batch = _device_batches(nb, config, mesh)
         comp, comp_len, out_len = pipeline.blockize_compressed(stream, info, padded)
 
@@ -189,7 +189,7 @@ def compress(
             return (
                 oracle.compress(b"", block_size)  # header-only stream
             )
-        mesh = get_mesh()
+        mesh = get_mesh(config.mesh_devices)
         padded, batch = _device_batches(nb, config, mesh)
         use_pallas = _pallas_or_fallback(
             config, block_size, pallas_encode.MAX_ENC_BLOCK, timer

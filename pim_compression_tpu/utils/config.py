@@ -45,6 +45,10 @@ class CodecConfig:
     # When True, engine="pallas" raises instead of silently falling back to
     # the xla kernels for block sizes beyond the pallas envelope.
     strict_engine: bool = False
+    # Devices in the 1-D block mesh (None = all local devices). The scaling
+    # sweep's analog of the reference's NR_DPUS axis
+    # (snappy/scripts/asplos21/dpu_tasklet_tradeoff.py:10).
+    mesh_devices: int | None = None
 
     def __post_init__(self) -> None:
         if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:

@@ -1,0 +1,257 @@
+#!/usr/bin/env python3
+"""Perf-evidence ledger: issued vreg-op counts per kernel/config.
+
+DESIGN.md declares vector-op count "the meaningful performance observable"
+on the axon endpoint (a functional emulator ~300-2000x below silicon);
+this script *derives* that observable instead of asserting it. It traces
+each production kernel to a jaxpr, recurses into ``pallas_call`` bodies,
+``scan``/``fori_loop`` (multiplying by static trip counts) and ``cond``
+branches (max), and counts every vector primitive weighted by the number
+of 4 KB vector registers its output occupies (8 sublanes x 128 lanes x
+32 bits; narrower dtypes are counted at i32 width — Mosaic computes i8
+data in extended form).
+
+From the counts it reports, per kernel/config:
+  - vreg_ops:        total issued vector-register operations
+  - ops_per_byte:    vreg_ops / payload bytes (the batch's real bytes)
+  - cycles_per_byte: assuming 1 vreg-op/cycle on the v5e VPU (conservative:
+                     the VPU can issue several per cycle across its ALUs)
+  - proj_v5e_gbps:   940 MHz / cycles_per_byte — the silicon projection the
+                     bench cites (compute-bound; HBM streaming of the
+                     blocks themselves is far below this at these ops/byte)
+  - emu_s_per_batch: vreg_ops x 2.5 us — the measured emulator cost of one
+                     full-array vector op per vreg (DESIGN.md measured
+                     facts) — cross-checkable against tpu_validation.json
+
+Reference analog: the DPU build's max-cycles-per-tasklet discipline
+(snappy/scripts/parse_output_file.py:6-28) — there the observable is DPU
+cycles; here it is vreg issues.
+
+Writes docs/perf_ledger.json and prints a table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# Primitives that issue no vector-ALU work (metadata / layout bookkeeping
+# the Mosaic compiler resolves to register renaming or address arithmetic).
+FREE = {
+    "reshape", "squeeze", "expand_dims", "bitcast_convert_type",
+    "stop_gradient", "copy", "device_put", "sharding_constraint",
+    "empty", "eq_to", "split", "pjit_forwarding",
+}
+# Control/structural primitives handled explicitly by the walker.
+STRUCTURAL = {
+    "pjit", "closed_call", "core_call", "custom_jvp_call", "custom_vjp_call",
+    "scan", "while", "cond", "pallas_call", "run_state", "run_scoped",
+    "remat", "checkpoint", "custom_vjp_call_jaxpr",
+}
+VREG_BYTES = 8 * 128 * 4  # one v5e vector register, counted at i32 width
+
+
+def _vregs(aval) -> int:
+    """Vector registers occupied by a value (0 for scalars/SMEM-like)."""
+    shape = getattr(aval, "shape", ())
+    if not shape or math.prod(shape) <= 1:
+        return 0
+    n = math.prod(shape)
+    return max(1, math.ceil(n * 4 / VREG_BYTES))  # i32-width accounting
+
+
+def _subjaxprs(params):
+    for v in params.values():
+        if hasattr(v, "jaxpr"):  # ClosedJaxpr
+            yield v
+        elif hasattr(v, "eqns"):  # raw Jaxpr
+            yield v
+        elif isinstance(v, (tuple, list)):
+            for w in v:
+                if hasattr(w, "jaxpr") or hasattr(w, "eqns"):
+                    yield w
+
+
+def count_jaxpr(jaxpr, mult: int = 1, tally: dict | None = None) -> dict:
+    """Walk a (Closed)Jaxpr, returning {primitive_name: vreg_ops}."""
+    tally = tally if tally is not None else {}
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in FREE:
+            continue
+        if name == "scan":
+            length = int(eqn.params.get("length", 1))
+            count_jaxpr(eqn.params["jaxpr"], mult * length, tally)
+        elif name == "while":
+            # Trip count is dynamic; production kernels use fori_loop with
+            # static bounds (-> scan). A while here means the count below
+            # is a lower bound — flag it.
+            tally["__dynamic_while__"] = tally.get("__dynamic_while__", 0) + 1
+            count_jaxpr(eqn.params["body_jaxpr"], mult, tally)
+        elif name == "cond":
+            best: dict = {}
+            for br in eqn.params["branches"]:
+                t: dict = {}
+                count_jaxpr(br, mult, t)
+                if sum(v for k, v in t.items() if not k.startswith("__")) > \
+                   sum(v for k, v in best.items() if not k.startswith("__")):
+                    best = t
+            for k, v in best.items():
+                tally[k] = tally.get(k, 0) + v
+        elif (
+            name in STRUCTURAL
+            or name.endswith("_call")
+            or any(True for _ in _subjaxprs(eqn.params))
+        ):
+            for sub in _subjaxprs(eqn.params):
+                count_jaxpr(sub, mult, tally)
+        else:
+            work = sum(_vregs(v.aval) for v in eqn.outvars)
+            if name in ("gather", "dynamic_gather", "take_along_axis"):
+                # Per-lane dynamic addressing: measured ~uniform per-vreg
+                # cost on the VPU crossbar (DESIGN.md measured facts).
+                work = max(work, sum(_vregs(v.aval) for v in eqn.invars))
+            if work:
+                tally[name] = tally.get(name, 0) + work * mult
+    return tally
+
+
+def _total(tally: dict) -> int:
+    return int(sum(v for k, v in tally.items() if not k.startswith("__")))
+
+
+def _entry_bytes(bs: int, nb: int) -> int:
+    return bs * nb
+
+
+def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    tally = count_jaxpr(jaxpr)
+    ops = _total(tally)
+    opb = ops * 1.0 / payload_bytes
+    # one vreg covers 1024 i32 lanes; cycles/byte on v5e at 1 issue/cycle:
+    cpb = ops / payload_bytes
+    row = {
+        "kernel": name,
+        "payload_bytes": payload_bytes,
+        "vreg_ops": ops,
+        "ops_per_kbyte": round(opb * 1024, 2),
+        "cycles_per_byte_v5e": round(cpb, 4),
+        "proj_v5e_gbps": round(0.94 / cpb, 2) if cpb else None,
+        "emu_s_per_batch": round(ops * 2.5e-6, 2),
+        "dynamic_while": int(tally.get("__dynamic_while__", 0)),
+        "top_ops": dict(
+            sorted(
+                ((k, v) for k, v in tally.items() if not k.startswith("__")),
+                key=lambda kv: -kv[1],
+            )[:top]
+        ),
+    }
+    return row
+
+
+def main() -> int:
+    from pim_compression_tpu.ops import pallas_decode as pd
+    from pim_compression_tpu.ops import pallas_encode as pe
+
+    rows = []
+    for bs in (8192, 16384, 32768):
+        nb = pd.DFA_LANES
+        cap = pd.pallas_capacity(bs)
+        args = (
+            jnp.zeros((nb, cap), jnp.uint8),
+            jnp.ones((nb,), jnp.int32),
+            jnp.full((nb,), bs, jnp.int32),
+        )
+        rows.append(
+            ledger_row(
+                f"decode bs={bs}",
+                lambda c, l, o, bs=bs: pd.decode_blocks_pallas(
+                    c, l, o, block_size=bs
+                ),
+                args,
+                _entry_bytes(bs, nb),
+            )
+        )
+
+    enc_cfgs = [
+        dict(block_size=8192, matcher="sorted"),
+        dict(block_size=16384, matcher="sorted"),
+        dict(block_size=8192, matcher="sweep", window=512,
+             coarse_window=4096, granular=True),
+        dict(block_size=8192, matcher="sweep", window=2048,
+             coarse_window=8192, granular=True),
+    ]
+    for cfg in enc_cfgs:
+        bs = cfg["block_size"]
+        if bs > pe.MAX_ENC_BLOCK:
+            continue
+        nb = pe.BATCH
+        args = (
+            jnp.zeros((nb, bs), jnp.uint8),
+            jnp.full((nb,), bs, jnp.int32),
+        )
+        label = (
+            f"encode bs={bs} {cfg['matcher']}"
+            + (
+                f" w={cfg.get('window')} c={cfg.get('coarse_window')}"
+                if cfg["matcher"] == "sweep"
+                else ""
+            )
+        )
+        rows.append(
+            ledger_row(
+                label,
+                lambda b, l, cfg=cfg: pe.encode_blocks_pallas(b, l, **cfg),
+                args,
+                _entry_bytes(bs, nb),
+            )
+        )
+
+    out = {
+        "model": {
+            "vreg_bytes": VREG_BYTES,
+            "issue_rate": "1 vreg-op/cycle (conservative)",
+            "v5e_clock_ghz": 0.94,
+            "emulator_s_per_vreg_op": 2.5e-6,
+            "note": (
+                "counts from jaxpr walk with static trip-count expansion; "
+                "narrow dtypes counted at i32 width"
+            ),
+        },
+        "rows": rows,
+    }
+    path = REPO / "docs" / "perf_ledger.json"
+    path.parent.mkdir(exist_ok=True)
+    path.write_text(json.dumps(out, indent=2))
+
+    hdr = (
+        f"{'kernel':<38}{'vreg_ops':>12}{'ops/KB':>10}"
+        f"{'cyc/B':>8}{'proj GB/s':>11}{'emu s/batch':>13}"
+    )
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        print(
+            f"{r['kernel']:<38}{r['vreg_ops']:>12,}{r['ops_per_kbyte']:>10}"
+            f"{r['cycles_per_byte_v5e']:>8}{r['proj_v5e_gbps']:>11}"
+            f"{r['emu_s_per_batch']:>13}"
+            + ("  [dyn-while!]" if r["dynamic_while"] else "")
+        )
+    print(f"\nwrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

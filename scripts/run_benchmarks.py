@@ -6,6 +6,18 @@ sweeps the corpus; topology here is a runtime property, so the sweep axes
 are engines x block sizes x corpus files. Results land in a CSV consumed by
 the chart scripts.
 
+Sweep axes (each optional, comma-separated):
+  --engines       native,xla,pallas,oracle
+  --block-sizes   4096,32768
+  --matchers      sorted,sweep           (pallas encoder match finder)
+  --mesh-sizes    1,2,4,8                (devices in the block mesh — the
+                                          NR_DPUS axis analog; sweepable on
+                                          the 8-device CPU mesh)
+  --synth-sizes   10,25,84               (MB; synthesizes the stripped
+                                          large-corpus tier from the shipped
+                                          texts, reference/README.md:8-19,
+                                          for the speedup-vs-filesize chart)
+
 Usage:
     python scripts/run_benchmarks.py [--engines native,xla] [--files xml]
         [--block-sizes 4096,32768] [--iters 3] [--window 512]
@@ -51,6 +63,13 @@ def main() -> int:
     ap.add_argument("--threads", type=int, default=0)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--coarse-window", type=int, default=0)
+    ap.add_argument("--coarse-mode", default="sampled")
+    ap.add_argument("--matchers", default="sorted")
+    ap.add_argument("--mesh-sizes", default="")
+    ap.add_argument(
+        "--synth-sizes", default="",
+        help="comma-separated MB sizes; adds synthetic large-tier inputs",
+    )
     ap.add_argument("--out", default="bench_results.csv")
     args = ap.parse_args()
 
@@ -60,15 +79,35 @@ def main() -> int:
 
     engines = args.engines.split(",")
     block_sizes = [int(b) for b in args.block_sizes.split(",")]
+    matchers = args.matchers.split(",")
+    mesh_sizes = (
+        [int(m) for m in args.mesh_sizes.split(",")] if args.mesh_sizes else [None]
+    )
     files = discover_files(args.files.split(",") if args.files else None)
+    if args.synth_sizes:
+        # Synthesize the reference's stripped large-corpus tier (dickens
+        # 10 MB .. spamfile 84 MB, reference/README.md:8-19) by cycling the
+        # shipped texts to the target size.
+        seed = b"".join(p for _, p in files) or b"synthetic tier\n" * 64
+        for mb in (int(s) for s in args.synth_sizes.split(",")):
+            n = mb * 1_000_000
+            body = (seed * (n // len(seed) + 1))[:n]
+            files.append((f"synth{mb}mb", body))
 
     rows = []
     for name, plain in files:
         for engine in engines:
-            for bs in block_sizes:
+            for bs, matcher, meshn in (
+                (b, m, d)
+                for b in block_sizes
+                for m in matchers
+                for d in mesh_sizes
+            ):
                 cfg = CodecConfig(
                     block_size=bs, engine=engine, num_threads=args.threads,
                     match_window=args.window, coarse_window=args.coarse_window,
+                    coarse_mode=args.coarse_mode, matcher=matcher,
+                    mesh_devices=meshn,
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)
@@ -88,6 +127,8 @@ def main() -> int:
                         "file": name,
                         "engine": engine,
                         "block_size": bs,
+                        "matcher": matcher,
+                        "mesh_devices": meshn if meshn else "",
                         "direction": direction,
                         "bytes": len(plain),
                         "compressed_bytes": len(stream),
@@ -99,7 +140,9 @@ def main() -> int:
                         row[f"{p}_s"] = timer.seconds.get(p, 0.0) / args.iters
                     rows.append(row)
                     print(
-                        f"{name:10s} {engine:7s} bs={bs:<6d} {direction:10s} "
+                        f"{name:10s} {engine:7s} bs={bs:<6d} "
+                        f"{matcher:6s} mesh={meshn or 'all':4} "
+                        f"{direction:10s} "
                         f"{row['gbps']:.3f} GB/s ratio={row['ratio']:.3f}"
                     )
 

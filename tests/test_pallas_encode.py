@@ -251,8 +251,7 @@ def test_pallas_emit_kernel_high_rows_bs16384():
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((nrows, pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
-            pltpu.VMEM((2 * nrows, pe.LANES), jnp.int32),
-            pltpu.VMEM((nrows, pe.LANES), jnp.int32),
+            pltpu.VMEM((max(2 * nrows, 3 * bs), pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
         ],
         interpret=True,
