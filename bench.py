@@ -10,12 +10,13 @@ TPU tunnel (observed: queued dispatches can hang the device for hours) must
 not take the bench down with it — on timeout/failure we fall back to
 reporting the threaded native engine.
 
-Env knobs: PIM_BENCH_ENGINE (default pallas), PIM_BENCH_BLOCK (default 8192
-for pallas, 32768 otherwise), PIM_BENCH_REPEAT, PIM_BENCH_ITERS,
-PIM_BENCH_TIMEOUT (seconds, default 2700), PIM_BENCH_WINDOW,
-PIM_BENCH_WINDOW (default 512), PIM_BENCH_COARSE (long-range reach, default
-4096), PIM_BENCH_COARSE_MODE (granular|sampled, default granular — the
-phased-granule matcher dominates sampled on both ratio and speed).
+Env knobs: PIM_BENCH_ENGINE (default pallas), PIM_BENCH_BLOCK (default
+16384 for pallas, 32768 otherwise), PIM_BENCH_REPEAT, PIM_BENCH_ITERS,
+PIM_BENCH_TIMEOUT (seconds, default 2700), PIM_BENCH_MATCHER
+(sorted|sweep, default sorted — whole-block-window rung-sort matcher,
+hardware-validated ratio 0.726 @ bs 8192), PIM_BENCH_WINDOW (default 512)
+/ PIM_BENCH_COARSE (default 4096) / PIM_BENCH_COARSE_MODE
+(granular|sampled) — sweep-matcher knobs only.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ CORPUS = "/root/reference/test/xml.snappy"
 
 def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
-    coarse: int = 0, granular: bool = False,
+    coarse: int = 0, granular: bool = False, matcher: str = "sorted",
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -45,6 +46,7 @@ def measure(
         engine=engine, block_size=block_size, match_window=window,
         coarse_window=coarse,
         coarse_mode="granular" if granular else "sampled",
+        matcher=matcher,
     )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
@@ -72,12 +74,13 @@ def measure(
 
 
 def measure_subprocess(
-    engine, block_size, repeat, iters, timeout, window, coarse, granular
+    engine, block_size, repeat, iters, timeout, window, coarse, granular,
+    matcher,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
-        f"{repeat}, {iters}, {window}, {coarse}, {granular})))"
+        f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r})))"
     )
     try:
         proc = subprocess.run(
@@ -99,8 +102,10 @@ def measure_subprocess(
 
 def main() -> int:
     engine = os.environ.get("PIM_BENCH_ENGINE", "pallas")
+    # 16384 = the smallest hardware-validated block size whose sorted-match
+    # ratio (0.7611) beats the reference's 32K-block ratio (0.7408).
     block = int(
-        os.environ.get("PIM_BENCH_BLOCK", "8192" if engine == "pallas" else "32768")
+        os.environ.get("PIM_BENCH_BLOCK", "16384" if engine == "pallas" else "32768")
     )
     repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
@@ -108,6 +113,10 @@ def main() -> int:
     window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
     coarse = int(os.environ.get("PIM_BENCH_COARSE", "4096"))
     granular = os.environ.get("PIM_BENCH_COARSE_MODE", "granular") == "granular"
+    # "sorted" (default): rung-ladder bitonic matcher, whole-block window,
+    # hardware-validated xml ratio 0.726 at bs=8192 (beats every sweep
+    # config on ratio AND speed); window/coarse knobs apply to "sweep" only.
+    matcher = os.environ.get("PIM_BENCH_MATCHER", "sorted")
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -125,7 +134,8 @@ def main() -> int:
     base = 2 * len(plain) / (t2 - t0) / 1e9
 
     result = measure_subprocess(
-        engine, block, repeat, iters, timeout, window, coarse, granular
+        engine, block, repeat, iters, timeout, window, coarse, granular,
+        matcher,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.

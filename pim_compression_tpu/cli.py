@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
         "exhaustive shifted-compare sweep bounded by --window",
     )
     p.add_argument(
+        "--rungs", default=None,
+        help="sorted-matcher rung ladder, e.g. 4,16,64 (default: full)",
+    )
+    p.add_argument(
         "--strict-engine", action="store_true",
         help="fail instead of falling back to xla when the pallas kernels "
         "do not cover the requested block size",
@@ -101,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
             match_window=args.window, coarse_window=args.coarse_window,
             coarse_mode=args.coarse_mode, pipeline_depth=args.pipeline_depth,
             matcher=args.matcher, strict_engine=args.strict_engine,
+            rungs=(
+                tuple(int(r) for r in args.rungs.split(","))
+                if args.rungs
+                else None
+            ),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

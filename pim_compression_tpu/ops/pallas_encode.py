@@ -737,7 +737,7 @@ def _emit_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
-        "interpret",
+        "rungs", "interpret",
     ),
 )
 def encode_blocks_pallas(
@@ -749,6 +749,7 @@ def encode_blocks_pallas(
     coarse_window: int = 0,
     granular: bool = False,
     matcher: str = "sweep",
+    rungs: tuple[int, ...] | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
@@ -852,7 +853,8 @@ def encode_blocks_pallas(
                 lens_t[:, None, :], (SUBLANES, SUBLANES, LANES)
             )
             mlen, mlag = pm.sorted_match_groups(
-                data_g.astype(jnp.int8), lens_bc8, bs=bs, interpret=interpret
+                data_g.astype(jnp.int8), lens_bc8, bs=bs,
+                rungs=rungs or pm.DEFAULT_RUNGS, interpret=interpret,
             )
             return _emit(data_g, lens_t, mlen, mlag)
 
@@ -958,6 +960,7 @@ def encode_blocks_pallas_sharded(
     coarse_window: int = 0,
     granular: bool = False,
     matcher: str = "sweep",
+    rungs: tuple[int, ...] | None = None,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -973,6 +976,7 @@ def encode_blocks_pallas_sharded(
         coarse_window=coarse_window,
         granular=granular,
         matcher=matcher,
+        rungs=rungs,
         interpret=interpret,
     )
     sharded = shard_map(

@@ -244,6 +244,7 @@ def compress(
                     coarse_window=config.coarse_window,
                     granular=(config.coarse_mode == "granular"),
                     matcher=matcher,
+                    rungs=config.rungs,
                     interpret=interpret,
                 )
             else:

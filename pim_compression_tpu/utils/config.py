@@ -38,6 +38,12 @@ class CodecConfig:
     # power-of-two block_size. "sweep": the O(bs * window) shifted-compare
     # sweep bounded by match_window/coarse_window.
     matcher: str = "sorted"
+    # Sorted-matcher rung ladder (prefix lengths searched; None = the full
+    # (4, 8, 16, 32, 64)). Fewer rungs = proportionally fewer sort passes at
+    # a small ratio cost (xml @32K spec: full ladder 0.787, (4,16,64)
+    # 0.780) - the cycle/ratio tradeoff axis; reference analog
+    # compr_cycle_tradeoff.py.
+    rungs: tuple[int, ...] | None = None
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -59,3 +65,9 @@ class CodecConfig:
             raise ValueError(f"unknown coarse_mode {self.coarse_mode!r}")
         if self.matcher not in ("sorted", "sweep"):
             raise ValueError(f"unknown matcher {self.matcher!r}")
+        if self.rungs is not None and (
+            not self.rungs
+            or any(r not in (4, 8, 16, 32, 64) for r in self.rungs)
+            or list(self.rungs) != sorted(set(self.rungs))
+        ):
+            raise ValueError("rungs must be an ascending subset of (4,8,16,32,64)")

@@ -27,11 +27,13 @@ def main() -> int:
         if r["direction"] == "compress"
         and (args.engine is None or r["engine"] == args.engine)
     ]
+    matchers = {r.get("matcher", "") for r in rows}
     series: dict[str, list[tuple[int, float]]] = defaultdict(list)
     for r in rows:
-        series[f"{r['file']}/{r['engine']}"].append(
-            (int(r["block_size"]), float(r["ratio"]))
-        )
+        key = f"{r['file']}/{r['engine']}"
+        if len(matchers) > 1 and r["engine"] == "pallas":
+            key += f"/{r.get('matcher', '')}"  # matcher ladder axis
+        series[key].append((int(r["block_size"]), float(r["ratio"])))
 
     fig, ax = plt.subplots(figsize=(7, 4.5))
     for label, pts in sorted(series.items()):

@@ -124,6 +124,7 @@ def count_jaxpr(jaxpr, mult: int = 1, tally: dict | None = None) -> dict:
                 work = max(work, sum(_vregs(v.aval) for v in eqn.invars))
             if work:
                 tally[name] = tally.get(name, 0) + work * mult
+                tally["__n_ops__"] = tally.get("__n_ops__", 0) + mult
     return tally
 
 
@@ -135,10 +136,19 @@ def _entry_bytes(bs: int, nb: int) -> int:
     return bs * nb
 
 
+# Emulator cost model, calibrated against tpu_validation.json wall times:
+# t ~= n_ops * C_OP + vreg_ops * C_VREG. Fit to the measured sorted-encode
+# point (bs=8192: 0.83 s/batch, 154 M vregs, 2.7 M ops); rows flagged
+# dynamic_while count one iteration per dynamic loop and so under-predict.
+EMU_C_OP = 2.0e-8
+EMU_C_VREG = 5.0e-9
+
+
 def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
     jaxpr = jax.make_jaxpr(fn)(*args)
     tally = count_jaxpr(jaxpr)
     ops = _total(tally)
+    n_ops = int(tally.get("__n_ops__", 0))
     opb = ops * 1.0 / payload_bytes
     # one vreg covers 1024 i32 lanes; cycles/byte on v5e at 1 issue/cycle:
     cpb = ops / payload_bytes
@@ -146,10 +156,11 @@ def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
         "kernel": name,
         "payload_bytes": payload_bytes,
         "vreg_ops": ops,
+        "n_ops": n_ops,
         "ops_per_kbyte": round(opb * 1024, 2),
         "cycles_per_byte_v5e": round(cpb, 4),
         "proj_v5e_gbps": round(0.94 / cpb, 2) if cpb else None,
-        "emu_s_per_batch": round(ops * 2.5e-6, 2),
+        "emu_s_per_batch": round(n_ops * EMU_C_OP + ops * EMU_C_VREG, 3),
         "dynamic_while": int(tally.get("__dynamic_while__", 0)),
         "top_ops": dict(
             sorted(
@@ -224,10 +235,13 @@ def main() -> int:
             "vreg_bytes": VREG_BYTES,
             "issue_rate": "1 vreg-op/cycle (conservative)",
             "v5e_clock_ghz": 0.94,
-            "emulator_s_per_vreg_op": 2.5e-6,
+            "emulator_c_op_s": EMU_C_OP,
+            "emulator_c_vreg_s": EMU_C_VREG,
             "note": (
                 "counts from jaxpr walk with static trip-count expansion; "
-                "narrow dtypes counted at i32 width"
+                "narrow dtypes counted at i32 width; dynamic_while>0 rows "
+                "count one body iteration per dynamic loop (lower bound); "
+                "emu_s_per_batch cross-checks against tpu_validation.json"
             ),
         },
         "rows": rows,
@@ -237,17 +251,18 @@ def main() -> int:
     path.write_text(json.dumps(out, indent=2))
 
     hdr = (
-        f"{'kernel':<38}{'vreg_ops':>12}{'ops/KB':>10}"
+        f"{'kernel':<38}{'vreg_ops':>12}{'n_ops':>10}{'ops/KB':>10}"
         f"{'cyc/B':>8}{'proj GB/s':>11}{'emu s/batch':>13}"
     )
     print(hdr)
     print("-" * len(hdr))
     for r in rows:
         print(
-            f"{r['kernel']:<38}{r['vreg_ops']:>12,}{r['ops_per_kbyte']:>10}"
+            f"{r['kernel']:<38}{r['vreg_ops']:>12,}{r['n_ops']:>10,}"
+            f"{r['ops_per_kbyte']:>10}"
             f"{r['cycles_per_byte_v5e']:>8}{r['proj_v5e_gbps']:>11}"
             f"{r['emu_s_per_batch']:>13}"
-            + ("  [dyn-while!]" if r["dynamic_while"] else "")
+            + ("  [dyn-while]" if r["dynamic_while"] else "")
         )
     print(f"\nwrote {path}")
     return 0

@@ -46,6 +46,7 @@ def main() -> int:
     ap.add_argument("--coarse", type=int, default=0)
     ap.add_argument("--granular", action="store_true")
     ap.add_argument("--matcher", choices=["sweep", "sorted"], default="sweep")
+    ap.add_argument("--rungs", default=None, help="e.g. 4,16,64")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -62,7 +63,11 @@ def main() -> int:
 
     results: dict = {"device": str(jax.devices()[0]), "bs": args.bs,
         "window": args.window, "coarse": args.coarse,
-        "granular": args.granular, "matcher": args.matcher}
+        "granular": args.granular, "matcher": args.matcher,
+        "rungs": args.rungs}
+    rungs = (
+        tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
+    )
     bs = args.bs
 
     def step(name: str, fn):
@@ -147,7 +152,7 @@ def main() -> int:
         c, s = pe.encode_blocks_pallas(
             blocks_d, lens_d, block_size=bs, window=args.window,
             coarse_window=args.coarse, granular=args.granular,
-            matcher=args.matcher,
+            matcher=args.matcher, rungs=rungs,
         )
         sync(c)
         return c, s
@@ -171,7 +176,7 @@ def main() -> int:
             c, s = pe.encode_blocks_pallas(
                 blocks_d, lens_d, block_size=bs, window=args.window,
                 coarse_window=args.coarse, granular=args.granular,
-                matcher=args.matcher,
+                matcher=args.matcher, rungs=rungs,
             )
         sync(c)
         return (time.time() - t0) / args.iters
