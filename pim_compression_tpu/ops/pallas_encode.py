@@ -297,17 +297,15 @@ def _route_channel(
     nests over staged scratch — the un-chunked form's full-array round
     bodies held ~9 live (bs, 128) arrays and spilled ~130 MB at
     bs=16384 (hardware-measured 246 MB total against the 128 MB budget).
-    Staging layout inside STG (3*bs rows minimum):
+    Staging inside STG (max(2*bs, 2*CHR) rows):
       prefix-sum: pad zeros [0,bs), stage [bs,2bs)
-      compact:    W-stage [0,bs) pad [bs,1.5bs); rank-stage [1.5bs,2.5bs)
-                  pad [2.5bs,3bs)
-      expand:     pad zeros [0,nrows), stage [nrows,2nrows)
+      compact:    none — in-place ascending-chunk rounds
+      expand:     chunk-0 snapshot only: zeros [0,CHR), stage [CHR,2CHR)
     """
     CHB = min(bs, 1024)
     NCB = bs // CHB
     CHR = min(nrows, 1024)
     NCR = nrows // CHR
-    RS = 3 * bs // 2  # rank-stage base row
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
@@ -367,25 +365,14 @@ def _route_channel(
 
     jax.lax.fori_loop(0, NCB, rank_fix, 0)
 
-    # Compact up, LSB-first. Two staged arrays (W and rank) per round.
-    STG[bs:RS] = jnp.zeros((RS - bs, LANES), jnp.int32)
-    STG[RS + bs : 3 * bs] = jnp.zeros((bs // 2, LANES), jnp.int32)
-
+    # Compact up, LSB-first — staging-free: ascending chunk order reads
+    # source rows [base+sh, base+sh+CHB) from chunks not yet updated this
+    # round (within-chunk rows are read before the chunk is written), with
+    # the read start clamped into the zero pads above bs (W_s[bs:nrows),
+    # rank_s[bs:bs+CHB)) so out-of-range sources read as unoccupied. The
+    # source's move decision is recomputed instead of staged.
     def compact_round(k, _):
         sh = jnp.int32(1) << k
-
-        def stage(c, _):
-            base = c * CHB
-            W = W_s[pl.ds(base, CHB)]
-            rank = rank_s[pl.ds(base, CHB)]
-            occ = (W & _OCC) != 0
-            crows = base + ch_iota(CHB)
-            move = occ & ((((crows - rank) >> k) & 1) == 1)
-            STG[pl.ds(base, CHB)] = jnp.where(move, W, 0)
-            STG[pl.ds(RS + base, CHB)] = jnp.where(move, rank, 0)
-            return 0
-
-        jax.lax.fori_loop(0, NCB, stage, 0)
 
         def upd(c, _):
             base = c * CHB
@@ -394,15 +381,18 @@ def _route_channel(
             occ = (W & _OCC) != 0
             crows = base + ch_iota(CHB)
             move = occ & ((((crows - rank) >> k) & 1) == 1)
-            moved_W = STG[pl.ds(base + sh, CHB)]
-            moved_rank = STG[pl.ds(RS + base + sh, CHB)]
-            arriving = (moved_W & _OCC) != 0
+            src = jnp.minimum(base + sh, bs)
+            nW = W_s[pl.ds(src, CHB)]
+            nR = rank_s[pl.ds(src, CHB)]
+            srows = src + ch_iota(CHB)
+            occ_s = (nW & _OCC) != 0
+            arriving = occ_s & ((((srows - nR) >> k) & 1) == 1)
             staying = occ & ~move
             W_s[pl.ds(base, CHB)] = jnp.where(
-                arriving, moved_W, jnp.where(staying, W, 0)
+                arriving, nW, jnp.where(staying, W, 0)
             )
             rank_s[pl.ds(base, CHB)] = jnp.where(
-                arriving, moved_rank, jnp.where(staying, rank, 0)
+                arriving, nR, jnp.where(staying, rank, 0)
             )
             return 0
 
@@ -411,40 +401,39 @@ def _route_channel(
 
     jax.lax.fori_loop(0, nbit, compact_round, 0)
 
-    # Expand down, MSB-first over [0, nrows).
+    # Expand down, MSB-first over [0, nrows) — staging-free except chunk 0:
+    # descending chunk order reads source rows [base-sh, base-sh+CHR) from
+    # chunks not yet updated this round. Only chunk 0 can straddle row 0
+    # (sh < CHR implies every other chunk has base >= CHR > sh), so a
+    # single-chunk snapshot in STG[CHR:2CHR) (zeros in STG[0:CHR)) serves
+    # its shifted read; arriving is masked by crows >= sh and the source's
+    # move decision is recomputed from the read words.
     max_bit = (nrows - 1).bit_length() - 1
-
-    def zpad(c, _):
-        STG[pl.ds(c * CHR, CHR)] = jnp.zeros((CHR, LANES), jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, NCR, zpad, 0)
+    STG[0:CHR] = jnp.zeros((CHR, LANES), jnp.int32)
 
     def expand_round(j, _):
         sh = jnp.int32(1) << (max_bit - j)
+        STG[pl.ds(CHR, CHR)] = W_s[pl.ds(0, CHR)]
 
-        def stage(c, _):
+        def upd(i, _):
+            c = NCR - 1 - i
             base = c * CHR
             W = W_s[pl.ds(base, CHR)]
             occ = (W & _OCC) != 0
-            rows = base + ch_iota(CHR)
-            move = occ & (((W >> 8) & 0x3FFFFF) - rows >= sh)
-            STG[pl.ds(nrows + base, CHR)] = jnp.where(move, W, 0)
-            return 0
-
-        jax.lax.fori_loop(0, NCR, stage, 0)
-
-        def upd(c, _):
-            base = c * CHR
-            W = W_s[pl.ds(base, CHR)]
-            occ = (W & _OCC) != 0
-            rows = base + ch_iota(CHR)
-            move = occ & (((W >> 8) & 0x3FFFFF) - rows >= sh)
-            moved_W = STG[pl.ds(nrows + base - sh, CHR)]
-            arriving = (moved_W & _OCC) != 0
+            crows = base + ch_iota(CHR)
+            move = occ & (((W >> 8) & 0x3FFFFF) - crows >= sh)
+            mW_main = W_s[pl.ds(jnp.maximum(base - sh, 0), CHR)]
+            mW_c0 = STG[pl.ds(jnp.maximum(CHR - sh, 0), CHR)]
+            mW = jnp.where(base == 0, mW_c0, mW_main)
+            occ_m = (mW & _OCC) != 0
+            arriving = (
+                (crows >= sh)
+                & occ_m
+                & (((mW >> 8) & 0x3FFFFF) - (crows - sh) >= sh)
+            )
             staying = occ & ~move
             W_s[pl.ds(base, CHR)] = jnp.where(
-                arriving, moved_W, jnp.where(staying, W, 0)
+                arriving, mW, jnp.where(staying, W, 0)
             )
             return 0
 
@@ -478,8 +467,8 @@ def _emit_kernel(
     accept_ref,  # scratch (bs, 128) i32: accept mask -> out_start
     copy_ref,  # scratch (bs, 128) i32: copy mask -> h-bytes
     W_s,  # scratch (nrows, 128) i32: scan workspace / channel words
-    rank_s,  # scratch (bs, 128) i32: head-row scan input -> token ranks
-    STG,  # scratch (max(2*nrows, 3*bs), 128) i32: staging + parking
+    rank_s,  # scratch (bs + CHB, 128) i32: head-row scan -> token ranks
+    STG,  # scratch (max(2*bs, 2048), 128) i32: scan/expand staging
     meta_s,  # scratch (bs, 128) i32: h-bytes+hdr -> final layout metadata
     *,
     bs: int,
@@ -536,10 +525,11 @@ def _emit_kernel(
         0, bs // SUBLANES, scan_outer, jnp.zeros((1, LANES), jnp.int32)
     )
 
-    # In-place log-shift scans over W_s[0:bs], staged through STG[0:2bs).
+    # In-place log-shift scans over ref[0:bs], staged through STG[0:2bs).
     nbit = (bs - 1).bit_length()
 
-    def scan_down_ip(op, fill):
+    def scan_down_ip(op, fill, ref=None):
+        ref = W_s if ref is None else ref
         STG[0:bs] = jnp.full((bs, LANES), fill, jnp.int32)
 
         def rnd(j, _):
@@ -547,15 +537,15 @@ def _emit_kernel(
 
             def stage(c, _):
                 base = c * CHB
-                STG[pl.ds(bs + base, CHB)] = W_s[pl.ds(base, CHB)]
+                STG[pl.ds(bs + base, CHB)] = ref[pl.ds(base, CHB)]
                 return 0
 
             jax.lax.fori_loop(0, NCB, stage, 0)
 
             def upd(c, _):
                 base = c * CHB
-                W_s[pl.ds(base, CHB)] = op(
-                    W_s[pl.ds(base, CHB)], STG[pl.ds(bs + base - sh, CHB)]
+                ref[pl.ds(base, CHB)] = op(
+                    ref[pl.ds(base, CHB)], STG[pl.ds(bs + base - sh, CHB)]
                 )
                 return 0
 
@@ -653,7 +643,6 @@ def _emit_kernel(
             jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
         )
         W_s[pl.ds(base, CHB)] = emit
-        STG[pl.ds(2 * bs + base, CHB)] = emit  # PassC needs emit past incl
         meta_s[pl.ds(base, CHB)] = (
             h0 | (h1 << 8) | (h2 << 16) | ((hdr_lit + hdr_copy) << 24)
         )
@@ -663,14 +652,22 @@ def _emit_kernel(
     scan_down_ip(jnp.add, 0)  # W_s = inclusive prefix sum of emit
     sizes = W_s[bs - 1 : bs, :]  # (1, 128)
 
-    # Pass C: out_start; meta repack; covering-head scan input.
-    def passC(c, last_lit):
+    # Pass C: out_start (exclusive sum = inclusive shifted by one row,
+    # realized with a carried last-incl row — no parked emit copy needed);
+    # meta repack; covering-head scan input.
+    def passC(c, carry):
+        last_lit, last_incl = carry
         base = c * CHB
         lit, head_lit, acc, cp = lit_chunk(base, last_lit)
         is_head = acc & (head_lit | cp)
         meta = meta_s[pl.ds(base, CHB)]
         hdr_here = (meta >> 24) & 3
-        out_start = W_s[pl.ds(base, CHB)] - STG[pl.ds(2 * bs + base, CHB)]
+        incl = W_s[pl.ds(base, CHB)]
+        out_start = (
+            jnp.concatenate([last_incl, incl[: CHB - 1]])
+            if CHB > 1
+            else last_incl
+        )
         # out_start + hdr_here is strictly increasing across heads (emit >=
         # hdr at every head), so a plain max-scan recovers the most recent
         # head's first-data position — scales to any block size without
@@ -681,27 +678,22 @@ def _emit_kernel(
         meta_s[pl.ds(base, CHB)] = (
             (lit << 16) | (is_head.astype(jnp.int32) << 17) | (hdr_here << 18)
         )
-        return lit[CHB - 1 : CHB]
+        return (lit[CHB - 1 : CHB], incl[CHB - 1 : CHB])
 
-    jax.lax.fori_loop(0, NCB, passC, jnp.zeros((1, LANES), jnp.int32))
+    jax.lax.fori_loop(
+        0, NCB, passC,
+        (jnp.zeros((1, LANES), jnp.int32), jnp.zeros((1, LANES), jnp.int32)),
+    )
     scan_down_ip(jnp.maximum, -1)  # W_s = cov_data0
-
-    def park_load(c, _):
-        base = c * CHB
-        STG[pl.ds(2 * bs + base, CHB)] = W_s[pl.ds(base, CHB)]
-        W_s[pl.ds(base, CHB)] = rank_s[pl.ds(base, CHB)]
-        return 0
-
-    jax.lax.fori_loop(0, NCB, park_load, 0)
-    scan_down_ip(jnp.maximum, -1)  # W_s = head_row
+    scan_down_ip(jnp.maximum, -1, ref=rank_s)  # rank_s = head_row
 
     # Pass D: literal data byte destinations into meta bits 0-15
     # (16 bits cover cap(32768)).
     def passD(c, _):
         base = c * CHB
         crows = base + ch_iota(CHB)
-        head_row = W_s[pl.ds(base, CHB)]
-        cov = STG[pl.ds(2 * bs + base, CHB)]
+        head_row = rank_s[pl.ds(base, CHB)]
+        cov = W_s[pl.ds(base, CHB)]
         litdst = jnp.clip(
             cov + (crows - jnp.maximum(head_row, 0)), 0, (1 << 16) - 1
         )
@@ -710,7 +702,10 @@ def _emit_kernel(
 
     jax.lax.fori_loop(0, NCB, passD, 0)
 
-    # Zero the output block, then route the four monotone channels.
+    # Zero the output block and the rank pad (the compact rounds read
+    # rows [bs, bs+CHB) as always-unoccupied sources), then route the four
+    # monotone channels.
+    rank_s[bs : bs + CHB] = jnp.zeros((CHB, LANES), jnp.int32)
     CHC = min(cap, 1024)
 
     def zcomp(c, _):
@@ -830,10 +825,9 @@ def encode_blocks_pallas(
                     pltpu.VMEM((bs, LANES), jnp.int32),  # accept -> out_start
                     pltpu.VMEM((bs, LANES), jnp.int32),  # copy -> h-bytes
                     pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
-                    pltpu.VMEM((bs, LANES), jnp.int32),  # rank_s
-                    pltpu.VMEM(  # STG: staging + parking
-                        (max(2 * _route_rows(bs, cap), 3 * bs), LANES),
-                        jnp.int32,
+                    pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
+                    pltpu.VMEM(  # STG: scan/expand staging
+                        (max(2 * bs, 2048), LANES), jnp.int32
                     ),
                     pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
                 ],

@@ -250,8 +250,8 @@ def test_pallas_emit_kernel_high_rows_bs16384():
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((nrows, pe.LANES), jnp.int32),
-            pltpu.VMEM((bs, pe.LANES), jnp.int32),
-            pltpu.VMEM((max(2 * nrows, 3 * bs), pe.LANES), jnp.int32),
+            pltpu.VMEM((bs + min(bs, 1024), pe.LANES), jnp.int32),
+            pltpu.VMEM((max(2 * bs, 2048), pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
         ],
         interpret=True,
