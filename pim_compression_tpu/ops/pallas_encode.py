@@ -36,7 +36,7 @@ from pim_compression_tpu.format import constants as C
 LANES = 128
 SUBLANES = 8
 BATCH = SUBLANES * LANES  # blocks per batch
-MAX_ENC_BLOCK = 16384
+MAX_ENC_BLOCK = 32768
 _OCC = 1 << 30
 
 
@@ -285,7 +285,7 @@ def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
 
 
 def _route_channel(
-    ch, data_ref, meta_s, accept_ref, copy_ref, comp_ref,
+    ch, data_ref, meta_s, copy_ref, comp_ref,
     W_s, rank_s, STG, *, bs, cap, nrows
 ):
     """One monotone channel: tokens routed to their compressed-stream rows,
@@ -297,8 +297,8 @@ def _route_channel(
     nests over staged scratch — the un-chunked form's full-array round
     bodies held ~9 live (bs, 128) arrays and spilled ~130 MB at
     bs=16384 (hardware-measured 246 MB total against the 128 MB budget).
-    Staging inside STG (max(2*bs, 2*CHR) rows):
-      prefix-sum: pad zeros [0,bs), stage [bs,2bs)
+    Staging inside STG (max(3*bs//2, 2*CHR) rows):
+      prefix-sum: fill zeros [0,bs/2), stage [bs/2,3bs/2)
       compact:    none — in-place ascending-chunk rounds
       expand:     chunk-0 snapshot only: zeros [0,CHR), stage [CHR,2CHR)
     """
@@ -310,13 +310,19 @@ def _route_channel(
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
-    # Tokens + occupancy into W_s[0:bs] / rank_s (chunked).
+    # Tokens + occupancy into W_s[0:bs] / rank_s (chunked). The meta
+    # dst field holds the literal byte destination for lit rows and
+    # out_start for copy heads; a lit-head's out_start is its own first
+    # literal's dst minus its header size (cov_data0 identity), so header
+    # channels never need a separate out_start array.
     def tok_init(c, _):
         base = c * CHB
         meta = meta_s[pl.ds(base, CHB)]
         if ch < 3:
             tok = (((meta >> 17) & 1) != 0) & (((meta >> 18) & 3) > ch)
-            dst = accept_ref[pl.ds(base, CHB)] + ch
+            lit = ((meta >> 16) & 1) != 0
+            hdr = (meta >> 18) & 3
+            dst = (meta & 0xFFFF) - jnp.where(lit, hdr, 0) + ch
             val = (copy_ref[pl.ds(base, CHB)] >> (8 * ch)) & 0xFF
         else:
             tok = ((meta >> 16) & 1) != 0
@@ -329,16 +335,18 @@ def _route_channel(
     jax.lax.fori_loop(0, NCB, tok_init, 0)
     W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
 
-    # Occupancy prefix-sum rounds (rank of each token).
+    # Occupancy prefix-sum rounds (rank of each token). Stage base bs/2:
+    # the deepest down-shift is bs/2, so a half-size fill region suffices.
     nbit = (bs - 1).bit_length()
-    STG[0:bs] = jnp.zeros((bs, LANES), jnp.int32)  # down-shift pad
+    SB = bs // 2
+    STG[0:SB] = jnp.zeros((SB, LANES), jnp.int32)  # down-shift pad
 
     def csum_round(j, _):
         sh = jnp.int32(1) << j
 
         def stage(c, _):
             base = c * CHB
-            STG[pl.ds(bs + base, CHB)] = rank_s[pl.ds(base, CHB)]
+            STG[pl.ds(SB + base, CHB)] = rank_s[pl.ds(base, CHB)]
             return 0
 
         jax.lax.fori_loop(0, NCB, stage, 0)
@@ -346,7 +354,7 @@ def _route_channel(
         def upd(c, _):
             base = c * CHB
             rank_s[pl.ds(base, CHB)] = (
-                rank_s[pl.ds(base, CHB)] + STG[pl.ds(bs + base - sh, CHB)]
+                rank_s[pl.ds(base, CHB)] + STG[pl.ds(SB + base - sh, CHB)]
             )
             return 0
 
@@ -450,9 +458,10 @@ def _route_channel(
         base = c * CHC
         W = W_s[pl.ds(base, CHC)]
         landed = (W & _OCC) != 0
+        prev = comp_ref[0, pl.ds(base, CHC)].astype(jnp.int32)
         comp_ref[0, pl.ds(base, CHC)] = jnp.where(
-            landed, W & 0xFF, comp_ref[0, pl.ds(base, CHC)]
-        )
+            landed, W & 0xFF, prev
+        ).astype(jnp.int8)
         return 0
 
     jax.lax.fori_loop(0, cap // CHC, land, 0)
@@ -460,15 +469,15 @@ def _route_channel(
 
 def _emit_kernel(
     data_ref,  # (1, bs, 128) i8 byte values (converted on read)
-    match_ref,  # (1, bs, 128) i32: bucketed len (7 bits) | lag << 7
+    mlen_ref,  # (1, bs, 128) i8: bucketed best length (0 or 4..64)
+    mlag_ref,  # (1, bs, 128) i16: best lag (0 = none; < bs <= 32768)
     lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
-    comp_ref,  # (1, cap, 128) i32 out
+    comp_ref,  # (1, cap, 128) i8 out
     size_ref,  # (1, 8, 128) i32 out
-    accept_ref,  # scratch (bs, 128) i32: accept mask -> out_start
-    copy_ref,  # scratch (bs, 128) i32: copy mask -> h-bytes
+    copy_ref,  # scratch (bs, 128) i32: packed accept|copy -> h-bytes
     W_s,  # scratch (nrows, 128) i32: scan workspace / channel words
     rank_s,  # scratch (bs + CHB, 128) i32: head-row scan -> token ranks
-    STG,  # scratch (max(2*bs, 2048), 128) i32: scan/expand staging
+    STG,  # scratch (max(3*bs//2, 2048), 128) i32: scan/expand staging
     meta_s,  # scratch (bs, 128) i32: h-bytes+hdr -> final layout metadata
     *,
     bs: int,
@@ -481,16 +490,19 @@ def _emit_kernel(
     register-allocator liveness is bounded by the chunk size at any block
     size (the full-array form held ~16 live arrays = ~134 MB of spill at
     bs=16384). Scratch choreography:
+      greedy:  packed accept|copy masks -> copy_ref
       pass A:  head-lit rows -> rank_s, nonlit_next -> W_s
       scan     suffix-min on W_s               -> run_end
-      pass B:  emit -> W_s (+copy in STG[2bs:3bs]), h-bytes|hdr -> meta_s
+      pass B:  emit -> W_s, h-bytes|hdr -> meta_s
       scan     prefix-sum on W_s               -> incl (sizes = last row)
-      pass C:  out_start -> accept_ref, h-bytes -> copy_ref,
-               lit|head|hdr -> meta_s, head-emit rows -> W_s
-      scan     prefix-max on W_s               -> cov_data0
-      park cov_data0 -> STG[2bs:3bs], rank_s -> W_s
-      scan     prefix-max on W_s               -> head_row
-      pass D:  litdst into meta_s bits 0-15
+      pass C:  h-bytes -> copy_ref; lit|head|hdr + out_start-at-copy-heads
+               -> meta_s (out_start from a carried last-incl row);
+               head-emit rows -> W_s
+      scan     prefix-max on W_s -> cov_data0; prefix-max in rank_s ->
+               head_row
+      pass D:  litdst into meta_s bits 0-15 (lit rows only; copy heads
+               keep out_start there — a lit-head's out_start is litdst
+               minus its header size, the cov_data0 identity)
       routing  4 monotone channels (see _route_channel)
     """
     nrows = _route_rows(bs, cap)
@@ -505,9 +517,8 @@ def _emit_kernel(
     # masks accumulate into VMEM scratch via 8-aligned stores.
     def scan_outer(i, next_accept):
         base = i * SUBLANES
-        bl8 = match_ref[0, pl.ds(base * 1, SUBLANES), :] & 0x7F
-        acc_rows = []
-        cp_rows = []
+        bl8 = mlen_ref[0, pl.ds(base * 1, SUBLANES), :].astype(jnp.int32) & 0x7F
+        mask_rows = []
         for j in range(SUBLANES):
             p = base + j
             bl = bl8[j : j + 1]
@@ -515,29 +526,32 @@ def _emit_kernel(
             copy = acc & (bl >= 4)
             adv = jnp.where(copy, bl, 1)
             next_accept = jnp.where(acc, p + adv, next_accept)
-            acc_rows.append(acc.astype(jnp.int32))  # concat of i1 rows is
-            cp_rows.append(copy.astype(jnp.int32))  # not lowerable; cast first
-        accept_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(acc_rows)
-        copy_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(cp_rows)
+            mask_rows.append(  # concat of i1 rows is not lowerable
+                acc.astype(jnp.int32) | (copy.astype(jnp.int32) << 1)
+            )
+        copy_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(mask_rows)
         return next_accept
 
     jax.lax.fori_loop(
         0, bs // SUBLANES, scan_outer, jnp.zeros((1, LANES), jnp.int32)
     )
 
-    # In-place log-shift scans over ref[0:bs], staged through STG[0:2bs).
+    # In-place log-shift scans over ref[0:bs], staged through
+    # STG[0:3bs/2) — the deepest shift is bs/2, so a half-size fill
+    # region suffices on either side of the staged copy.
     nbit = (bs - 1).bit_length()
+    SB = bs // 2  # down-scan stage base
 
     def scan_down_ip(op, fill, ref=None):
         ref = W_s if ref is None else ref
-        STG[0:bs] = jnp.full((bs, LANES), fill, jnp.int32)
+        STG[0:SB] = jnp.full((SB, LANES), fill, jnp.int32)
 
         def rnd(j, _):
             sh = jnp.int32(1) << j
 
             def stage(c, _):
                 base = c * CHB
-                STG[pl.ds(bs + base, CHB)] = ref[pl.ds(base, CHB)]
+                STG[pl.ds(SB + base, CHB)] = ref[pl.ds(base, CHB)]
                 return 0
 
             jax.lax.fori_loop(0, NCB, stage, 0)
@@ -545,7 +559,7 @@ def _emit_kernel(
             def upd(c, _):
                 base = c * CHB
                 ref[pl.ds(base, CHB)] = op(
-                    ref[pl.ds(base, CHB)], STG[pl.ds(bs + base - sh, CHB)]
+                    ref[pl.ds(base, CHB)], STG[pl.ds(SB + base - sh, CHB)]
                 )
                 return 0
 
@@ -555,7 +569,7 @@ def _emit_kernel(
         jax.lax.fori_loop(0, nbit, rnd, 0)
 
     def scan_up_ip(op, fill):
-        STG[bs : 2 * bs] = jnp.full((bs, LANES), fill, jnp.int32)
+        STG[bs : bs + SB] = jnp.full((SB, LANES), fill, jnp.int32)
 
         def rnd(j, _):
             sh = jnp.int32(1) << j
@@ -581,8 +595,9 @@ def _emit_kernel(
 
     def lit_chunk(base, last_lit):
         """(lit, head_lit, acc, cp) for a chunk, with cross-chunk carry."""
-        acc = accept_ref[pl.ds(base, CHB)] != 0
-        cp = copy_ref[pl.ds(base, CHB)] != 0
+        m = copy_ref[pl.ds(base, CHB)]
+        acc = (m & 1) != 0
+        cp = (m & 2) != 0
         lit = (acc & ~cp).astype(jnp.int32)
         prev = (
             jnp.concatenate([last_lit, lit[: CHB - 1]]) != 0
@@ -618,9 +633,8 @@ def _emit_kernel(
         L1 = jnp.maximum(run_len - 1, 0)
         lit_ext = jnp.where(L1 < 60, 0, jnp.where(L1 < 256, 1, 2))
         hdr_lit = jnp.where(head_lit, 1 + lit_ext, 0)
-        m = match_ref[0, pl.ds(base, CHB)]
-        best_len = m & 0x7F
-        best_off = m >> 7
+        best_len = mlen_ref[0, pl.ds(base, CHB)].astype(jnp.int32) & 0x7F
+        best_off = mlag_ref[0, pl.ds(base, CHB)].astype(jnp.int32) & 0xFFFF
         copy1 = cp & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
         hdr_copy = jnp.where(cp, jnp.where(copy1, 2, 3), 0)
         emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
@@ -673,10 +687,14 @@ def _emit_kernel(
         # head's first-data position — scales to any block size without
         # (rows << k) packing (which wraps int32 at 16 K).
         W_s[pl.ds(base, CHB)] = jnp.where(is_head, out_start + hdr_here, -1)
-        accept_ref[pl.ds(base, CHB)] = out_start
         copy_ref[pl.ds(base, CHB)] = meta & 0xFFFFFF
+        # Copy heads park their out_start in the dst field (their litdst is
+        # never read: channel 3 gates on the lit bit). Lit rows get litdst
+        # in pass D; a lit-head's out_start = litdst - hdr (cov identity).
         meta_s[pl.ds(base, CHB)] = (
-            (lit << 16) | (is_head.astype(jnp.int32) << 17) | (hdr_here << 18)
+            jnp.where(is_head & cp, out_start, 0)
+            | (lit << 16) | (is_head.astype(jnp.int32) << 17)
+            | (hdr_here << 18)
         )
         return (lit[CHB - 1 : CHB], incl[CHB - 1 : CHB])
 
@@ -697,7 +715,10 @@ def _emit_kernel(
         litdst = jnp.clip(
             cov + (crows - jnp.maximum(head_row, 0)), 0, (1 << 16) - 1
         )
-        meta_s[pl.ds(base, CHB)] = meta_s[pl.ds(base, CHB)] | litdst
+        meta = meta_s[pl.ds(base, CHB)]
+        meta_s[pl.ds(base, CHB)] = meta | jnp.where(
+            ((meta >> 16) & 1) != 0, litdst, 0
+        )
         return 0
 
     jax.lax.fori_loop(0, NCB, passD, 0)
@@ -709,14 +730,14 @@ def _emit_kernel(
     CHC = min(cap, 1024)
 
     def zcomp(c, _):
-        comp_ref[0, pl.ds(c * CHC, CHC)] = jnp.zeros((CHC, LANES), jnp.int32)
+        comp_ref[0, pl.ds(c * CHC, CHC)] = jnp.zeros((CHC, LANES), jnp.int8)
         return 0
 
     jax.lax.fori_loop(0, cap // CHC, zcomp, 0)
 
     for ch in range(4):
         _route_channel(
-            ch, data_ref, meta_s, accept_ref, copy_ref, comp_ref,
+            ch, data_ref, meta_s, copy_ref, comp_ref,
             W_s, rank_s, STG, bs=bs, cap=cap, nrows=nrows,
         )
 
@@ -798,44 +819,74 @@ def encode_blocks_pallas(
             lens_bc = jnp.broadcast_to(
                 lens_t[:, None, :], (SUBLANES, SUBLANES, LANES)
             )
-            match_g = mlen | (mlag << 7)
-            comp_g, size_g = pl.pallas_call(
-                functools.partial(_emit_kernel, bs=bs, cap=cap),
-                grid=(SUBLANES,),
-                in_specs=[
-                    pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(
-                        (1, SUBLANES, LANES), lambda g: (g, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=[
-                    pl.BlockSpec((1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(
-                        (1, SUBLANES, LANES), lambda g: (g, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int32),
-                    jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((bs, LANES), jnp.int32),  # accept -> out_start
-                    pltpu.VMEM((bs, LANES), jnp.int32),  # copy -> h-bytes
-                    pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
-                    pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
-                    pltpu.VMEM(  # STG: scan/expand staging
-                        (max(2 * bs, 2048), LANES), jnp.int32
-                    ),
-                    pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
-                ],
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=126 * 1024 * 1024,
+            mlen8 = mlen.astype(jnp.int8)
+            mlag16 = mlag.astype(jnp.int16)
+            kern = functools.partial(_emit_kernel, bs=bs, cap=cap)
+            scratch = [
+                pltpu.VMEM((bs, LANES), jnp.int32),  # copy: masks -> h-bytes
+                pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
+                pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
+                pltpu.VMEM(  # STG: scan/expand staging
+                    (max(3 * bs // 2, 2048), LANES), jnp.int32
                 ),
-                interpret=interpret,
-            )(data_g.astype(jnp.int8), match_g, lens_bc)
+                pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
+            ]
+            params = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
+            if bs <= 16384:
+                comp_g, size_g = pl.pallas_call(
+                    kern,
+                    grid=(SUBLANES,),
+                    in_specs=[
+                        pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int8),
+                        jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+                    ],
+                    scratch_shapes=scratch,
+                    compiler_params=params,
+                    interpret=interpret,
+                )(data_g.astype(jnp.int8), mlen8, mlag16, lens_bc)
+            else:
+                # Gridless per group: at 32 K the double-buffered grid
+                # blocks alone exceed the VMEM headroom, so groups run
+                # sequentially under lax.map with single-buffered I/O.
+                call = pl.pallas_call(
+                    kern,
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+                    out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                    out_shape=[
+                        jax.ShapeDtypeStruct((1, cap, LANES), jnp.int8),
+                        jax.ShapeDtypeStruct((1, SUBLANES, LANES), jnp.int32),
+                    ],
+                    scratch_shapes=scratch,
+                    compiler_params=params,
+                    interpret=interpret,
+                )
+
+                def one_group(args):
+                    d, ml, mg, lb = args
+                    return call(d[None], ml[None], mg[None], lb[None])
+
+                comp_g, size_g = jax.lax.map(
+                    one_group,
+                    (data_g.astype(jnp.int8), mlen8, mlag16, lens_bc),
+                )
+                comp_g = comp_g[:, 0]
+                size_g = size_g[:, 0]
             comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
             size_b = size_g[:, 0, :].reshape(BATCH)
             return comp_b, size_b

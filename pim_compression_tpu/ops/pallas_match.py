@@ -119,42 +119,106 @@ def _sort_rung_kernel(
     rung: int,
     nstages: int,
 ):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, LANES), 0)
-    h = _hash_for_rung(_word4(data_ref[...]), rung)
-    k17 = (h ^ ((h >> 15) & 0x1FFFF)) & 0x1FFFF
-    # Packed sort word, top bit flipped so the signed bitonic compare
-    # realises unsigned order of (key17 << 15) | pos.
-    pk_s[...] = (((k17 << 15) | rows) ^ _SIGN).astype(jnp.int32)
+    """One rung: hash-key sort -> nearest-previous lags -> unsort.
+
+    Fully chunked: the hash ladder, every compare-exchange stage, the
+    sorted-adjacency lag extraction and the final unpack run as CH-row
+    fori nests (full-array phase bodies held 4-5 live (bs, 128) arrays —
+    ~84 MB of register spill at bs=32768). The hash chunk reads a
+    128-row lookahead (word pack 3 + ladder shifts <= 60 bytes of reach),
+    zero past the block end to match the spec's zero-fill shifts.
+    """
+    CH = min(bs, 1024)
+    NC = bs // CH
+    LOOK = 128
     half = bs // 2
 
-    def stage(s, _):
-        j = jt_ref[s]
-        k = kt_ref[s]
-        low = (rows & j) == 0
-        w = pk_s[...]
-        stg_s[pl.ds(half, bs)] = w
-        pw = jnp.where(
-            low, stg_s[pl.ds(half + j, bs)], stg_s[pl.ds(half - j, bs)]
+    def ch_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+
+    # Phase H: packed (key17 << 15) | pos sort words, top bit flipped so
+    # the signed bitonic compare realises unsigned order.
+    def hchunk(c, _):
+        base = c * CH
+        d0 = data_ref[pl.ds(base, CH)].astype(jnp.int32) & 0xFF
+        start1 = jnp.maximum(jnp.minimum(base + CH, bs - LOOK), 0)
+        d1 = data_ref[pl.ds(start1, LOOK)].astype(jnp.int32) & 0xFF
+        d1 = jnp.where(base + CH < bs, d1, 0)
+        dd = jnp.concatenate([d0, d1], axis=0)  # (CH + 128, 128)
+        w = dd
+        for b in (1, 2, 3):
+            w = w | (_shift_up(dd, b) << (8 * b))
+        h = _hash_for_rung(w, rung)
+        k17 = (h[0:CH] ^ ((h[0:CH] >> 15) & 0x1FFFF)) & 0x1FFFF
+        rows = base + ch_iota(CH)
+        pk_s[pl.ds(base, CH)] = (((k17 << 15) | rows) ^ _SIGN).astype(
+            jnp.int32
         )
-        take = (low == ((rows & k) == 0)) == (pw < w)
-        pk_s[...] = jnp.where(take, pw, w)
         return 0
 
-    jax.lax.fori_loop(0, nstages, stage, 0)
+    jax.lax.fori_loop(0, NC, hchunk, 0)
+
+    def run_sort():
+        def stage(s, _):
+            j = jt_ref[s]
+            k = kt_ref[s]
+
+            def st(c, _):
+                base = c * CH
+                stg_s[pl.ds(half + base, CH)] = pk_s[pl.ds(base, CH)]
+                return 0
+
+            jax.lax.fori_loop(0, NC, st, 0)
+
+            def up(c, _):
+                base = c * CH
+                rows = base + ch_iota(CH)
+                w = pk_s[pl.ds(base, CH)]
+                low = (rows & j) == 0
+                pw = jnp.where(
+                    low,
+                    stg_s[pl.ds(half + base + j, CH)],
+                    stg_s[pl.ds(half + base - j, CH)],
+                )
+                take = (low == ((rows & k) == 0)) == (pw < w)
+                pk_s[pl.ds(base, CH)] = jnp.where(take, pw, w)
+                return 0
+
+            jax.lax.fori_loop(0, NC, up, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nstages, stage, 0)
+
+    run_sort()
 
     # Sorted space: predecessor with an equal key17 = nearest previous
     # occurrence (the position field orders equal-key runs by position).
-    u = pk_s[...] ^ _SIGN
-    spos = u & 0x7FFF
-    skey = (u >> 15) & 0x1FFFF
-    same = skey == _shift_down_fill(skey, 1, -1)
-    lag = jnp.where(same, spos - _shift_down_fill(spos, 1, 0), 0)
+    # Chunked with a carried previous row; repack as (pos << 16) | lag so
+    # a second sort restores position order (the TPU-native scatter).
+    def lag_chunk(c, carry):
+        pkey, ppos = carry
+        base = c * CH
+        u = pk_s[pl.ds(base, CH)] ^ _SIGN
+        spos = u & 0x7FFF
+        skey = (u >> 15) & 0x1FFFF
+        prev_key = jnp.concatenate([pkey, skey[: CH - 1]]) if CH > 1 else pkey
+        prev_pos = jnp.concatenate([ppos, spos[: CH - 1]]) if CH > 1 else ppos
+        lag = jnp.where(skey == prev_key, spos - prev_pos, 0)
+        pk_s[pl.ds(base, CH)] = (spos << 16) | lag
+        return (skey[CH - 1 : CH], spos[CH - 1 : CH])
 
-    # Unsort: bitonic on (pos << 16) | lag — pos is the high field, so
-    # sorted order IS position order. pos < 2^15, lag < 2^16, sign clear.
-    pk_s[...] = (spos << 16) | lag
-    jax.lax.fori_loop(0, nstages, stage, 0)
-    cand_ref[...] = pk_s[...] & 0xFFFF
+    jax.lax.fori_loop(
+        0, NC, lag_chunk,
+        (jnp.full((1, LANES), -1, jnp.int32), jnp.zeros((1, LANES), jnp.int32)),
+    )
+    run_sort()
+
+    def out_chunk(c, _):
+        base = c * CH
+        cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(base, CH)] & 0xFFFF
+        return 0
+
+    jax.lax.fori_loop(0, NC, out_chunk, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -64,7 +64,7 @@ def test_encode_lowering_production_shapes(bs, window, coarse, granular):
     )
 
 
-@pytest.mark.parametrize("bs", [8192, 16384])
+@pytest.mark.parametrize("bs", [8192, 16384, 32768])
 def test_encode_sorted_lowering_production_shapes(bs):
     fn = functools.partial(
         pe.encode_blocks_pallas, block_size=bs, matcher="sorted"

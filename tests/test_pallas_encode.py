@@ -236,6 +236,7 @@ def test_pallas_emit_kernel_high_rows_bs16384():
         in_specs=[
             pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, pe.SUBLANES, pe.LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
@@ -243,19 +244,23 @@ def test_pallas_emit_kernel_high_rows_bs16384():
             pl.BlockSpec((1, pe.SUBLANES, pe.LANES), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, cap, pe.LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, cap, pe.LANES), jnp.int8),
             jax.ShapeDtypeStruct((1, pe.SUBLANES, pe.LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
-            pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((nrows, pe.LANES), jnp.int32),
             pltpu.VMEM((bs + min(bs, 1024), pe.LANES), jnp.int32),
-            pltpu.VMEM((max(2 * bs, 2048), pe.LANES), jnp.int32),
+            pltpu.VMEM((max(3 * bs // 2, 2048), pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
         ],
         interpret=True,
-    )(jnp.asarray(data_g.view(np.int8)), jnp.asarray(match_g), jnp.asarray(lens_g))
+    )(
+        jnp.asarray(data_g.view(np.int8)),
+        jnp.asarray(match_g & 0x7F, dtype=np.int8),
+        jnp.asarray(match_g >> 7, dtype=np.int16),
+        jnp.asarray(lens_g),
+    )
 
     size = int(np.asarray(size_g)[0, 0, 0])
     assert size == int(msizes[0])
