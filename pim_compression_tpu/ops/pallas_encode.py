@@ -285,7 +285,7 @@ def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
 
 
 def _route_channel(
-    ch, data_ref, meta_s, copy_ref, comp_ref,
+    ch, data8, meta_s, copy_ref, comp_ref,
     W_s, rank_s, STG, *, bs, cap, nrows
 ):
     """One monotone channel: tokens routed to their compressed-stream rows,
@@ -327,7 +327,7 @@ def _route_channel(
         else:
             tok = ((meta >> 16) & 1) != 0
             dst = meta & 0xFFFF
-            val = data_ref[0, pl.ds(base, CHB)].astype(jnp.int32) & 0xFF
+            val = data8[pl.ds(base, CHB)].astype(jnp.int32) & 0xFF
         W_s[pl.ds(base, CHB)] = jnp.where(tok, _OCC | (dst << 8) | val, 0)
         rank_s[pl.ds(base, CHB)] = jnp.where(tok, 1, 0)
         return 0
@@ -468,9 +468,9 @@ def _route_channel(
 
 
 def _emit_kernel(
-    data_ref,  # (1, bs, 128) i8 byte values (converted on read)
-    mlen_ref,  # (1, bs, 128) i8: bucketed best length (0 or 4..64)
-    mlag_ref,  # (1, bs, 128) i16: best lag (0 = none; < bs <= 32768)
+    data_ref,  # (groups, bs, 128) i8 in ANY (HBM); group g DMA'd in
+    mlen_ref,  # (groups, bs, 128) i8 in ANY: best length (0 or 4..64)
+    mlag_ref,  # (groups, bs, 128) i16 in ANY: best lag (0 = none; < bs)
     lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
     comp_ref,  # (1, cap, 128) i8 out
     size_ref,  # (1, 8, 128) i32 out
@@ -479,6 +479,9 @@ def _emit_kernel(
     rank_s,  # scratch (bs + CHB, 128) i32: head-row scan -> token ranks
     STG,  # scratch (max(3*bs//2, 2048), 128) i32: scan/expand staging
     meta_s,  # scratch (bs, 128) i32: h-bytes+hdr -> final layout metadata
+    B8,  # scratch (bs, 128) i8: DMA'd match lengths, then block bytes
+    MLAG16,  # scratch (bs, 128) i16: DMA'd match lags
+    sem,  # DMA semaphore
     *,
     bs: int,
     cap: int,
@@ -489,7 +492,11 @@ def _emit_kernel(
     CHB-row fori nest with intermediates parked in scratch regions, so
     register-allocator liveness is bounded by the chunk size at any block
     size (the full-array form held ~16 live arrays = ~134 MB of spill at
-    bs=16384). Scratch choreography:
+    bs=16384). The big inputs stay in HBM (ANY) and are DMA'd into
+    single-buffered scratch — double-buffered grid windows for
+    data+mlen+mlag alone would cost 2x16.8 MB at 32 K; B8 holds the match
+    lengths until pass B consumes them, then the block bytes for the
+    literal channel. Scratch choreography:
       greedy:  packed accept|copy masks -> copy_ref
       pass A:  head-lit rows -> rank_s, nonlit_next -> W_s
       scan     suffix-min on W_s               -> run_end
@@ -509,6 +516,15 @@ def _emit_kernel(
     CHB = min(bs, 1024)
     NCB = bs // CHB
     lens = lens_ref[0, 0:1, :]  # (1, 128)
+    g = pl.program_id(0)
+
+    def dma(src, dst):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    dma(mlen_ref.at[g], B8)
+    dma(mlag_ref.at[g], MLAG16)
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
@@ -517,7 +533,7 @@ def _emit_kernel(
     # masks accumulate into VMEM scratch via 8-aligned stores.
     def scan_outer(i, next_accept):
         base = i * SUBLANES
-        bl8 = mlen_ref[0, pl.ds(base * 1, SUBLANES), :].astype(jnp.int32) & 0x7F
+        bl8 = B8[pl.ds(base * 1, SUBLANES), :].astype(jnp.int32) & 0x7F
         mask_rows = []
         for j in range(SUBLANES):
             p = base + j
@@ -633,8 +649,8 @@ def _emit_kernel(
         L1 = jnp.maximum(run_len - 1, 0)
         lit_ext = jnp.where(L1 < 60, 0, jnp.where(L1 < 256, 1, 2))
         hdr_lit = jnp.where(head_lit, 1 + lit_ext, 0)
-        best_len = mlen_ref[0, pl.ds(base, CHB)].astype(jnp.int32) & 0x7F
-        best_off = mlag_ref[0, pl.ds(base, CHB)].astype(jnp.int32) & 0xFFFF
+        best_len = B8[pl.ds(base, CHB)].astype(jnp.int32) & 0x7F
+        best_off = MLAG16[pl.ds(base, CHB)].astype(jnp.int32) & 0xFFFF
         copy1 = cp & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
         hdr_copy = jnp.where(cp, jnp.where(copy1, 2, 3), 0)
         emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
@@ -723,9 +739,11 @@ def _emit_kernel(
 
     jax.lax.fori_loop(0, NCB, passD, 0)
 
-    # Zero the output block and the rank pad (the compact rounds read
-    # rows [bs, bs+CHB) as always-unoccupied sources), then route the four
-    # monotone channels.
+    # Match lengths are dead past pass B: reuse B8 for the block bytes
+    # (the literal channel's values). Zero the output block and the rank
+    # pad (the compact rounds read rows [bs, bs+CHB) as always-unoccupied
+    # sources), then route the four monotone channels.
+    dma(data_ref.at[g], B8)
     rank_s[bs : bs + CHB] = jnp.zeros((CHB, LANES), jnp.int32)
     CHC = min(cap, 1024)
 
@@ -737,7 +755,7 @@ def _emit_kernel(
 
     for ch in range(4):
         _route_channel(
-            ch, data_ref, meta_s, copy_ref, comp_ref,
+            ch, B8, meta_s, copy_ref, comp_ref,
             W_s, rank_s, STG, bs=bs, cap=cap, nrows=nrows,
         )
 
@@ -819,74 +837,53 @@ def encode_blocks_pallas(
             lens_bc = jnp.broadcast_to(
                 lens_t[:, None, :], (SUBLANES, SUBLANES, LANES)
             )
-            mlen8 = mlen.astype(jnp.int8)
-            mlag16 = mlag.astype(jnp.int16)
-            kern = functools.partial(_emit_kernel, bs=bs, cap=cap)
-            scratch = [
-                pltpu.VMEM((bs, LANES), jnp.int32),  # copy: masks -> h-bytes
-                pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
-                pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
-                pltpu.VMEM(  # STG: scan/expand staging
-                    (max(3 * bs // 2, 2048), LANES), jnp.int32
+            comp_g, size_g = pl.pallas_call(
+                functools.partial(_emit_kernel, bs=bs, cap=cap),
+                grid=(SUBLANES,),
+                in_specs=[
+                    # data/mlen/mlag stay in HBM; the kernel DMAs group g
+                    # into single-buffered scratch (B8 / MLAG16).
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int8),
+                    jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((bs, LANES), jnp.int32),  # copy: masks->hbytes
+                    pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
+                    pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
+                    pltpu.VMEM(  # STG: scan/expand staging
+                        (max(3 * bs // 2, 2048), LANES), jnp.int32
+                    ),
+                    pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
+                    pltpu.VMEM((bs, LANES), jnp.int8),  # B8: mlen then data
+                    pltpu.VMEM((bs, LANES), jnp.int16),  # MLAG16
+                    pltpu.SemaphoreType.DMA,
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
                 ),
-                pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
-            ]
-            params = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
-            if bs <= 16384:
-                comp_g, size_g = pl.pallas_call(
-                    kern,
-                    grid=(SUBLANES,),
-                    in_specs=[
-                        pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec((1, bs, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec(
-                            (1, SUBLANES, LANES), lambda g: (g, 0, 0),
-                            memory_space=pltpu.VMEM,
-                        ),
-                    ],
-                    out_specs=[
-                        pl.BlockSpec((1, cap, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-                        pl.BlockSpec(
-                            (1, SUBLANES, LANES), lambda g: (g, 0, 0),
-                            memory_space=pltpu.VMEM,
-                        ),
-                    ],
-                    out_shape=[
-                        jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int8),
-                        jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
-                    ],
-                    scratch_shapes=scratch,
-                    compiler_params=params,
-                    interpret=interpret,
-                )(data_g.astype(jnp.int8), mlen8, mlag16, lens_bc)
-            else:
-                # Gridless per group: at 32 K the double-buffered grid
-                # blocks alone exceed the VMEM headroom, so groups run
-                # sequentially under lax.map with single-buffered I/O.
-                call = pl.pallas_call(
-                    kern,
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-                    out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-                    out_shape=[
-                        jax.ShapeDtypeStruct((1, cap, LANES), jnp.int8),
-                        jax.ShapeDtypeStruct((1, SUBLANES, LANES), jnp.int32),
-                    ],
-                    scratch_shapes=scratch,
-                    compiler_params=params,
-                    interpret=interpret,
-                )
-
-                def one_group(args):
-                    d, ml, mg, lb = args
-                    return call(d[None], ml[None], mg[None], lb[None])
-
-                comp_g, size_g = jax.lax.map(
-                    one_group,
-                    (data_g.astype(jnp.int8), mlen8, mlag16, lens_bc),
-                )
-                comp_g = comp_g[:, 0]
-                size_g = size_g[:, 0]
+                interpret=interpret,
+            )(
+                data_g.astype(jnp.int8),
+                mlen.astype(jnp.int8),
+                mlag.astype(jnp.int16),
+                lens_bc,
+            )
             comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
             size_b = size_g[:, 0, :].reshape(BATCH)
             return comp_b, size_b

@@ -199,6 +199,8 @@ def main() -> int:
     enc_cfgs = [
         dict(block_size=8192, matcher="sorted"),
         dict(block_size=16384, matcher="sorted"),
+        dict(block_size=32768, matcher="sorted"),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 16, 64)),
         dict(block_size=8192, matcher="sweep", window=512,
              coarse_window=4096, granular=True),
         dict(block_size=8192, matcher="sweep", window=2048,
@@ -215,6 +217,7 @@ def main() -> int:
         )
         label = (
             f"encode bs={bs} {cfg['matcher']}"
+            + (f" rungs={len(cfg['rungs'])}" if cfg.get("rungs") else "")
             + (
                 f" w={cfg.get('window')} c={cfg.get('coarse_window')}"
                 if cfg["matcher"] == "sweep"

@@ -234,9 +234,9 @@ def test_pallas_emit_kernel_high_rows_bs16384():
         functools.partial(pe._emit_kernel, bs=bs, cap=cap),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, bs, pe.LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, pe.SUBLANES, pe.LANES), lambda g: (g, 0, 0)),
         ],
         out_specs=[
@@ -253,6 +253,9 @@ def test_pallas_emit_kernel_high_rows_bs16384():
             pltpu.VMEM((bs + min(bs, 1024), pe.LANES), jnp.int32),
             pltpu.VMEM((max(3 * bs // 2, 2048), pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
+            pltpu.VMEM((bs, pe.LANES), jnp.int8),
+            pltpu.VMEM((bs, pe.LANES), jnp.int16),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=True,
     )(
