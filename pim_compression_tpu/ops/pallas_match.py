@@ -141,7 +141,15 @@ def _sort_rung_kernel(
     def hchunk(c, _):
         base = c * CH
         d0 = data_ref[pl.ds(base, CH)].astype(jnp.int32) & 0xFF
-        start1 = jnp.maximum(jnp.minimum(base + CH, bs - LOOK), 0)
+        # i8 vector loads need a provably aligned start: clamp in units of
+        # 128 rows and re-multiply so Mosaic can see the alignment.
+        start1 = pl.multiple_of(
+            jnp.maximum(
+                jnp.minimum((base + CH) // LANES, (bs - LOOK) // LANES), 0
+            )
+            * LANES,
+            LANES,
+        )
         d1 = data_ref[pl.ds(start1, LOOK)].astype(jnp.int32) & 0xFF
         d1 = jnp.where(base + CH < bs, d1, 0)
         dd = jnp.concatenate([d0, d1], axis=0)  # (CH + 128, 128)
