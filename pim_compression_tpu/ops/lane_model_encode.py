@@ -551,11 +551,14 @@ def encode_lanes(
     window: int = 512,
     coarse_window: int = 0,
     matcher: str = "sweep",
+    rungs: tuple[int, ...] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
     if matcher == "sorted":
-        best_len, best_off = match_search_sorted(data, lens)
+        best_len, best_off = match_search_sorted(
+            data, lens, rungs=rungs or (4, 8, 16, 32, 64)
+        )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)
     accept, is_copy = greedy_parse(best_len, lens)

@@ -356,3 +356,45 @@ def test_pallas_sorted_matcher_oracle_valid():
         interpret=True,
     )
     assert sizes[:nb].sum() < np.asarray(sw_sizes)[:nb].sum()
+
+
+def test_pallas_sorted_rungs_subset_parity():
+    # The --rungs knob (cycle/ratio tradeoff) must stay byte-parity with
+    # the spec for reduced ladders, and every stream must decode.
+    bs = 1024
+    rungs = (4, 16, 64)
+    data = corpus_pair("terror2")[0][: bs * 6]
+    nb = (len(data) + bs - 1) // bs
+    pad_nb = (nb + pe.BATCH - 1) // pe.BATCH * pe.BATCH
+    blocks = np.zeros((pad_nb, bs), np.uint8)
+    lens = np.zeros(pad_nb, np.int32)
+    raw = np.frombuffer(data, np.uint8)
+    for i in range(nb):
+        ch = raw[i * bs : (i + 1) * bs]
+        blocks[i, : len(ch)] = ch
+        lens[i] = len(ch)
+    comp, sizes = pe.encode_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+        matcher="sorted", rungs=rungs, interpret=True,
+    )
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    cap = pe.encode_capacity(bs)
+    mcomp, msizes = lme.encode_lanes(
+        blocks, lens, bs, cap, matcher="sorted", rungs=rungs
+    )
+    full_sizes = np.asarray(
+        pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", interpret=True,
+        )[1]
+    )
+    for i in range(nb):
+        assert sizes[i] == msizes[i]
+        assert comp[i, : sizes[i]].tobytes() == mcomp[i, : msizes[i]].tobytes()
+        stream = (
+            encode_varint32(int(lens[i])) + encode_varint32(bs)
+            + int(sizes[i]).to_bytes(4, "little") + comp[i, : sizes[i]].tobytes()
+        )
+        assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+    # the reduced ladder compresses slightly worse than the full one
+    assert sizes[:nb].sum() >= full_sizes[:nb].sum()
