@@ -22,6 +22,12 @@ test-corpus: native
 	  fi; \
 	done; rm -rf $$tmp
 
+# Same harness through the pallas TPU engine on the real device, single
+# process (one remote compile, reused across files). With COMPRESS=1 the
+# re-compressed streams must be oracle-valid and <= the reference sizes.
+test-corpus-pallas: native
+	python scripts/corpus_check.py --engine pallas $(if $(COMPRESS),--compress)
+
 bench: native
 	python bench.py
 

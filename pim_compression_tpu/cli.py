@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--engine",
         choices=["oracle", "native", "xla", "pallas"],
         default=None,
-        help="codec engine (overrides -d; default: native, or xla with -d)",
+        help="codec engine (overrides -d; default: native, or pallas with -d)",
     )
     p.add_argument("--threads", type=int, default=0, help="native engine threads")
     p.add_argument(
@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     from pim_compression_tpu.utils.config import CodecConfig
     from pim_compression_tpu.utils.errors import SnappyError
 
-    engine = args.engine or ("xla" if args.d else "native")
+    engine = args.engine or ("pallas" if args.d else "native")
     block_size = args.b or C.DEFAULT_BLOCK_SIZE
     try:
         config = CodecConfig(
