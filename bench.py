@@ -107,7 +107,9 @@ def main() -> int:
     block = int(
         os.environ.get("PIM_BENCH_BLOCK", "16384" if engine == "pallas" else "32768")
     )
-    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "1"))
+    # repeat=4 -> ~21 MB: >1 dispatch batch, so the bounded-depth pipeline
+    # (h2d/kernel of batch i+1 overlapping d2h of batch i) is engaged.
+    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "4"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
     window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))

@@ -10,7 +10,7 @@ process owning a contiguous block range.
 
 Usage:
     python multiproc_worker.py <pid> <nproc> <port> <src> <out> <dec> \
-        <block_size> <engine>
+        <block_size> <engine> [num_threads]
 
 Prints one JSON line with per-process phase timings and peak RSS.
 """
@@ -28,6 +28,7 @@ def main() -> int:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     src, out, dec = sys.argv[4], sys.argv[5], sys.argv[6]
     block_size, engine = int(sys.argv[7]), sys.argv[8]
+    num_threads = int(sys.argv[9]) if len(sys.argv) > 9 else 0
 
     import jax
 
@@ -45,7 +46,9 @@ def main() -> int:
     from pim_compression_tpu.runtime.profiling import PhaseTimer
     from pim_compression_tpu.utils.config import CodecConfig
 
-    config = CodecConfig(block_size=block_size, engine=engine)
+    config = CodecConfig(
+        block_size=block_size, engine=engine, num_threads=num_threads
+    )
     ct = PhaseTimer()
     cstats = distributed.compress_to_file(src, out, config, ct)
     # All segments must be on disk before anyone re-reads the stream.
