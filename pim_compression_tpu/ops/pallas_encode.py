@@ -47,6 +47,12 @@ def encode_capacity(block_size: int) -> int:
     return (cap + 1023) // 1024 * 1024
 
 
+def _stg_rows(bs: int) -> int:
+    # Scan/csum staging: fill region of the deepest shift + the staged
+    # copy; >= 2 chunks for the expand snapshot region.
+    return max(bs + (1 << ((bs - 1).bit_length() - 1)), 2048)
+
+
 def _route_rows(bs: int, cap: int) -> int:
     # 1024-row multiple for the chunked expand; one spare chunk of
     # headroom above the capacity.
@@ -297,8 +303,8 @@ def _route_channel(
     nests over staged scratch — the un-chunked form's full-array round
     bodies held ~9 live (bs, 128) arrays and spilled ~130 MB at
     bs=16384 (hardware-measured 246 MB total against the 128 MB budget).
-    Staging inside STG (max(3*bs//2, 2*CHR) rows):
-      prefix-sum: fill zeros [0,bs/2), stage [bs/2,3bs/2)
+    Staging inside STG (_stg_rows(bs) rows):
+      prefix-sum: fill zeros [0,SB), stage [SB,SB+bs), SB = deepest shift
       compact:    none — in-place ascending-chunk rounds
       expand:     chunk-0 snapshot only: zeros [0,CHR), stage [CHR,2CHR)
     """
@@ -335,10 +341,10 @@ def _route_channel(
     jax.lax.fori_loop(0, NCB, tok_init, 0)
     W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
 
-    # Occupancy prefix-sum rounds (rank of each token). Stage base bs/2:
-    # the deepest down-shift is bs/2, so a half-size fill region suffices.
+    # Occupancy prefix-sum rounds (rank of each token). Stage base =
+    # deepest down-shift 2^(nbit-1) (> bs/2 for non-power-of-two bs).
     nbit = (bs - 1).bit_length()
-    SB = bs // 2
+    SB = 1 << (nbit - 1)
     STG[0:SB] = jnp.zeros((SB, LANES), jnp.int32)  # down-shift pad
 
     def csum_round(j, _):
@@ -477,7 +483,7 @@ def _emit_kernel(
     copy_ref,  # scratch (bs, 128) i32: packed accept|copy -> h-bytes
     W_s,  # scratch (nrows, 128) i32: scan workspace / channel words
     rank_s,  # scratch (bs + CHB, 128) i32: head-row scan -> token ranks
-    STG,  # scratch (max(3*bs//2, 2048), 128) i32: scan/expand staging
+    STG,  # scratch (_stg_rows(bs), 128) i32: scan/expand staging
     meta_s,  # scratch (bs, 128) i32: h-bytes+hdr -> final layout metadata
     B8,  # scratch (bs, 128) i8: DMA'd match lengths, then block bytes
     MLAG16,  # scratch (bs, 128) i16: DMA'd match lags
@@ -553,10 +559,11 @@ def _emit_kernel(
     )
 
     # In-place log-shift scans over ref[0:bs], staged through
-    # STG[0:3bs/2) — the deepest shift is bs/2, so a half-size fill
-    # region suffices on either side of the staged copy.
+    # STG[0:SB+bs) — the deepest shift is 2^(nbit-1) (= bs/2 for
+    # power-of-two bs, up to just under bs otherwise), so the fill region
+    # on either side of the staged copy is exactly that deep.
     nbit = (bs - 1).bit_length()
-    SB = bs // 2  # down-scan stage base
+    SB = 1 << (nbit - 1)  # down-scan stage base = deepest shift
 
     def scan_down_ip(op, fill, ref=None):
         ref = W_s if ref is None else ref
@@ -867,7 +874,7 @@ def encode_blocks_pallas(
                     pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
                     pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
                     pltpu.VMEM(  # STG: scan/expand staging
-                        (max(3 * bs // 2, 2048), LANES), jnp.int32
+                        (_stg_rows(bs), LANES), jnp.int32
                     ),
                     pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
                     pltpu.VMEM((bs, LANES), jnp.int8),  # B8: mlen then data

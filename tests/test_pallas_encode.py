@@ -251,7 +251,7 @@ def test_pallas_emit_kernel_high_rows_bs16384():
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((nrows, pe.LANES), jnp.int32),
             pltpu.VMEM((bs + min(bs, 1024), pe.LANES), jnp.int32),
-            pltpu.VMEM((max(3 * bs // 2, 2048), pe.LANES), jnp.int32),
+            pltpu.VMEM((pe._stg_rows(bs), pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int8),
             pltpu.VMEM((bs, pe.LANES), jnp.int16),
@@ -398,3 +398,16 @@ def test_pallas_sorted_rungs_subset_parity():
         assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
     # the reduced ladder compresses slightly worse than the full one
     assert sizes[:nb].sum() >= full_sizes[:nb].sum()
+
+
+def test_pallas_encode_non_pow2_block_size():
+    # Regression: the in-place scan staging sized its fill region as bs/2,
+    # but the deepest log-shift is 2^(nbit-1) which EXCEEDS bs/2 for
+    # non-power-of-two block sizes (e.g. 768 -> shift 512), reading before
+    # the staging region. Non-pow2 sizes take the sweep-matcher path.
+    r = random.Random(77)
+    bs = 768
+    data = (b"non-pow2 block sizes ride the sweep matcher " * 40
+            + r.randbytes(700)) * 2
+    stream = _encode(data, bs=bs, window=64)
+    assert oracle.decompress(stream) == data
