@@ -27,6 +27,11 @@ from pim_compression_tpu.utils.config import CodecConfig
 from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
 
 
+# Below this the lane kernels' tiling assumptions (8-row accept strides,
+# 32-lag match chunks, 128-row sort/transpose chunks) stop holding.
+MIN_PALLAS_BLOCK = 256
+
+
 def _pallas_or_fallback(
     config: CodecConfig, block_size: int, max_block: int, timer: PhaseTimer
 ) -> bool:
@@ -38,11 +43,12 @@ def _pallas_or_fallback(
     """
     if config.engine != "pallas":
         return False
-    if block_size <= max_block:
+    if MIN_PALLAS_BLOCK <= block_size <= max_block:
         return True
     msg = (
-        f"pallas kernels support block_size <= {max_block}; "
-        f"stream uses {block_size} — falling back to the xla engine"
+        f"pallas kernels support {MIN_PALLAS_BLOCK} <= block_size <= "
+        f"{max_block}; stream uses {block_size} — falling back to the "
+        "xla engine"
     )
     if config.strict_engine:
         raise SnappyError(SnappyStatus.BAD_ARGUMENT, msg)
