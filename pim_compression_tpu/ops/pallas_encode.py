@@ -37,6 +37,10 @@ LANES = 128
 SUBLANES = 8
 BATCH = SUBLANES * LANES  # blocks per batch
 MAX_ENC_BLOCK = 32768
+# The round-1 sweep matcher is un-chunked (full-array lag rounds): above
+# 16 K its register liveness exceeds the 126 MB VMEM budget. The sorted
+# matcher (chunked) covers the full envelope.
+MAX_SWEEP_BLOCK = 16384
 _OCC = 1 << 30
 
 
@@ -811,8 +815,17 @@ def encode_blocks_pallas(
     """
     if block_size > MAX_ENC_BLOCK:
         raise ValueError(f"pallas encoder supports block_size <= {MAX_ENC_BLOCK}")
+    if block_size > 1024 and block_size % 1024:
+        raise ValueError(
+            "pallas encoder needs block_size % 1024 == 0 above 1024 "
+            "(chunked emit kernel)"
+        )
     if matcher == "sorted" and block_size & (block_size - 1):
         raise ValueError("sorted matcher requires a power-of-two block size")
+    if matcher == "sweep" and block_size > MAX_SWEEP_BLOCK:
+        raise ValueError(
+            f"sweep matcher supports block_size <= {MAX_SWEEP_BLOCK}"
+        )
     window = min(window, block_size)
     window = (window + 31) // 32 * 32
     coarse_window = min(coarse_window, block_size)

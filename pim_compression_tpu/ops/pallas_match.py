@@ -64,12 +64,6 @@ def _shift_up(x, sh):
     )
 
 
-def _shift_down_fill(x, sh, fill):
-    return jnp.concatenate(
-        [jnp.full((sh,) + x.shape[1:], fill, x.dtype), x[:-sh]], axis=0
-    )
-
-
 def _stage_tables(bs: int) -> tuple[np.ndarray, np.ndarray]:
     """Bitonic network schedule: (j, k) per stage, ascending-merge form."""
     js, ks = [], []
@@ -82,14 +76,6 @@ def _stage_tables(bs: int) -> tuple[np.ndarray, np.ndarray]:
             j //= 2
         k *= 2
     return np.array(js, np.int32), np.array(ks, np.int32)
-
-
-def _word4(data_i8):
-    d = data_i8.astype(jnp.int32) & 0xFF
-    w = d
-    for b in (1, 2, 3):
-        w = w | (_shift_up(d, b) << (8 * b))
-    return w
 
 
 def _hash_for_rung(W4, L: int):

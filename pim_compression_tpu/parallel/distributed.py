@@ -146,7 +146,7 @@ def _walk_frame_table(stream_path: pathlib.Path) -> dict:
             hdr = f.read(4)
             if not hdr:
                 break
-            if len(hdr) < 4 or (out_off >= total and total > 0):
+            if len(hdr) < 4 or out_off >= total:
                 raise SnappyError(
                     SnappyStatus.INVALID_INPUT, "bad frame trailer"
                 )

@@ -20,6 +20,7 @@ from pim_compression_tpu.format import oracle
 from pim_compression_tpu.ops import decode as decode_ops
 from pim_compression_tpu.ops import encode as encode_ops
 from pim_compression_tpu.ops import pallas_decode, pallas_encode
+from pim_compression_tpu.ops.pallas_encode import MAX_SWEEP_BLOCK
 from pim_compression_tpu.parallel import block_sharding, get_mesh, pad_to_multiple
 from pim_compression_tpu.runtime import pipeline
 from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -32,8 +33,38 @@ from pim_compression_tpu.utils.errors import SnappyError, SnappyStatus
 MIN_PALLAS_BLOCK = 256
 
 
+def _pallas_envelope_gap(
+    config: CodecConfig, block_size: int, max_block: int, encode: bool
+) -> str | None:
+    """Why ``block_size`` is outside the pallas kernel envelope (or None).
+
+    The envelope is exact, not just a range: the kernels assume 128-row
+    transpose chunks everywhere, the chunked emit kernel needs whole
+    1024-row chunks above 1024, and the round-1 sweep matcher (the
+    fallback for non-power-of-two sorted requests) is un-chunked and
+    exceeds the VMEM budget above 16384.
+    """
+    if not MIN_PALLAS_BLOCK <= block_size <= max_block:
+        return f"block_size outside [{MIN_PALLAS_BLOCK}, {max_block}]"
+    if block_size % 128:
+        return "block_size must be a multiple of 128"
+    if encode:
+        if block_size > 1024 and block_size % 1024:
+            return "encode block_size above 1024 must be a multiple of 1024"
+        matcher = config.matcher
+        if matcher == "sorted" and block_size & (block_size - 1):
+            matcher = "sweep"  # the runtime's sorted->sweep fallback
+        if matcher == "sweep" and block_size > MAX_SWEEP_BLOCK:
+            return (
+                f"sweep matcher supports block_size <= {MAX_SWEEP_BLOCK}"
+                " (un-chunked kernel VMEM envelope)"
+            )
+    return None
+
+
 def _pallas_or_fallback(
-    config: CodecConfig, block_size: int, max_block: int, timer: PhaseTimer
+    config: CodecConfig, block_size: int, max_block: int, timer: PhaseTimer,
+    encode: bool = False,
 ) -> bool:
     """Gate the pallas engine on the kernel envelope, loudly.
 
@@ -43,19 +74,19 @@ def _pallas_or_fallback(
     """
     if config.engine != "pallas":
         return False
-    if MIN_PALLAS_BLOCK <= block_size <= max_block:
+    gap = _pallas_envelope_gap(config, block_size, max_block, encode)
+    if gap is None:
         return True
     msg = (
-        f"pallas kernels support {MIN_PALLAS_BLOCK} <= block_size <= "
-        f"{max_block}; stream uses {block_size} — falling back to the "
-        "xla engine"
+        f"pallas kernels: {gap} (block_size {block_size}) — falling back "
+        "to the xla engine"
     )
     if config.strict_engine:
         raise SnappyError(SnappyStatus.BAD_ARGUMENT, msg)
     import warnings
 
     warnings.warn(msg, stacklevel=3)
-    timer.notes["engine_fallback"] = f"pallas->xla (block_size {block_size})"
+    timer.notes["engine_fallback"] = f"pallas->xla ({gap})"
     return False
 
 
@@ -198,7 +229,8 @@ def compress(
         mesh = get_mesh(config.mesh_devices)
         padded, batch = _device_batches(nb, config, mesh)
         use_pallas = _pallas_or_fallback(
-            config, block_size, pallas_encode.MAX_ENC_BLOCK, timer
+            config, block_size, pallas_encode.MAX_ENC_BLOCK, timer,
+            encode=True,
         )
         if use_pallas:
             per_device = pallas_encode.BATCH * mesh.devices.size

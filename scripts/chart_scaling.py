@@ -43,20 +43,24 @@ def main() -> int:
 
     fig, ax = plt.subplots(figsize=(6.5, 4.5))
     max_n = 1
+    min_n = None
     for (engine, direction), pts in sorted(series.items()):
         ns = sorted(pts)
-        base = pts[ns[0]] * ns[0]  # normalize to per-device at smallest n
+        base = pts[ns[0]]  # baseline = smallest mesh present
         ax.plot(
             ns,
-            [pts[n] / (base / ns[0]) for n in ns],
+            [pts[n] / base for n in ns],
             marker="o",
             label=f"{engine} {direction}",
         )
         max_n = max(max_n, ns[-1])
-    ideal = list(range(1, max_n + 1))
-    ax.plot(ideal, ideal, "k--", lw=0.8, label="ideal linear")
+        min_n = ns[0] if min_n is None else min(min_n, ns[0])
+    ideal = list(range(min_n, max_n + 1))
+    ax.plot(
+        ideal, [n / min_n for n in ideal], "k--", lw=0.8, label="ideal linear"
+    )
     ax.set_xlabel("mesh devices")
-    ax.set_ylabel("speedup vs 1 device")
+    ax.set_ylabel(f"speedup vs {min_n} device(s)")
     ax.set_xticks(ideal)
     ax.legend(fontsize=8)
     fig.tight_layout()

@@ -160,3 +160,20 @@ def test_real_multiprocess_compress_decompress(tmp_path, corpus_dir, nproc):
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         assert a1 == b0
     assert all(s["compress_phases_s"]["kernel"] >= 0 for s in stats)
+
+
+def test_walk_frame_table_rejects_zero_total_trailer(tmp_path):
+    # Reviewer finding: a malformed stream claiming 0 decompressed bytes
+    # but carrying frames must be rejected like the native scanner and
+    # oracle do, not walked as zero-output blocks.
+    from pim_compression_tpu.format.varint import encode_varint32
+    from pim_compression_tpu.parallel.distributed import _walk_frame_table
+    from pim_compression_tpu.utils.errors import SnappyError
+
+    bad = tmp_path / "zero_total.snappy"
+    bad.write_bytes(
+        encode_varint32(0) + encode_varint32(32768)
+        + (2).to_bytes(4, "little") + b"\x00\x00"
+    )
+    with pytest.raises(SnappyError):
+        _walk_frame_table(bad)

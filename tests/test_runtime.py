@@ -104,3 +104,32 @@ def test_phase_timer_taxonomy():
     human = t.human()
     for p in ("pre", "h2d", "kernel", "d2h", "post"):
         assert f"{p} time:" in human
+
+
+def test_pallas_envelope_gate_falls_back_loudly():
+    # The pallas envelope is exact (reviewer finding): in-range but
+    # unsupported block sizes must take the loud xla fallback, never reach
+    # the kernels (bs=1280 used to produce garbage sizes via partial
+    # chunk coverage; bs=264 hit a raw AssertionError in decode).
+    import warnings
+
+    from pim_compression_tpu.runtime.profiling import PhaseTimer
+
+    data = b"envelope gate " * 600
+    for bs, matcher in ((1280, "sorted"), (264, "sorted"), (32768, "sweep"),
+                        (24576, "sorted")):
+        t = PhaseTimer()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg = CodecConfig(engine="pallas", block_size=bs, matcher=matcher)
+            stream = runtime.compress(data, cfg, t)
+        assert "engine_fallback" in t.notes, (bs, matcher)
+        assert runtime.decompress(stream, CodecConfig(engine="oracle")) == data
+        with pytest.raises(Exception):
+            runtime.compress(
+                data,
+                CodecConfig(
+                    engine="pallas", block_size=bs, matcher=matcher,
+                    strict_engine=True,
+                ),
+            )
