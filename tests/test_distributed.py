@@ -97,8 +97,11 @@ def test_simulated_two_process_segments(tmp_path, corpus_dir, monkeypatch):
     assert out.read_bytes() == snappy
 
 
-@pytest.mark.parametrize("nproc", [2, 3])
-def test_real_multiprocess_compress_decompress(tmp_path, corpus_dir, nproc):
+@pytest.mark.parametrize("nproc,engine", [(2, "native"), (3, "native"),
+                                          (2, "pallas")])
+def test_real_multiprocess_compress_decompress(
+    tmp_path, corpus_dir, nproc, engine
+):
     """REAL multi-process run (VERDICT r1 item 4): N OS processes, a live
     jax.distributed coordinator, gloo CPU collectives — the production
     all-gather + ordered-pwrite path with zero monkeypatching. Output must
@@ -136,7 +139,8 @@ def test_real_multiprocess_compress_decompress(tmp_path, corpus_dir, nproc):
         subprocess.Popen(
             [
                 sys.executable, str(worker), str(pid), str(nproc), str(port),
-                str(src), str(out), str(dec), "32768", "native",
+                str(src), str(out), str(dec),
+                "32768" if engine == "native" else "1024", engine,
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -151,8 +155,13 @@ def test_real_multiprocess_compress_decompress(tmp_path, corpus_dir, nproc):
         assert p.returncode == 0, f"worker failed:\n{se[-2000:]}"
         stats.append(json.loads(so.strip().splitlines()[-1]))
 
-    # Cooperative stream == single-process reference stream, byte for byte.
-    assert out.read_bytes() == snappy
+    # Cooperative stream == single-process stream, byte for byte (for the
+    # native engine at 32K that IS the reference stream; the pallas engine
+    # emits its own conforming stream - require the round trip instead).
+    if engine == "native":
+        assert out.read_bytes() == snappy
+    else:
+        assert oracle.decompress(out.read_bytes()) == txt
     assert dec.read_bytes() == txt
     # Every process owned a real, disjoint share and reported phase times.
     ranges = sorted(tuple(s["process_blocks"]) for s in stats)
