@@ -411,3 +411,30 @@ def test_pallas_encode_non_pow2_block_size():
             + r.randbytes(700)) * 2
     stream = _encode(data, bs=bs, window=64)
     assert oracle.decompress(stream) == data
+
+
+@pytest.mark.parametrize("bs", [384, 640, 1024])
+def test_pallas_engine_fuzz_block_sizes(bs):
+    # Cross-size fuzz through the full runtime (non-pow2 sizes take the
+    # sweep path and exercise the partial-chunk scan staging): random,
+    # redundant and RLE-heavy payloads must produce oracle-valid streams,
+    # round-trip, and decode the oracle's own streams.
+    from pim_compression_tpu import runtime
+    from pim_compression_tpu.utils.config import CodecConfig
+
+    r = random.Random(bs)
+    matcher = "sorted" if bs & (bs - 1) == 0 else "sweep"
+    cfg = CodecConfig(
+        engine="pallas", block_size=bs, matcher=matcher, strict_engine=True
+    )
+    seed = r.randbytes(90)
+    payloads = [
+        r.randbytes(bs * 2 + 17),
+        (seed * 40)[: bs * 3 - 5],
+        (b"\x00" * 700 + r.randbytes(40)) * 4,
+    ]
+    for data in payloads:
+        stream = runtime.compress(data, cfg)
+        assert oracle.decompress(stream) == data
+        assert runtime.decompress(stream, cfg) == data
+        assert runtime.decompress(oracle.compress(data, bs), cfg) == data
