@@ -233,6 +233,37 @@ def main() -> int:
             )
         )
 
+    # Join measured emulator wall times (tpu_validation.json) onto the
+    # rows: for dyn-while kernels the static count is a lower bound, so
+    # the measured time is the honest emulator-side observable.
+    val_path = REPO / "tpu_validation.json"
+    if val_path.exists():
+        vruns = json.loads(val_path.read_text())
+        for r in rows:
+            kind = "decode" if r["kernel"].startswith("decode") else "encode"
+            bs = int(r["kernel"].split("bs=")[1].split()[0])
+            matcher = "sorted" if "sorted" in r["kernel"] else None
+            best = None
+            for v in vruns:
+                if v.get("bs") != bs:
+                    continue
+                if kind == "decode" and v.get("decode_timed"):
+                    best = v["decode_timed"]
+                elif kind == "encode" and v.get("encode_timed"):
+                    vmatch = v.get("matcher") or "sweep"
+                    want = matcher or "sweep"
+                    if vmatch != want:
+                        continue
+                    if ("rungs=3" in r["kernel"]) != bool(v.get("rungs")):
+                        continue
+                    if want == "sweep":
+                        wtag = f"w={v.get('window')} c={v.get('coarse')}"
+                        if wtag not in r["kernel"]:
+                            continue
+                    best = v["encode_timed"]
+            if best is not None:
+                r["measured_emulator_s"] = best
+
     out = {
         "model": {
             "vreg_bytes": VREG_BYTES,
