@@ -35,6 +35,7 @@ CORPUS = "/root/reference/test/xml.snappy"
 def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
+    rungs: tuple | None = None,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -46,7 +47,7 @@ def measure(
         engine=engine, block_size=block_size, match_window=window,
         coarse_window=coarse,
         coarse_mode="granular" if granular else "sampled",
-        matcher=matcher,
+        matcher=matcher, rungs=rungs,
     )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
@@ -75,12 +76,13 @@ def measure(
 
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
-    matcher,
+    matcher, rungs,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
-        f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r})))"
+        f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
+        f"{rungs!r})))"
     )
     try:
         proc = subprocess.run(
@@ -119,6 +121,13 @@ def main() -> int:
     # hardware-validated xml ratio 0.726 at bs=8192 (beats every sweep
     # config on ratio AND speed); window/coarse knobs apply to "sweep" only.
     matcher = os.environ.get("PIM_BENCH_MATCHER", "sorted")
+    # Reduced rung ladder: xml ratio 0.7529 @ 16K (still above the
+    # reference's 0.7408) at ~1.6x the full ladder's speed. Set
+    # PIM_BENCH_RUNGS= (empty) for the full ladder (0.7611 @ 16K).
+    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4,16,64")
+    rungs = (
+        tuple(int(x) for x in rungs_env.split(",")) if rungs_env else None
+    )
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -137,7 +146,7 @@ def main() -> int:
 
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
-        matcher,
+        matcher, rungs,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.
