@@ -98,8 +98,8 @@ def _sort_rung_kernel(
     kt_ref,  # SMEM (nstages,) i32: merge block size k per stage
     data_ref,  # (bs, 128) i8 block bytes
     cand_ref,  # (bs, 128) i32 out: candidate lags (0 = none)
-    pk_s,  # scratch (bs, 128) i32: the packed sort array
-    stg_s,  # scratch (2 * bs, 128) i32: staging for partner reads
+    pk_s,  # scratch (2 * bs, 128) i32: ping buffer, data at [bs/2, 3bs/2)
+    stg_s,  # scratch (2 * bs, 128) i32: pong buffer, same layout
     *,
     bs: int,
     rung: int,
@@ -107,12 +107,16 @@ def _sort_rung_kernel(
 ):
     """One rung: hash-key sort -> nearest-previous lags -> unsort.
 
-    Fully chunked: the hash ladder, every compare-exchange stage, the
-    sorted-adjacency lag extraction and the final unpack run as CH-row
-    fori nests (full-array phase bodies held 4-5 live (bs, 128) arrays —
-    ~84 MB of register spill at bs=32768). The hash chunk reads a
-    128-row lookahead (word pack 3 + ladder shifts <= 60 bytes of reach),
-    zero past the block end to match the spec's zero-fill shifts.
+    Fully chunked (full-array phase bodies held 4-5 live (bs, 128) arrays
+    — ~84 MB of register spill at bs=32768), and the compare-exchange
+    stages ping-pong between two center-offset buffers: each stage reads
+    its own chunk and the two partner slices from buffer A and writes
+    buffer B, so the per-stage snapshot copy of the staged form disappears
+    (~2 of 9 chunk passes per stage). Both buffers keep live data at
+    [bs/2, 3bs/2) so the +/-j partner reads (j <= bs/2) stay in bounds.
+    The hash chunk reads a 128-row lookahead (word pack 3 + ladder shifts
+    <= 60 bytes of reach), zero past the block end to match the spec's
+    zero-fill shifts.
     """
     CH = min(bs, 1024)
     NC = bs // CH
@@ -145,43 +149,51 @@ def _sort_rung_kernel(
         h = _hash_for_rung(w, rung)
         k17 = (h[0:CH] ^ ((h[0:CH] >> 15) & 0x1FFFF)) & 0x1FFFF
         rows = base + ch_iota(CH)
-        pk_s[pl.ds(base, CH)] = (((k17 << 15) | rows) ^ _SIGN).astype(
-            jnp.int32
-        )
+        pk_s[pl.ds(half + base, CH)] = (
+            ((k17 << 15) | rows) ^ _SIGN
+        ).astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, NC, hchunk, 0)
 
-    def run_sort():
-        def stage(s, _):
-            j = jt_ref[s]
-            k = kt_ref[s]
+    def one_stage(s, A, B):
+        j = jt_ref[s]
+        k = kt_ref[s]
 
-            def st(c, _):
-                base = c * CH
-                stg_s[pl.ds(half + base, CH)] = pk_s[pl.ds(base, CH)]
-                return 0
-
-            jax.lax.fori_loop(0, NC, st, 0)
-
-            def up(c, _):
-                base = c * CH
-                rows = base + ch_iota(CH)
-                w = pk_s[pl.ds(base, CH)]
-                low = (rows & j) == 0
-                pw = jnp.where(
-                    low,
-                    stg_s[pl.ds(half + base + j, CH)],
-                    stg_s[pl.ds(half + base - j, CH)],
-                )
-                take = (low == ((rows & k) == 0)) == (pw < w)
-                pk_s[pl.ds(base, CH)] = jnp.where(take, pw, w)
-                return 0
-
-            jax.lax.fori_loop(0, NC, up, 0)
+        def up(c, _):
+            base = c * CH
+            rows = base + ch_iota(CH)
+            w = A[pl.ds(half + base, CH)]
+            low = (rows & j) == 0
+            pw = jnp.where(
+                low,
+                A[pl.ds(half + base + j, CH)],
+                A[pl.ds(half + base - j, CH)],
+            )
+            take = (low == ((rows & k) == 0)) == (pw < w)
+            B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
             return 0
 
-        jax.lax.fori_loop(0, nstages, stage, 0)
+        jax.lax.fori_loop(0, NC, up, 0)
+
+    def run_sort():
+        # Result lands back in pk_s: whole pairs ping-pong pk->stg->pk; an
+        # odd trailing stage runs pk->stg followed by one chunked copy.
+        def stage_pair(i, _):
+            one_stage(2 * i, pk_s, stg_s)
+            one_stage(2 * i + 1, stg_s, pk_s)
+            return 0
+
+        jax.lax.fori_loop(0, nstages // 2, stage_pair, 0)
+        if nstages % 2:
+            one_stage(nstages - 1, pk_s, stg_s)
+
+            def back(c, _):
+                base = c * CH
+                pk_s[pl.ds(half + base, CH)] = stg_s[pl.ds(half + base, CH)]
+                return 0
+
+            jax.lax.fori_loop(0, NC, back, 0)
 
     run_sort()
 
@@ -192,13 +204,13 @@ def _sort_rung_kernel(
     def lag_chunk(c, carry):
         pkey, ppos = carry
         base = c * CH
-        u = pk_s[pl.ds(base, CH)] ^ _SIGN
+        u = pk_s[pl.ds(half + base, CH)] ^ _SIGN
         spos = u & 0x7FFF
         skey = (u >> 15) & 0x1FFFF
         prev_key = jnp.concatenate([pkey, skey[: CH - 1]]) if CH > 1 else pkey
         prev_pos = jnp.concatenate([ppos, spos[: CH - 1]]) if CH > 1 else ppos
         lag = jnp.where(skey == prev_key, spos - prev_pos, 0)
-        pk_s[pl.ds(base, CH)] = (spos << 16) | lag
+        pk_s[pl.ds(half + base, CH)] = (spos << 16) | lag
         return (skey[CH - 1 : CH], spos[CH - 1 : CH])
 
     jax.lax.fori_loop(
@@ -209,7 +221,7 @@ def _sort_rung_kernel(
 
     def out_chunk(c, _):
         base = c * CH
-        cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(base, CH)] & 0xFFFF
+        cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(half + base, CH)] & 0xFFFF
         return 0
 
     jax.lax.fori_loop(0, NC, out_chunk, 0)
@@ -368,8 +380,8 @@ def sorted_match_groups(
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((bs, LANES), jnp.int32),
-                pltpu.VMEM((2 * bs, LANES), jnp.int32),
+                pltpu.VMEM((2 * bs, LANES), jnp.int32),  # ping
+                pltpu.VMEM((2 * bs, LANES), jnp.int32),  # pong
             ],
             compiler_params=vmem_cap,
             interpret=interpret,
