@@ -159,18 +159,24 @@ def _sort_rung_kernel(
     def one_stage(s, A, B):
         j = jt_ref[s]
         k = kt_ref[s]
+        # rows & j splits into disjoint bit fields: (base & j) | (iota & j)
+        # with base a CH multiple — so the iota part is shared by every
+        # chunk (hoisted out of the loop) and the base part is a scalar.
+        iot = ch_iota(CH)
+        lowv = (iot & j) == 0
+        kbv = (iot & k) == 0
 
         def up(c, _):
             base = c * CH
-            rows = base + ch_iota(CH)
+            low = lowv & ((base & j) == 0)
+            kb = kbv & ((base & k) == 0)
             w = A[pl.ds(half + base, CH)]
-            low = (rows & j) == 0
             pw = jnp.where(
                 low,
                 A[pl.ds(half + base + j, CH)],
                 A[pl.ds(half + base - j, CH)],
             )
-            take = (low == ((rows & k) == 0)) == (pw < w)
+            take = (low == kb) == (pw < w)
             B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
             return 0
 
