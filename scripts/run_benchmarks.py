@@ -65,6 +65,7 @@ def main() -> int:
     ap.add_argument("--coarse-window", type=int, default=0)
     ap.add_argument("--coarse-mode", default="sampled")
     ap.add_argument("--matchers", default="sorted")
+    ap.add_argument("--rungs", default=None, help="e.g. 4,16,64 (sorted)")
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument(
         "--synth-sizes", default="",
@@ -108,6 +109,11 @@ def main() -> int:
                     match_window=args.window, coarse_window=args.coarse_window,
                     coarse_mode=args.coarse_mode, matcher=matcher,
                     mesh_devices=meshn,
+                    rungs=(
+                        tuple(int(r) for r in args.rungs.split(","))
+                        if args.rungs
+                        else None
+                    ),
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)

@@ -121,3 +121,41 @@ def test_run_benchmarks_oracle_smoke(tmp_path):
 def test_corpus_check_oracle():
     out = run([str(SCRIPTS / "corpus_check.py"), "--engine", "oracle"])
     assert "corpus check: PASS" in out
+
+
+def test_bench_driver_contract():
+    # The driver runs bench.py and parses ONE JSON line; the native engine
+    # path must satisfy the contract without a device.
+    import json
+    import os
+
+    env = dict(os.environ)
+    env.update(
+        PIM_BENCH_ENGINE="native", PIM_BENCH_REPEAT="1", PIM_BENCH_ITERS="1"
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0
+
+
+def test_cli_profile_smoke(tmp_path):
+    # --profile writes a jax.profiler trace directory next to the output.
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"profile me " * 2000)
+    out = tmp_path / "out.snappy"
+    run(
+        [
+            "-m", "pim_compression_tpu.cli", "-c", "-i", str(src),
+            "-o", str(out), "--engine", "native",
+            "--profile", str(tmp_path / "trace"),
+        ]
+    )
+    assert out.exists()
+    assert any((tmp_path / "trace").rglob("*")), "no profiler artifacts"
