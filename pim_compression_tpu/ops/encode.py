@@ -98,6 +98,10 @@ def _encode_one_block(
     prev = _previous_occurrence(gram, gram_valid)
     ml = _match_lengths(d32, prev, n, block_size)
     ml = jnp.where(ml >= C.MIN_MATCH_LEN, ml, 0)
+    # Lazy-1 matching: defer a copy when the next position matches longer
+    # (elementwise pre-transform; see lane_model_encode.lazy_defer).
+    nxt_ml = jnp.concatenate([ml[1:], jnp.zeros((1,), ml.dtype)])
+    ml = jnp.where(nxt_ml > ml, 0, ml)
 
     # Greedy parse: orbit of 0 under step.
     step_to = jnp.where(ml > 0, pos + ml, pos + 1)
