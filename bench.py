@@ -35,7 +35,7 @@ CORPUS = "/root/reference/test/xml.snappy"
 def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
-    rungs: tuple | None = None,
+    rungs: tuple | None = None, prev_k: int = 1,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -47,7 +47,7 @@ def measure(
         engine=engine, block_size=block_size, match_window=window,
         coarse_window=coarse,
         coarse_mode="granular" if granular else "sampled",
-        matcher=matcher, rungs=rungs,
+        matcher=matcher, rungs=rungs, prev_k=prev_k,
     )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
@@ -76,13 +76,13 @@ def measure(
 
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
-    matcher, rungs,
+    matcher, rungs, prev_k,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
-        f"{rungs!r})))"
+        f"{rungs!r}, {prev_k})))"
     )
     try:
         proc = subprocess.run(
@@ -128,6 +128,9 @@ def main() -> int:
     rungs = (
         tuple(int(x) for x in rungs_env.split(",")) if rungs_env else None
     )
+    # prev_k=2 folds the second-nearest previous occurrence on the 4-byte
+    # rung (no extra sort) — better ratio for ~one extension pass.
+    prev_k = int(os.environ.get("PIM_BENCH_PREVK", "1"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -146,7 +149,7 @@ def main() -> int:
 
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
-        matcher, rungs,
+        matcher, rungs, prev_k,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.

@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="sorted-matcher rung ladder, e.g. 4,16,64 (default: full)",
     )
     p.add_argument(
+        "--prev-k", type=int, choices=[1, 2], default=1,
+        help="sorted-matcher candidates per position on the 4-byte rung; "
+        "2 also tries the second-nearest previous occurrence (better "
+        "ratio, ~one extra extension pass)",
+    )
+    p.add_argument(
         "--strict-engine", action="store_true",
         help="fail instead of falling back to xla when the pallas kernels "
         "do not cover the requested block size",
@@ -110,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rungs
                 else None
             ),
+            prev_k=args.prev_k,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -568,12 +568,13 @@ def encode_lanes(
     coarse_window: int = 0,
     matcher: str = "sweep",
     rungs: tuple[int, ...] | None = None,
+    prev_k: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
     if matcher == "sorted":
         best_len, best_off = match_search_sorted(
-            data, lens, rungs=rungs or (4, 8, 16, 32, 64)
+            data, lens, rungs=rungs or (4, 8, 16, 32, 64), prev_k=prev_k
         )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)

@@ -782,7 +782,7 @@ def _emit_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
-        "rungs", "interpret",
+        "rungs", "prev_k", "interpret",
     ),
 )
 def encode_blocks_pallas(
@@ -795,6 +795,7 @@ def encode_blocks_pallas(
     granular: bool = False,
     matcher: str = "sweep",
     rungs: tuple[int, ...] | None = None,
+    prev_k: int = 1,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
@@ -924,7 +925,8 @@ def encode_blocks_pallas(
             )
             mlen, mlag = pm.sorted_match_groups(
                 data_g.astype(jnp.int8), lens_bc8, bs=bs,
-                rungs=rungs or pm.DEFAULT_RUNGS, interpret=interpret,
+                rungs=rungs or pm.DEFAULT_RUNGS, prev_k=prev_k,
+                interpret=interpret,
             )
             return _emit(data_g, lens_t, mlen, mlag)
 
@@ -1031,6 +1033,7 @@ def encode_blocks_pallas_sharded(
     granular: bool = False,
     matcher: str = "sweep",
     rungs: tuple[int, ...] | None = None,
+    prev_k: int = 1,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1047,6 +1050,7 @@ def encode_blocks_pallas_sharded(
         granular=granular,
         matcher=matcher,
         rungs=rungs,
+        prev_k=prev_k,
         interpret=interpret,
     )
     sharded = shard_map(

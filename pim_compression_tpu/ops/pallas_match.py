@@ -350,6 +350,62 @@ def _extend_fold_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Prev-2 kernel: second-nearest-previous-occurrence lags from the nearest
+# ones, with NO extra sort. In sorted space the j=2 predecessor lag is
+# lag2[r] = pos[r] - pos[r-2] = lag[r] + lag[r-1] (key equality over two
+# sorted steps implies chainwise equality: the run is contiguous). Back in
+# natural position order that composition is a gather with the extension
+# kernel's exact access pattern: lag2(p) = lag(p) + lag(p - lag(p)) — the
+# second-previous occurrence of p's prefix is the previous occurrence of
+# the previous occurrence. Spec: lane_model_encode.packed_prev_lags(j=2).
+# ---------------------------------------------------------------------------
+
+
+def _prev2_kernel(
+    cand_ref,  # (bs, 128) i32 nearest-previous lags (0 = none)
+    out_ref,  # (bs, 128) i32 out: second-previous lags (0 = none)
+    TC_s,  # scratch (bs, 128) i32: chunk-transposed lags
+    *,
+    bs: int,
+):
+    nq = bs // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+    def build(q, _):
+        TC_s[pl.ds(q * LANES, LANES)] = jnp.transpose(
+            cand_ref[pl.ds(q * LANES, LANES)]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nq, build, 0)
+
+    def per_chunk(c, _):
+        cand = TC_s[pl.ds(c * LANES, LANES)]  # (block, residue)
+        p = c * LANES + lane
+        has = cand > 0
+        # src = p - cand is strictly below p (cand > 0), so the adaptive
+        # chunk-delta sweep only looks backwards (d >= 0).
+        src = jnp.clip(p - cand, 0, bs - 1)
+        qs = src >> 7
+        rs = src & (LANES - 1)
+        maxd = jnp.max(jnp.where(has, c - qs, -1))
+
+        def sweep(d, b):
+            start = jnp.clip(c - d, 0, nq - 1) * LANES
+            got = jnp.take_along_axis(TC_s[pl.ds(start, LANES)], rs, axis=1)
+            return jnp.where(has & (qs == c - d), got, b)
+
+        lag_src = jax.lax.fori_loop(
+            0, maxd + 1, sweep, jnp.zeros((LANES, LANES), jnp.int32)
+        )
+        c2 = jnp.where(has & (lag_src > 0), cand + lag_src, 0)
+        out_ref[pl.ds(c * LANES, LANES)] = jnp.transpose(c2)
+        return 0
+
+    jax.lax.fori_loop(0, nq, per_chunk, 0)
+
+
+# ---------------------------------------------------------------------------
 # Host-callable wrapper: full rung ladder over groups of 128 lanes.
 # ---------------------------------------------------------------------------
 
@@ -360,13 +416,23 @@ def sorted_match_groups(
     *,
     bs: int,
     rungs: tuple[int, ...] = DEFAULT_RUNGS,
+    prev_k: int = 1,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays."""
+    """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
+
+    ``prev_k=2`` also folds the *second*-nearest previous occurrence on the
+    L=4 rung (computed by lag composition, no extra sort — see
+    ``_prev2_kernel``): when the nearest source's own match is shorter than
+    a farther one's, the farther candidate wins, worth +0.2-0.6 ratio
+    points on the corpus for roughly one extra extension pass.
+    """
     if bs & (bs - 1):
         raise ValueError("sorted matcher requires a power-of-two block size")
     if bs > MAX_SORT_BLOCK:
         raise ValueError(f"sorted matcher supports block_size <= {MAX_SORT_BLOCK}")
+    if prev_k not in (1, 2):
+        raise ValueError("prev_k must be 1 or 2")
     jt_np, kt_np = _stage_tables(bs)
     nstages = len(jt_np)
     jt = jnp.asarray(jt_np)
@@ -403,12 +469,24 @@ def sorted_match_groups(
         interpret=interpret,
     )
 
+    prev2_call = pl.pallas_call(
+        functools.partial(_prev2_kernel, bs=bs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
+        compiler_params=vmem_cap,
+        interpret=interpret,
+    )
+
     def one_group(args):
         data, lens = args  # (bs, 128) i8, (8, 128) i32
         best = jnp.zeros((bs, LANES), jnp.int32)
         for rung in rungs:
             cand = rung_call(rung)(jt, kt, data)
             best = extend_call(data, lens, cand, best)
+            if rung == 4 and prev_k == 2:
+                best = extend_call(data, lens, prev2_call(cand), best)
         # Unpack per group: a whole-batch unpack fusion on the stacked
         # (groups, bs, 128) map output exceeds XLA's 16 MB scoped-vmem
         # stack allocation (observed on v5e at bs=8192 x 8 groups).

@@ -283,6 +283,7 @@ def compress(
                     granular=(config.coarse_mode == "granular"),
                     matcher=matcher,
                     rungs=config.rungs,
+                    prev_k=config.prev_k,
                     interpret=interpret,
                 )
             else:

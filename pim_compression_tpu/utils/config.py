@@ -44,6 +44,11 @@ class CodecConfig:
     # 0.780) - the cycle/ratio tradeoff axis; reference analog
     # compr_cycle_tradeoff.py.
     rungs: tuple[int, ...] | None = None
+    # Sorted-matcher candidates per position on the L=4 rung: 2 also folds
+    # the second-nearest previous occurrence (lag composition, no extra
+    # sort — pallas_match._prev2_kernel), worth +0.2-0.6 ratio points for
+    # ~one extra extension pass. Ignored by the sweep matcher.
+    prev_k: int = 1
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -71,3 +76,5 @@ class CodecConfig:
             or list(self.rungs) != sorted(set(self.rungs))
         ):
             raise ValueError("rungs must be an ascending subset of (4,8,16,32,64)")
+        if self.prev_k not in (1, 2):
+            raise ValueError("prev_k must be 1 or 2")

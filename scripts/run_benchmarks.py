@@ -66,6 +66,7 @@ def main() -> int:
     ap.add_argument("--coarse-mode", default="sampled")
     ap.add_argument("--matchers", default="sorted")
     ap.add_argument("--rungs", default=None, help="e.g. 4,16,64 (sorted)")
+    ap.add_argument("--prev-k", type=int, choices=[1, 2], default=1)
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument(
         "--synth-sizes", default="",
@@ -114,6 +115,7 @@ def main() -> int:
                         if args.rungs
                         else None
                     ),
+                    prev_k=args.prev_k,
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)

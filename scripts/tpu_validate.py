@@ -47,6 +47,7 @@ def main() -> int:
     ap.add_argument("--granular", action="store_true")
     ap.add_argument("--matcher", choices=["sweep", "sorted"], default="sweep")
     ap.add_argument("--rungs", default=None, help="e.g. 4,16,64")
+    ap.add_argument("--prev-k", type=int, choices=[1, 2], default=1)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -64,7 +65,7 @@ def main() -> int:
     results: dict = {"device": str(jax.devices()[0]), "bs": args.bs,
         "window": args.window, "coarse": args.coarse,
         "granular": args.granular, "matcher": args.matcher,
-        "rungs": args.rungs}
+        "rungs": args.rungs, "prev_k": args.prev_k}
     rungs = (
         tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
     )
@@ -152,7 +153,7 @@ def main() -> int:
         c, s = pe.encode_blocks_pallas(
             blocks_d, lens_d, block_size=bs, window=args.window,
             coarse_window=args.coarse, granular=args.granular,
-            matcher=args.matcher, rungs=rungs,
+            matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
         )
         sync(c)
         return c, s
@@ -176,7 +177,7 @@ def main() -> int:
             c, s = pe.encode_blocks_pallas(
                 blocks_d, lens_d, block_size=bs, window=args.window,
                 coarse_window=args.coarse, granular=args.granular,
-                matcher=args.matcher, rungs=rungs,
+                matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
             )
         sync(c)
         return (time.time() - t0) / args.iters

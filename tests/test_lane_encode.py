@@ -225,6 +225,55 @@ def test_sorted_matcher_beats_sweep_on_corpus():
     assert len(so) < len(sw)
 
 
+def test_sorted_matcher_prev2_roundtrip_and_ratio():
+    # prev_k=2 folds the second-nearest previous occurrence on the 4-byte
+    # rung: streams stay valid and never get bigger; on data where the
+    # nearest source's own continuation diverges, the farther one wins.
+    r = random.Random(44)
+    seed = r.randbytes(256)
+    body = bytearray()
+    while len(body) < 6000:
+        body += seed[: r.randint(4, 120)] if r.random() < 0.6 else r.randbytes(
+            r.randint(3, 50)
+        )
+    data = bytes(body[:6000])
+    s1 = _encode_sorted(data, bs=2048, prev_k=1)
+    s2 = _encode_sorted(data, bs=2048, prev_k=2)
+    assert oracle.decompress(s2) == data
+    assert len(s2) <= len(s1)
+    # Construct a case where prev2 strictly wins: the nearest occurrence of
+    # "ABCD" continues differently, the second-nearest continues identically.
+    # (rungs=(4,) so the longer-prefix rungs cannot also find the far one)
+    tail = b"ABCD" + b"efghijklmnop"
+    data = tail + b"ABCD" + b"XXXXXXXX" + tail + b"." * 16
+    s1 = _encode_sorted(data, bs=256, rungs=(4,), prev_k=1)
+    s2 = _encode_sorted(data, bs=256, rungs=(4,), prev_k=2)
+    assert oracle.decompress(s2) == data
+    assert len(s2) < len(s1)
+
+
+def test_prev2_lag_composition_matches_sorted_definition():
+    # packed_prev_lags(h, 2)[1] (sorted-space j=2 lags) must equal the lag
+    # composition lag(p) + lag(p - lag(p)) — the identity the Pallas prev2
+    # kernel is built on (no second sort).
+    r = random.Random(45)
+    bs, lanes = 512, 4
+    data = np.zeros((bs, lanes), np.int32)
+    for l in range(lanes):
+        seed = r.randbytes(64)
+        body = bytearray()
+        while len(body) < bs:
+            body += seed if r.random() < 0.5 else r.randbytes(r.randint(3, 40))
+        data[:, l] = np.frombuffer(bytes(body[:bs]), np.uint8)
+    W4 = lme._pack_word4(data)
+    lag1, lag2 = lme.packed_prev_lags(W4, 2)
+    rows = np.arange(bs)[:, None]
+    src = np.clip(rows - lag1, 0, bs - 1)
+    lag_src = np.take_along_axis(lag1, src, axis=0)
+    composed = np.where((lag1 > 0) & (lag_src > 0), lag1 + lag_src, 0)
+    assert (composed == lag2).all()
+
+
 def test_extend_match_exact_lengths():
     # Hand-built block: "abcdeabcdXabcde" — at p=5 lag 5 matches 4 bytes
     # ("abcd"), at p=10 lag 10 matches 5 bytes ("abcde").

@@ -74,3 +74,17 @@ def test_encode_sorted_lowering_production_shapes(bs):
         jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
         jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
     )
+
+
+@pytest.mark.parametrize("bs", [16384, 32768])
+def test_encode_sorted_prev2_lowering_production_shapes(bs):
+    # prev_k=2 adds the lag-composition kernel (pallas_match._prev2_kernel)
+    # plus one extra extension fold on the L=4 rung.
+    fn = functools.partial(
+        pe.encode_blocks_pallas, block_size=bs, matcher="sorted", prev_k=2
+    )
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
+        jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
+    )

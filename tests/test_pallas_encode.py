@@ -358,6 +358,52 @@ def test_pallas_sorted_matcher_oracle_valid():
     assert sizes[:nb].sum() < np.asarray(sw_sizes)[:nb].sum()
 
 
+def test_pallas_sorted_prev2_parity():
+    # prev_k=2 (second-nearest candidate on the 4-byte rung, computed by
+    # lag composition in _prev2_kernel — no extra sort) must stay
+    # byte-parity with the spec and decode, and must not compress worse
+    # than prev_k=1 on repetitive data.
+    bs = 1024
+    r = random.Random(62)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(200)
+    for i in range(pe.BATCH):
+        body = bytearray()
+        while len(body) < bs:
+            body += (
+                seed[: r.randint(4, 90)]
+                if r.random() < 0.6
+                else r.randbytes(r.randint(3, 60))
+            )
+        b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    comp_k, sizes_k = pe.encode_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+        matcher="sorted", prev_k=2, interpret=True,
+    )
+    cap = pe.encode_capacity(bs)
+    comp_s, sizes_s = lme.encode_lanes(
+        blocks, lens, bs, cap, matcher="sorted", prev_k=2
+    )
+    assert (np.asarray(sizes_k) == sizes_s).all()
+    ck = np.asarray(comp_k)
+    for i in range(pe.BATCH):
+        assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all()
+        stream = (
+            encode_varint32(int(lens[i])) + encode_varint32(bs)
+            + int(sizes_s[i]).to_bytes(4, "little")
+            + ck[i, : sizes_s[i]].tobytes()
+        )
+        assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+    base_sizes = np.asarray(
+        lme.encode_lanes(blocks, lens, bs, cap, matcher="sorted")[1]
+    )
+    assert sizes_s.sum() <= base_sizes.sum()
+
+
 def test_pallas_sorted_rungs_subset_parity():
     # The --rungs knob (cycle/ratio tradeoff) must stay byte-parity with
     # the spec for reduced ladders, and every stream must decode.
