@@ -35,7 +35,7 @@ CORPUS = "/root/reference/test/xml.snappy"
 def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
-    rungs: tuple | None = None, prev_k: int = 1,
+    rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -48,6 +48,7 @@ def measure(
         coarse_window=coarse,
         coarse_mode="granular" if granular else "sampled",
         matcher=matcher, rungs=rungs, prev_k=prev_k,
+        stride2_min=stride2_min,
     )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
@@ -76,13 +77,13 @@ def measure(
 
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
-    matcher, rungs, prev_k,
+    matcher, rungs, prev_k, stride2_min=0,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
-        f"{rungs!r}, {prev_k})))"
+        f"{rungs!r}, {prev_k}, {stride2_min})))"
     )
     try:
         proc = subprocess.run(
@@ -131,6 +132,9 @@ def main() -> int:
     # prev_k=2 folds the second-nearest previous occurrence on the 4-byte
     # rung (no extra sort) — better ratio for ~one extension pass.
     prev_k = int(os.environ.get("PIM_BENCH_PREVK", "1"))
+    # Half-density sort on rungs >= this (~40% fewer sort ops there for a
+    # small ratio cost); 0 = full density.
+    stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "0"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -149,7 +153,7 @@ def main() -> int:
 
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
-        matcher, rungs, prev_k,
+        matcher, rungs, prev_k, stride2_min,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.

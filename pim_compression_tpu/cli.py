@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         "ratio, ~one extra extension pass)",
     )
     p.add_argument(
+        "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,
+        help="sorted-matcher half-density threshold: rungs >= this length "
+        "sort only even positions (~40%% fewer sort ops on those rungs "
+        "at a small ratio cost); 0 = off",
+    )
+    p.add_argument(
         "--strict-engine", action="store_true",
         help="fail instead of falling back to xla when the pallas kernels "
         "do not cover the requested block size",
@@ -117,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             prev_k=args.prev_k,
+            stride2_min=args.stride2_min,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

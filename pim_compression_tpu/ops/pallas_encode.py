@@ -782,7 +782,7 @@ def _emit_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
-        "rungs", "prev_k", "interpret",
+        "rungs", "prev_k", "stride2_min", "interpret",
     ),
 )
 def encode_blocks_pallas(
@@ -796,6 +796,7 @@ def encode_blocks_pallas(
     matcher: str = "sweep",
     rungs: tuple[int, ...] | None = None,
     prev_k: int = 1,
+    stride2_min: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
@@ -926,7 +927,7 @@ def encode_blocks_pallas(
             mlen, mlag = pm.sorted_match_groups(
                 data_g.astype(jnp.int8), lens_bc8, bs=bs,
                 rungs=rungs or pm.DEFAULT_RUNGS, prev_k=prev_k,
-                interpret=interpret,
+                stride2_min=stride2_min, interpret=interpret,
             )
             return _emit(data_g, lens_t, mlen, mlag)
 
@@ -1034,6 +1035,7 @@ def encode_blocks_pallas_sharded(
     matcher: str = "sweep",
     rungs: tuple[int, ...] | None = None,
     prev_k: int = 1,
+    stride2_min: int = 0,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1051,6 +1053,7 @@ def encode_blocks_pallas_sharded(
         matcher=matcher,
         rungs=rungs,
         prev_k=prev_k,
+        stride2_min=stride2_min,
         interpret=interpret,
     )
     sharded = shard_map(

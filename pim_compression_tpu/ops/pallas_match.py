@@ -98,12 +98,13 @@ def _sort_rung_kernel(
     kt_ref,  # SMEM (nstages,) i32: merge block size k per stage
     data_ref,  # (bs, 128) i8 block bytes
     cand_ref,  # (bs, 128) i32 out: candidate lags (0 = none)
-    pk_s,  # scratch (2 * bs, 128) i32: ping buffer, data at [bs/2, 3bs/2)
-    stg_s,  # scratch (2 * bs, 128) i32: pong buffer, same layout
+    pk_s,  # scratch (2 * m, 128) i32: ping buffer, data at [m/2, 3m/2)
+    stg_s,  # scratch (2 * m, 128) i32: pong buffer, same layout
     *,
     bs: int,
     rung: int,
     nstages: int,
+    stride: int = 1,
 ):
     """One rung: hash-key sort -> nearest-previous lags -> unsort.
 
@@ -113,48 +114,81 @@ def _sort_rung_kernel(
     its own chunk and the two partner slices from buffer A and writes
     buffer B, so the per-stage snapshot copy of the staged form disappears
     (~2 of 9 chunk passes per stage). Both buffers keep live data at
-    [bs/2, 3bs/2) so the +/-j partner reads (j <= bs/2) stay in bounds.
+    [m/2, 3m/2) so the +/-j partner reads (j <= m/2) stay in bounds.
     The hash chunk reads a 128-row lookahead (word pack 3 + ladder shifts
     <= 60 bytes of reach), zero past the block end to match the spec's
     zero-fill shifts.
+
+    ``stride=2`` sorts only even positions (m = bs/2 rows, one fewer
+    outer bitonic pass, half the chunk passes per stage): the packed
+    words carry the compacted index ``p >> 1`` and lags are scaled back
+    by 2 on output. Compaction/expansion use the extension kernel's
+    layout trick — transpose 128-row chunks so positions sit on LANES,
+    where single-vreg ``take_along_axis`` gathers are legal. Spec:
+    ``lane_model_encode.packed_prev_lags(stride=2)``.
     """
-    CH = min(bs, 1024)
-    NC = bs // CH
+    m = bs // stride  # sorted rows
+    CH = min(m, 1024)
+    NC = m // CH
     LOOK = 128
-    half = bs // 2
+    half = m // 2
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
-    # Phase H: packed (key17 << 15) | pos sort words, top bit flipped so
-    # the signed bitonic compare realises unsigned order.
+    # Phase H: packed (key17 << 15) | idx sort words (idx = pos / stride;
+    # odd-position words are dropped by compaction when stride = 2), top
+    # bit flipped so the signed bitonic compare realises unsigned order.
+    CHS = min(bs, 1024)
+    NCS = bs // CHS
+
     def hchunk(c, _):
-        base = c * CH
-        d0 = data_ref[pl.ds(base, CH)].astype(jnp.int32) & 0xFF
+        base = c * CHS
+        d0 = data_ref[pl.ds(base, CHS)].astype(jnp.int32) & 0xFF
         # i8 vector loads need a provably aligned start: clamp in units of
         # 128 rows and re-multiply so Mosaic can see the alignment.
         start1 = pl.multiple_of(
             jnp.maximum(
-                jnp.minimum((base + CH) // LANES, (bs - LOOK) // LANES), 0
+                jnp.minimum((base + CHS) // LANES, (bs - LOOK) // LANES), 0
             )
             * LANES,
             LANES,
         )
         d1 = data_ref[pl.ds(start1, LOOK)].astype(jnp.int32) & 0xFF
-        d1 = jnp.where(base + CH < bs, d1, 0)
-        dd = jnp.concatenate([d0, d1], axis=0)  # (CH + 128, 128)
+        d1 = jnp.where(base + CHS < bs, d1, 0)
+        dd = jnp.concatenate([d0, d1], axis=0)  # (CHS + 128, 128)
         w = dd
         for b in (1, 2, 3):
             w = w | (_shift_up(dd, b) << (8 * b))
         h = _hash_for_rung(w, rung)
-        k17 = (h[0:CH] ^ ((h[0:CH] >> 15) & 0x1FFFF)) & 0x1FFFF
-        rows = base + ch_iota(CH)
-        pk_s[pl.ds(half + base, CH)] = (
-            ((k17 << 15) | rows) ^ _SIGN
-        ).astype(jnp.int32)
+        k17 = (h[0:CHS] ^ ((h[0:CHS] >> 15) & 0x1FFFF)) & 0x1FFFF
+        rows = base + ch_iota(CHS)
+        word = (((k17 << 15) | (rows // stride)) ^ _SIGN).astype(jnp.int32)
+        if stride == 1:
+            pk_s[pl.ds(half + base, CHS)] = word
+        else:
+            stg_s[pl.ds(base, CHS)] = word  # staged; compacted next
         return 0
 
-    jax.lax.fori_loop(0, NC, hchunk, 0)
+    jax.lax.fori_loop(0, NCS, hchunk, 0)
+
+    if stride == 2:
+        # Compact even rows: each 128-row output chunk j merges the even
+        # rows of input chunks 2j and 2j+1. Transposed, positions sit on
+        # LANES: out_T[:, l] = T0[:, 2l] (l < 64) else T1[:, 2l - 128].
+        lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        even_idx = (2 * lane) & (LANES - 1)
+
+        def cchunk(j, _):
+            t0 = jnp.transpose(stg_s[pl.ds(j * 2 * LANES, LANES)])
+            t1 = jnp.transpose(stg_s[pl.ds(j * 2 * LANES + LANES, LANES)])
+            g0 = jnp.take_along_axis(t0, even_idx, axis=1)
+            g1 = jnp.take_along_axis(t1, even_idx, axis=1)
+            out = jnp.where(lane < LANES // 2, g0, g1)
+            pk_s[pl.ds(half + j * LANES, LANES)] = jnp.transpose(out)
+            return 0
+
+        jax.lax.fori_loop(0, m // LANES, cchunk, 0)
 
     def one_stage(s, A, B):
         j = jt_ref[s]
@@ -225,12 +259,35 @@ def _sort_rung_kernel(
     )
     run_sort()
 
-    def out_chunk(c, _):
-        base = c * CH
-        cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(half + base, CH)] & 0xFFFF
-        return 0
+    if stride == 1:
 
-    jax.lax.fori_loop(0, NC, out_chunk, 0)
+        def out_chunk(c, _):
+            base = c * CH
+            cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(half + base, CH)] & 0xFFFF
+            return 0
+
+        jax.lax.fori_loop(0, NC, out_chunk, 0)
+    else:
+        # Expand: compacted chunk j (idx rows [128j, 128j+128)) covers
+        # positions [256j, 256j+256). Transposed lane-gather l -> l/2
+        # (+64 for the upper half), lags scale back by stride; odd
+        # positions get no candidate from this rung.
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        is_even = (lane2 & 1) == 0
+
+        def xchunk(j, _):
+            t = jnp.transpose(pk_s[pl.ds(half + j * LANES, LANES)])
+            lo = jnp.take_along_axis(t, lane2 >> 1, axis=1)
+            hi = jnp.take_along_axis(t, (LANES // 2) + (lane2 >> 1), axis=1)
+            lag_lo = jnp.where(is_even, (lo & 0xFFFF) * stride, 0)
+            lag_hi = jnp.where(is_even, (hi & 0xFFFF) * stride, 0)
+            cand_ref[pl.ds(j * 2 * LANES, LANES)] = jnp.transpose(lag_lo)
+            cand_ref[pl.ds(j * 2 * LANES + LANES, LANES)] = jnp.transpose(
+                lag_hi
+            )
+            return 0
+
+        jax.lax.fori_loop(0, m // LANES, xchunk, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +474,7 @@ def sorted_match_groups(
     bs: int,
     rungs: tuple[int, ...] = DEFAULT_RUNGS,
     prev_k: int = 1,
+    stride2_min: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
@@ -426,6 +484,12 @@ def sorted_match_groups(
     ``_prev2_kernel``): when the nearest source's own match is shorter than
     a farther one's, the farther candidate wins, worth +0.2-0.6 ratio
     points on the corpus for roughly one extra extension pass.
+
+    ``stride2_min`` > 0 runs every rung >= that length as a half-density
+    sort (even positions only, see ``_sort_rung_kernel``): ~40% fewer
+    sort ops for those rungs at a small ratio cost. Must be > 4 so the
+    L=4 rung (the prev2 base and short-match safety net) stays full
+    density.
     """
     if bs & (bs - 1):
         raise ValueError("sorted matcher requires a power-of-two block size")
@@ -433,16 +497,20 @@ def sorted_match_groups(
         raise ValueError(f"sorted matcher supports block_size <= {MAX_SORT_BLOCK}")
     if prev_k not in (1, 2):
         raise ValueError("prev_k must be 1 or 2")
-    jt_np, kt_np = _stage_tables(bs)
-    nstages = len(jt_np)
-    jt = jnp.asarray(jt_np)
-    kt = jnp.asarray(kt_np)
+    if stride2_min and stride2_min <= 4:
+        raise ValueError("stride2_min must be > 4 (L=4 stays full density)")
+    tables = {}
+    for stride in (1, 2):
+        jt_np, kt_np = _stage_tables(bs // stride)
+        tables[stride] = (jnp.asarray(jt_np), jnp.asarray(kt_np), len(jt_np))
     vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
 
-    def rung_call(rung):
+    def rung_call(rung, stride):
+        nstages = tables[stride][2]
         return pl.pallas_call(
             functools.partial(
-                _sort_rung_kernel, bs=bs, rung=rung, nstages=nstages
+                _sort_rung_kernel, bs=bs, rung=rung, nstages=nstages,
+                stride=stride,
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -452,8 +520,8 @@ def sorted_match_groups(
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((2 * bs, LANES), jnp.int32),  # ping
-                pltpu.VMEM((2 * bs, LANES), jnp.int32),  # pong
+                pltpu.VMEM((2 * bs // stride, LANES), jnp.int32),  # ping
+                pltpu.VMEM((2 * bs // stride, LANES), jnp.int32),  # pong
             ],
             compiler_params=vmem_cap,
             interpret=interpret,
@@ -483,7 +551,9 @@ def sorted_match_groups(
         data, lens = args  # (bs, 128) i8, (8, 128) i32
         best = jnp.zeros((bs, LANES), jnp.int32)
         for rung in rungs:
-            cand = rung_call(rung)(jt, kt, data)
+            stride = 2 if (stride2_min and rung >= stride2_min) else 1
+            jt, kt, _ = tables[stride]
+            cand = rung_call(rung, stride)(jt, kt, data)
             best = extend_call(data, lens, cand, best)
             if rung == 4 and prev_k == 2:
                 best = extend_call(data, lens, prev2_call(cand), best)

@@ -284,6 +284,7 @@ def compress(
                     matcher=matcher,
                     rungs=config.rungs,
                     prev_k=config.prev_k,
+                    stride2_min=config.stride2_min,
                     interpret=interpret,
                 )
             else:

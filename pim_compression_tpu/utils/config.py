@@ -49,6 +49,14 @@ class CodecConfig:
     # sort — pallas_match._prev2_kernel), worth +0.2-0.6 ratio points for
     # ~one extra extension pass. Ignored by the sweep matcher.
     prev_k: int = 1
+    # Sorted-matcher half-density sort threshold: rungs >= this length sort
+    # only even positions (~40% fewer sort ops on those rungs,
+    # pallas_match._sort_rung_kernel stride=2) at a small ratio cost
+    # (xml @32K full ladder spec: 0.7775 vs 0.7871 at 16). 0 = off; must
+    # be > 4 so the L=4 rung stays full density. Ignored by the sweep
+    # matcher. The speed axis' reference analog is the cycle/ratio
+    # tradeoff (compr_cycle_tradeoff.py).
+    stride2_min: int = 0
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -78,3 +86,7 @@ class CodecConfig:
             raise ValueError("rungs must be an ascending subset of (4,8,16,32,64)")
         if self.prev_k not in (1, 2):
             raise ValueError("prev_k must be 1 or 2")
+        if self.stride2_min and (
+            self.stride2_min <= 4 or self.stride2_min not in (8, 16, 32, 64)
+        ):
+            raise ValueError("stride2_min must be 0 or one of (8, 16, 32, 64)")

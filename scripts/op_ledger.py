@@ -201,6 +201,13 @@ def main() -> int:
         dict(block_size=16384, matcher="sorted"),
         dict(block_size=32768, matcher="sorted"),
         dict(block_size=32768, matcher="sorted", rungs=(4, 16, 64)),
+        dict(block_size=32768, matcher="sorted", prev_k=2),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2),
+        dict(block_size=16384, matcher="sorted", rungs=(4, 32), prev_k=2),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 16, 64),
+             prev_k=2, stride2_min=16),
+        dict(block_size=16384, matcher="sorted", rungs=(4, 16, 64),
+             prev_k=2, stride2_min=16),
         dict(block_size=8192, matcher="sweep", window=512,
              coarse_window=4096, granular=True),
         dict(block_size=8192, matcher="sweep", window=2048,
@@ -217,21 +224,33 @@ def main() -> int:
         )
         label = (
             f"encode bs={bs} {cfg['matcher']}"
-            + (f" rungs={len(cfg['rungs'])}" if cfg.get("rungs") else "")
+            + (
+                " rungs=" + ",".join(str(r) for r in cfg["rungs"])
+                if cfg.get("rungs")
+                else ""
+            )
+            + (" prev2" if cfg.get("prev_k", 1) == 2 else "")
+            + (
+                f" s2@{cfg['stride2_min']}"
+                if cfg.get("stride2_min")
+                else ""
+            )
             + (
                 f" w={cfg.get('window')} c={cfg.get('coarse_window')}"
                 if cfg["matcher"] == "sweep"
                 else ""
             )
         )
-        rows.append(
-            ledger_row(
-                label,
-                lambda b, l, cfg=cfg: pe.encode_blocks_pallas(b, l, **cfg),
-                args,
-                _entry_bytes(bs, nb),
-            )
+        row = ledger_row(
+            label,
+            lambda b, l, cfg=cfg: pe.encode_blocks_pallas(b, l, **cfg),
+            args,
+            _entry_bytes(bs, nb),
         )
+        row["config"] = {
+            k: (list(v) if isinstance(v, tuple) else v) for k, v in cfg.items()
+        }
+        rows.append(row)
 
     # Join measured emulator wall times (tpu_validation.json) onto the
     # rows: for dyn-while kernels the static count is a lower bound, so
@@ -242,7 +261,8 @@ def main() -> int:
         for r in rows:
             kind = "decode" if r["kernel"].startswith("decode") else "encode"
             bs = int(r["kernel"].split("bs=")[1].split()[0])
-            matcher = "sorted" if "sorted" in r["kernel"] else None
+            cfg = r.get("config", {})
+            want_rungs = ",".join(str(x) for x in cfg.get("rungs") or ()) or None
             best = None
             for v in vruns:
                 if v.get("bs") != bs:
@@ -250,16 +270,21 @@ def main() -> int:
                 if kind == "decode" and v.get("decode_timed"):
                     best = v["decode_timed"]
                 elif kind == "encode" and v.get("encode_timed"):
-                    vmatch = v.get("matcher") or "sweep"
-                    want = matcher or "sweep"
-                    if vmatch != want:
+                    if (v.get("matcher") or "sweep") != cfg.get("matcher", "sweep"):
                         continue
-                    if ("rungs=3" in r["kernel"]) != bool(v.get("rungs")):
+                    if (v.get("rungs") or None) != want_rungs:
                         continue
-                    if want == "sweep":
-                        wtag = f"w={v.get('window')} c={v.get('coarse')}"
-                        if wtag not in r["kernel"]:
-                            continue
+                    if int(v.get("prev_k") or 1) != int(cfg.get("prev_k", 1)):
+                        continue
+                    if int(v.get("stride2_min") or 0) != int(
+                        cfg.get("stride2_min", 0)
+                    ):
+                        continue
+                    if cfg.get("matcher") == "sweep" and (
+                        v.get("window") != cfg.get("window")
+                        or v.get("coarse") != cfg.get("coarse_window")
+                    ):
+                        continue
                     best = v["encode_timed"]
             if best is not None:
                 r["measured_emulator_s"] = best

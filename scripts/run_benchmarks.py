@@ -67,6 +67,10 @@ def main() -> int:
     ap.add_argument("--matchers", default="sorted")
     ap.add_argument("--rungs", default=None, help="e.g. 4,16,64 (sorted)")
     ap.add_argument("--prev-k", type=int, choices=[1, 2], default=1)
+    ap.add_argument(
+        "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,
+        help="half-density sort threshold for long rungs (sorted matcher)",
+    )
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument(
         "--synth-sizes", default="",
@@ -116,6 +120,7 @@ def main() -> int:
                         else None
                     ),
                     prev_k=args.prev_k,
+                    stride2_min=args.stride2_min,
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)

@@ -48,6 +48,9 @@ def main() -> int:
     ap.add_argument("--matcher", choices=["sweep", "sorted"], default="sweep")
     ap.add_argument("--rungs", default=None, help="e.g. 4,16,64")
     ap.add_argument("--prev-k", type=int, choices=[1, 2], default=1)
+    ap.add_argument(
+        "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0
+    )
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -65,7 +68,8 @@ def main() -> int:
     results: dict = {"device": str(jax.devices()[0]), "bs": args.bs,
         "window": args.window, "coarse": args.coarse,
         "granular": args.granular, "matcher": args.matcher,
-        "rungs": args.rungs, "prev_k": args.prev_k}
+        "rungs": args.rungs, "prev_k": args.prev_k,
+        "stride2_min": args.stride2_min}
     rungs = (
         tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
     )
@@ -154,6 +158,7 @@ def main() -> int:
             blocks_d, lens_d, block_size=bs, window=args.window,
             coarse_window=args.coarse, granular=args.granular,
             matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
+            stride2_min=args.stride2_min,
         )
         sync(c)
         return c, s
@@ -178,6 +183,7 @@ def main() -> int:
                 blocks_d, lens_d, block_size=bs, window=args.window,
                 coarse_window=args.coarse, granular=args.granular,
                 matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
+                stride2_min=args.stride2_min,
             )
         sync(c)
         return (time.time() - t0) / args.iters

@@ -88,3 +88,19 @@ def test_encode_sorted_prev2_lowering_production_shapes(bs):
         jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
         jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
     )
+
+
+@pytest.mark.parametrize("bs", [16384, 32768])
+def test_encode_sorted_stride2_lowering_production_shapes(bs):
+    # stride2_min runs long rungs as half-density sorts with the
+    # transpose/lane-gather compaction-expansion passes
+    # (pallas_match._sort_rung_kernel stride=2).
+    fn = functools.partial(
+        pe.encode_blocks_pallas, block_size=bs, matcher="sorted",
+        rungs=(4, 16, 64), prev_k=2, stride2_min=16,
+    )
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
+        jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
+    )

@@ -446,6 +446,46 @@ def test_pallas_sorted_rungs_subset_parity():
     assert sizes[:nb].sum() >= full_sizes[:nb].sum()
 
 
+def test_pallas_sorted_stride2_parity():
+    # The --stride2-min knob (half-density sort on long rungs, ~40% fewer
+    # sort ops there) must stay byte-parity with the spec and decode; the
+    # half-density ladder compresses no better than the full-density one.
+    bs = 1024
+    data = corpus_pair("plrabn12")[0][: bs * 6]
+    nb = (len(data) + bs - 1) // bs
+    pad_nb = (nb + pe.BATCH - 1) // pe.BATCH * pe.BATCH
+    blocks = np.zeros((pad_nb, bs), np.uint8)
+    lens = np.zeros(pad_nb, np.int32)
+    raw = np.frombuffer(data, np.uint8)
+    for i in range(nb):
+        ch = raw[i * bs : (i + 1) * bs]
+        blocks[i, : len(ch)] = ch
+        lens[i] = len(ch)
+    kw = dict(matcher="sorted", rungs=(4, 16, 64), prev_k=2, stride2_min=16)
+    comp, sizes = pe.encode_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+        interpret=True, **kw,
+    )
+    comp, sizes = np.asarray(comp), np.asarray(sizes)
+    cap = pe.encode_capacity(bs)
+    mcomp, msizes = lme.encode_lanes(blocks, lens, bs, cap, **kw)
+    full_sizes = np.asarray(
+        pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", rungs=(4, 16, 64), prev_k=2, interpret=True,
+        )[1]
+    )
+    for i in range(nb):
+        assert sizes[i] == msizes[i]
+        assert comp[i, : sizes[i]].tobytes() == mcomp[i, : msizes[i]].tobytes()
+        stream = (
+            encode_varint32(int(lens[i])) + encode_varint32(bs)
+            + int(sizes[i]).to_bytes(4, "little") + comp[i, : sizes[i]].tobytes()
+        )
+        assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+    assert sizes[:nb].sum() >= full_sizes[:nb].sum()
+
+
 def test_pallas_encode_non_pow2_block_size():
     # Regression: the in-place scan staging sized its fill region as bs/2,
     # but the deepest log-shift is 2^(nbit-1) which EXCEEDS bs/2 for
