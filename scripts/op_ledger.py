@@ -201,7 +201,10 @@ def main() -> int:
         dict(block_size=16384, matcher="sorted"),
         dict(block_size=32768, matcher="sorted"),
         dict(block_size=32768, matcher="sorted", rungs=(4, 16, 64)),
+        dict(block_size=16384, matcher="sorted", rungs=(4, 16, 64)),
         dict(block_size=32768, matcher="sorted", prev_k=2),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2,
+             stride2_min=32),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2),
         dict(block_size=16384, matcher="sorted", rungs=(4, 32), prev_k=2),
         dict(block_size=32768, matcher="sorted", rungs=(4, 16, 64),
