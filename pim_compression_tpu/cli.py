@@ -67,10 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="sorted-matcher rung ladder, e.g. 4,16,64 (default: full)",
     )
     p.add_argument(
-        "--prev-k", type=int, choices=[1, 2], default=1,
-        help="sorted-matcher candidates per position on the 4-byte rung; "
-        "2 also tries the second-nearest previous occurrence (better "
-        "ratio, ~one extra extension pass)",
+        "--prev-k", type=int, choices=list(range(1, 9)), default=1,
+        help="sorted-matcher candidates per position on the 4-byte rung: "
+        "k also tries the 2nd..k-th-nearest previous occurrences (better "
+        "ratio, ~one extra extension pass each; diminishing past 4)",
     )
     p.add_argument(
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,

@@ -407,21 +407,22 @@ def _extend_fold_kernel(
 
 
 # ---------------------------------------------------------------------------
-# Prev-2 kernel: second-nearest-previous-occurrence lags from the nearest
-# ones, with NO extra sort. In sorted space the j=2 predecessor lag is
-# lag2[r] = pos[r] - pos[r-2] = lag[r] + lag[r-1] (key equality over two
-# sorted steps implies chainwise equality: the run is contiguous). Back in
-# natural position order that composition is a gather with the extension
-# kernel's exact access pattern: lag2(p) = lag(p) + lag(p - lag(p)) — the
-# second-previous occurrence of p's prefix is the previous occurrence of
-# the previous occurrence. Spec: lane_model_encode.packed_prev_lags(j=2).
+# Prev-step kernel: (j+1)-th-nearest-previous-occurrence lags by lag
+# composition, with NO extra sort. In sorted space the j-step predecessor
+# lag is the sum of j consecutive equal-key-run lags; back in natural
+# position order each step is lag_{j+1}(p) = lag_j(p) + lag(p - lag_j(p))
+# — the (j+1)-th previous occurrence of p's prefix is the nearest previous
+# occurrence of the j-th one. One transpose/lane-gather pass per step (the
+# extension kernel's exact access pattern). Spec:
+# lane_model_encode.packed_prev_lags(prev_k=j+1).
 # ---------------------------------------------------------------------------
 
 
-def _prev2_kernel(
-    cand_ref,  # (bs, 128) i32 nearest-previous lags (0 = none)
-    out_ref,  # (bs, 128) i32 out: second-previous lags (0 = none)
-    TC_s,  # scratch (bs, 128) i32: chunk-transposed lags
+def _prev_step_kernel(
+    near_ref,  # (bs, 128) i32 nearest-previous lags (gather source)
+    lagj_ref,  # (bs, 128) i32 j-th-previous lags (0 = none)
+    out_ref,  # (bs, 128) i32 out: (j+1)-th-previous lags (0 = none)
+    TC_s,  # scratch (bs, 128) i32: chunk-transposed nearest lags
     *,
     bs: int,
 ):
@@ -430,19 +431,19 @@ def _prev2_kernel(
 
     def build(q, _):
         TC_s[pl.ds(q * LANES, LANES)] = jnp.transpose(
-            cand_ref[pl.ds(q * LANES, LANES)]
+            near_ref[pl.ds(q * LANES, LANES)]
         )
         return 0
 
     jax.lax.fori_loop(0, nq, build, 0)
 
     def per_chunk(c, _):
-        cand = TC_s[pl.ds(c * LANES, LANES)]  # (block, residue)
+        lagj = jnp.transpose(lagj_ref[pl.ds(c * LANES, LANES)])
         p = c * LANES + lane
-        has = cand > 0
-        # src = p - cand is strictly below p (cand > 0), so the adaptive
+        has = lagj > 0
+        # src = p - lagj is strictly below p (lagj > 0), so the adaptive
         # chunk-delta sweep only looks backwards (d >= 0).
-        src = jnp.clip(p - cand, 0, bs - 1)
+        src = jnp.clip(p - lagj, 0, bs - 1)
         qs = src >> 7
         rs = src & (LANES - 1)
         maxd = jnp.max(jnp.where(has, c - qs, -1))
@@ -455,7 +456,7 @@ def _prev2_kernel(
         lag_src = jax.lax.fori_loop(
             0, maxd + 1, sweep, jnp.zeros((LANES, LANES), jnp.int32)
         )
-        c2 = jnp.where(has & (lag_src > 0), cand + lag_src, 0)
+        c2 = jnp.where(has & (lag_src > 0), lagj + lag_src, 0)
         out_ref[pl.ds(c * LANES, LANES)] = jnp.transpose(c2)
         return 0
 
@@ -479,11 +480,12 @@ def sorted_match_groups(
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
 
-    ``prev_k=2`` also folds the *second*-nearest previous occurrence on the
-    L=4 rung (computed by lag composition, no extra sort — see
-    ``_prev2_kernel``): when the nearest source's own match is shorter than
-    a farther one's, the farther candidate wins, worth +0.2-0.6 ratio
-    points on the corpus for roughly one extra extension pass.
+    ``prev_k=k`` also folds the 2nd..k-th-nearest previous occurrences on
+    the L=4 rung (computed by iterated lag composition, no extra sort —
+    see ``_prev_step_kernel``): when a nearer source's own match is
+    shorter than a farther one's, the farther candidate wins. Each step
+    costs one composition pass + one extension pass (~1 c/B) and is worth
+    +0.2-0.3 ratio points on xml up to k=4.
 
     ``stride2_min`` > 0 runs every rung >= that length as a half-density
     sort (even positions only, see ``_sort_rung_kernel``): ~40% fewer
@@ -495,8 +497,8 @@ def sorted_match_groups(
         raise ValueError("sorted matcher requires a power-of-two block size")
     if bs > MAX_SORT_BLOCK:
         raise ValueError(f"sorted matcher supports block_size <= {MAX_SORT_BLOCK}")
-    if prev_k not in (1, 2):
-        raise ValueError("prev_k must be 1 or 2")
+    if not 1 <= prev_k <= 8:
+        raise ValueError("prev_k must be in [1, 8]")
     if stride2_min and stride2_min <= 4:
         raise ValueError("stride2_min must be > 4 (L=4 stays full density)")
     tables = {}
@@ -537,9 +539,9 @@ def sorted_match_groups(
         interpret=interpret,
     )
 
-    prev2_call = pl.pallas_call(
-        functools.partial(_prev2_kernel, bs=bs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+    prev_step_call = pl.pallas_call(
+        functools.partial(_prev_step_kernel, bs=bs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
         scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
@@ -555,8 +557,11 @@ def sorted_match_groups(
             jt, kt, _ = tables[stride]
             cand = rung_call(rung, stride)(jt, kt, data)
             best = extend_call(data, lens, cand, best)
-            if rung == 4 and prev_k == 2:
-                best = extend_call(data, lens, prev2_call(cand), best)
+            if rung == 4 and prev_k >= 2:
+                lagj = cand
+                for _ in range(2, prev_k + 1):
+                    lagj = prev_step_call(cand, lagj)
+                    best = extend_call(data, lens, lagj, best)
         # Unpack per group: a whole-batch unpack fusion on the stacked
         # (groups, bs, 128) map output exceeds XLA's 16 MB scoped-vmem
         # stack allocation (observed on v5e at bs=8192 x 8 groups).

@@ -44,10 +44,11 @@ class CodecConfig:
     # 0.780) - the cycle/ratio tradeoff axis; reference analog
     # compr_cycle_tradeoff.py.
     rungs: tuple[int, ...] | None = None
-    # Sorted-matcher candidates per position on the L=4 rung: 2 also folds
-    # the second-nearest previous occurrence (lag composition, no extra
-    # sort — pallas_match._prev2_kernel), worth +0.2-0.6 ratio points for
-    # ~one extra extension pass. Ignored by the sweep matcher.
+    # Sorted-matcher candidates per position on the L=4 rung: k folds the
+    # 2nd..k-th-nearest previous occurrences (iterated lag composition, no
+    # extra sort — pallas_match._prev_step_kernel), worth +0.2-0.3 ratio
+    # points per step up to k=4 for ~1 c/B each. Ignored by the sweep
+    # matcher.
     prev_k: int = 1
     # Sorted-matcher half-density sort threshold: rungs >= this length sort
     # only even positions (~40% fewer sort ops on those rungs,
@@ -84,8 +85,8 @@ class CodecConfig:
             or list(self.rungs) != sorted(set(self.rungs))
         ):
             raise ValueError("rungs must be an ascending subset of (4,8,16,32,64)")
-        if self.prev_k not in (1, 2):
-            raise ValueError("prev_k must be 1 or 2")
+        if not 1 <= self.prev_k <= 8:
+            raise ValueError("prev_k must be in [1, 8]")
         if self.stride2_min and (
             self.stride2_min <= 4 or self.stride2_min not in (8, 16, 32, 64)
         ):

@@ -206,7 +206,11 @@ def main() -> int:
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2,
              stride2_min=32),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=4),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=6),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=8),
         dict(block_size=16384, matcher="sorted", rungs=(4, 32), prev_k=2),
+        dict(block_size=16384, matcher="sorted", rungs=(4, 32), prev_k=4),
         dict(block_size=32768, matcher="sorted", rungs=(4, 16, 64),
              prev_k=2, stride2_min=16),
         dict(block_size=16384, matcher="sorted", rungs=(4, 16, 64),
@@ -232,7 +236,11 @@ def main() -> int:
                 if cfg.get("rungs")
                 else ""
             )
-            + (" prev2" if cfg.get("prev_k", 1) == 2 else "")
+            + (
+                f" prev{cfg['prev_k']}"
+                if cfg.get("prev_k", 1) > 1
+                else ""
+            )
             + (
                 f" s2@{cfg['stride2_min']}"
                 if cfg.get("stride2_min")

@@ -47,7 +47,7 @@ def main() -> int:
     ap.add_argument("--granular", action="store_true")
     ap.add_argument("--matcher", choices=["sweep", "sorted"], default="sweep")
     ap.add_argument("--rungs", default=None, help="e.g. 4,16,64")
-    ap.add_argument("--prev-k", type=int, choices=[1, 2], default=1)
+    ap.add_argument("--prev-k", type=int, choices=list(range(1, 9)), default=1)
     ap.add_argument(
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0
     )

@@ -358,11 +358,12 @@ def test_pallas_sorted_matcher_oracle_valid():
     assert sizes[:nb].sum() < np.asarray(sw_sizes)[:nb].sum()
 
 
-def test_pallas_sorted_prev2_parity():
-    # prev_k=2 (second-nearest candidate on the 4-byte rung, computed by
-    # lag composition in _prev2_kernel — no extra sort) must stay
-    # byte-parity with the spec and decode, and must not compress worse
-    # than prev_k=1 on repetitive data.
+@pytest.mark.parametrize("prev_k", [2, 4])
+def test_pallas_sorted_prevk_parity(prev_k):
+    # prev_k>=2 (2nd..k-th-nearest candidates on the 4-byte rung, computed
+    # by iterated lag composition in _prev_step_kernel — no extra sort)
+    # must stay byte-parity with the spec and decode, and must not
+    # compress worse than prev_k=1 on repetitive data.
     bs = 1024
     r = random.Random(62)
     blocks = np.zeros((pe.BATCH, bs), np.uint8)
@@ -382,11 +383,11 @@ def test_pallas_sorted_prev2_parity():
 
     comp_k, sizes_k = pe.encode_blocks_pallas(
         jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
-        matcher="sorted", prev_k=2, interpret=True,
+        matcher="sorted", prev_k=prev_k, interpret=True,
     )
     cap = pe.encode_capacity(bs)
     comp_s, sizes_s = lme.encode_lanes(
-        blocks, lens, bs, cap, matcher="sorted", prev_k=2
+        blocks, lens, bs, cap, matcher="sorted", prev_k=prev_k
     )
     assert (np.asarray(sizes_k) == sizes_s).all()
     ck = np.asarray(comp_k)
