@@ -28,11 +28,14 @@ def main() -> int:
         and (args.engine is None or r["engine"] == args.engine)
     ]
     matchers = {r.get("matcher", "") for r in rows}
+    prev_ks = {r.get("prev_k", "") for r in rows}
     series: dict[str, list[tuple[int, float]]] = defaultdict(list)
     for r in rows:
         key = f"{r['file']}/{r['engine']}"
         if len(matchers) > 1 and r["engine"] == "pallas":
             key += f"/{r.get('matcher', '')}"  # matcher ladder axis
+        if len(prev_ks) > 1 and r["engine"] == "pallas":
+            key += f"/k{r.get('prev_k', 1)}"  # lag-composition depth axis
         series[key].append((int(r["block_size"]), float(r["ratio"])))
 
     fig, ax = plt.subplots(figsize=(7, 4.5))

@@ -66,7 +66,10 @@ def main() -> int:
     ap.add_argument("--coarse-mode", default="sampled")
     ap.add_argument("--matchers", default="sorted")
     ap.add_argument("--rungs", default=None, help="e.g. 4,16,64 (sorted)")
-    ap.add_argument("--prev-k", type=int, choices=list(range(1, 9)), default=1)
+    ap.add_argument(
+        "--prev-ks", default="1",
+        help="comma-separated prev_k sweep values, e.g. 1,2,4 (sorted)",
+    )
     ap.add_argument(
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,
         help="half-density sort threshold for long rungs (sorted matcher)",
@@ -86,6 +89,7 @@ def main() -> int:
     engines = args.engines.split(",")
     block_sizes = [int(b) for b in args.block_sizes.split(",")]
     matchers = args.matchers.split(",")
+    prev_ks = [int(k) for k in args.prev_ks.split(",")]
     mesh_sizes = (
         [int(m) for m in args.mesh_sizes.split(",")] if args.mesh_sizes else [None]
     )
@@ -103,11 +107,12 @@ def main() -> int:
     rows = []
     for name, plain in files:
         for engine in engines:
-            for bs, matcher, meshn in (
-                (b, m, d)
+            for bs, matcher, meshn, pk in (
+                (b, m, d, k)
                 for b in block_sizes
                 for m in matchers
                 for d in mesh_sizes
+                for k in prev_ks
             ):
                 cfg = CodecConfig(
                     block_size=bs, engine=engine, num_threads=args.threads,
@@ -119,7 +124,7 @@ def main() -> int:
                         if args.rungs
                         else None
                     ),
-                    prev_k=args.prev_k,
+                    prev_k=pk,
                     stride2_min=args.stride2_min,
                 )
                 # Warm-up (compile) round
@@ -141,6 +146,7 @@ def main() -> int:
                         "engine": engine,
                         "block_size": bs,
                         "matcher": matcher,
+                        "prev_k": pk,
                         "mesh_devices": meshn if meshn else "",
                         "direction": direction,
                         "bytes": len(plain),
@@ -154,7 +160,7 @@ def main() -> int:
                     rows.append(row)
                     print(
                         f"{name:10s} {engine:7s} bs={bs:<6d} "
-                        f"{matcher:6s} mesh={meshn or 'all':4} "
+                        f"{matcher:6s} k={pk} mesh={meshn or 'all':4} "
                         f"{direction:10s} "
                         f"{row['gbps']:.3f} GB/s ratio={row['ratio']:.3f}"
                     )
