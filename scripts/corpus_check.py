@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--engine", default="pallas")
     ap.add_argument("--block-size", type=int, default=32768)
     ap.add_argument("--compress", action="store_true")
+    ap.add_argument("--rungs", default=None, help="e.g. 4,32 (sorted matcher)")
+    ap.add_argument("--prev-k", type=int, choices=list(range(1, 9)), default=1)
+    ap.add_argument(
+        "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0
+    )
     args = ap.parse_args()
 
     from pim_compression_tpu import runtime
@@ -40,7 +45,11 @@ def main() -> int:
     from pim_compression_tpu.utils.config import CodecConfig
 
     cfg = CodecConfig(
-        engine=args.engine, block_size=args.block_size, strict_engine=True
+        engine=args.engine, block_size=args.block_size, strict_engine=True,
+        rungs=(
+            tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
+        ),
+        prev_k=args.prev_k, stride2_min=args.stride2_min,
     )
     failures = 0
     for snappy in sorted(CORPUS.glob("*.snappy")):
