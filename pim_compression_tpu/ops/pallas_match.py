@@ -25,7 +25,10 @@ Kernel shape notes:
   stage into a 2*bs scratch at center bs/2, read down at (bs/2 - j) and up
   at (bs/2 + j); j <= bs/2 keeps both reads in bounds.
 - The bitonic (j, k) schedule is data: two SMEM tables indexed by the
-  fori_loop stage counter (log2(bs) * (log2(bs)+1) / 2 stages).
+  fori_loop stage counter (log2(bs) * (log2(bs)+1) / 2 stages), segmented
+  at trace time into local / mid / far runs whose bodies specialize the
+  mask algebra and partner addressing (see the comment at the stage
+  bodies) — ~25% fewer sort vreg-ops than the generic body.
 - No validity masking anywhere: keys of positions whose L-byte window
   crosses the block end hash pad zeros, which can only produce junk
   candidates that the exact extension pass rejects (its length cap
@@ -190,43 +193,111 @@ def _sort_rung_kernel(
 
         jax.lax.fori_loop(0, m // LANES, cchunk, 0)
 
-    def one_stage(s, A, B):
+    # Compare-exchange stages, specialized by where (j, k) sit relative to
+    # the chunk height CH (static per stage — the schedule is trace-time
+    # data). With rows = base + iot (base a CH multiple, iot < CH), the
+    # masks (rows & j) == 0 and (rows & k) == 0 split into an iota part and
+    # a scalar base part, and one of the three specializations always
+    # removes the per-chunk mask algebra the generic body paid for:
+    #   local: k < CH  -> base parts vanish; the compare direction
+    #          (lowv == kbv) hoists out of the chunk loop entirely.
+    #   mid:   j < CH <= k -> the k-mask's iota part is all-true, so the
+    #          direction is lowv against one per-chunk scalar.
+    #   far:   j >= CH -> the j-mask's iota part is all-true, and the
+    #          xor-partner row set (base + iot) ^ j = (base ^ j) + iot is
+    #          one contiguous read at a scalar offset: a single get with a
+    #          scalar direction replaces two reads, a select and the masks.
+
+    def stage_local(s, A, B):
         j = jt_ref[s]
         k = kt_ref[s]
-        # rows & j splits into disjoint bit fields: (base & j) | (iota & j)
-        # with base a CH multiple — so the iota part is shared by every
-        # chunk (hoisted out of the loop) and the base part is a scalar.
         iot = ch_iota(CH)
         lowv = (iot & j) == 0
-        kbv = (iot & k) == 0
+        dirv = lowv == ((iot & k) == 0)
 
         def up(c, _):
             base = c * CH
-            low = lowv & ((base & j) == 0)
-            kb = kbv & ((base & k) == 0)
             w = A[pl.ds(half + base, CH)]
             pw = jnp.where(
-                low,
+                lowv,
                 A[pl.ds(half + base + j, CH)],
                 A[pl.ds(half + base - j, CH)],
             )
-            take = (low == kb) == (pw < w)
+            take = dirv == (pw < w)
             B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
             return 0
 
         jax.lax.fori_loop(0, NC, up, 0)
 
-    def run_sort():
-        # Result lands back in pk_s: whole pairs ping-pong pk->stg->pk; an
-        # odd trailing stage runs pk->stg followed by one chunked copy.
-        def stage_pair(i, _):
-            one_stage(2 * i, pk_s, stg_s)
-            one_stage(2 * i + 1, stg_s, pk_s)
+    def stage_mid(s, A, B):
+        j = jt_ref[s]
+        k = kt_ref[s]
+        iot = ch_iota(CH)
+        lowv = (iot & j) == 0
+
+        def up(c, _):
+            base = c * CH
+            kb = (base & k) == 0
+            w = A[pl.ds(half + base, CH)]
+            pw = jnp.where(
+                lowv,
+                A[pl.ds(half + base + j, CH)],
+                A[pl.ds(half + base - j, CH)],
+            )
+            take = (lowv == kb) == (pw < w)
+            B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
             return 0
 
-        jax.lax.fori_loop(0, nstages // 2, stage_pair, 0)
-        if nstages % 2:
-            one_stage(nstages - 1, pk_s, stg_s)
+        jax.lax.fori_loop(0, NC, up, 0)
+
+    def stage_far(s, A, B):
+        j = jt_ref[s]
+        k = kt_ref[s]
+
+        def up(c, _):
+            base = c * CH
+            dirs = ((base & j) == 0) == ((base & k) == 0)
+            w = A[pl.ds(half + base, CH)]
+            pw = A[pl.ds(half + (base ^ j), CH)]
+            take = dirs == (pw < w)
+            B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
+            return 0
+
+        jax.lax.fori_loop(0, NC, up, 0)
+
+    # Static segmentation of the schedule into runs of one specialization.
+    js_np, ks_np = _stage_tables(m)
+    segs: list[list] = []
+    for i in range(nstages):
+        body = (
+            stage_local
+            if ks_np[i] < CH
+            else (stage_far if js_np[i] >= CH else stage_mid)
+        )
+        if segs and segs[-1][2] is body:
+            segs[-1][1] += 1
+        else:
+            segs.append([i, 1, body])
+
+    def run_sort():
+        # Result lands back in pk_s: stages ping-pong pk<->stg with the
+        # parity tracked in python across the static segments; an odd
+        # total ends with one chunked copy back.
+        cur = 0
+        bufs = (pk_s, stg_s)
+        for start, count, body in segs:
+            A, B = bufs[cur], bufs[1 - cur]
+
+            def pair(i, _, start=start, body=body, A=A, B=B):
+                body(start + 2 * i, A, B)
+                body(start + 2 * i + 1, B, A)
+                return 0
+
+            jax.lax.fori_loop(0, count // 2, pair, 0)
+            if count % 2:
+                body(start + count - 1, A, B)
+                cur = 1 - cur
+        if cur:
 
             def back(c, _):
                 base = c * CH
