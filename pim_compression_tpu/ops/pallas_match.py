@@ -427,14 +427,13 @@ def _extend_fold_kernel(
         own_nxt = TW_s[pl.ds(nxt_start, LANES)]
         for k in range(16):  # 64-byte copy cap = 16 word rounds
             # a = W4[p + 4k], zero past the block end (spec shift_up).
+            # 4k is static per unrolled round, so the two-chunk lane fetch
+            # is a static lane shift (slice + concat), not a gather.
             if k == 0:
                 a = own
             else:
-                ai = lane + 4 * k
-                a = jnp.where(
-                    ai < LANES,
-                    jnp.take_along_axis(own, ai & (LANES - 1), axis=1),
-                    jnp.take_along_axis(own_nxt, ai & (LANES - 1), axis=1),
+                a = jnp.concatenate(
+                    [own[:, 4 * k :], own_nxt[:, : 4 * k]], axis=1
                 )
                 a = jnp.where(p + 4 * k < bs, a, 0)
             # b = W4[clip(p - cand + 4k)] via adaptive chunk-delta sweep.
