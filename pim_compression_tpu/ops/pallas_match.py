@@ -20,10 +20,11 @@ blocks 0.7871 vs the reference's 0.7408.
 
 Kernel shape notes:
 - The compare-exchange network runs on the sublane (major) axis, where the
-  partner at distance j is two staged dynamic-offset reads — the
+  partner at distance j is two dynamic-offset reads — the
   register-pressure-safe pattern shared with the decoder's route kernel:
-  stage into a 2*bs scratch at center bs/2, read down at (bs/2 - j) and up
-  at (bs/2 + j); j <= bs/2 keeps both reads in bounds.
+  sorted data lives at [margin, margin + m) in scratch, read down at
+  (margin + base - j) and up at (margin + base + j); the near-stage bound
+  j <= margin keeps both reads in bounds (far stages read base ^ j).
 - The bitonic (j, k) schedule is data: two SMEM tables indexed by the
   fori_loop stage counter (log2(bs) * (log2(bs)+1) / 2 stages), segmented
   at trace time into local / mid / far runs whose bodies specialize the
@@ -36,7 +37,7 @@ Kernel shape notes:
   while keeping the position field a permutation for the unsort.
 - Kernels are gridless (one 128-lane group per call) under ``jax.lax.map``:
   no double-buffered block pipelining, so peak VMEM stays within budget at
-  bs = 32768 (sort scratch alone is 50 MB there).
+  bs = 32768 (sort scratch alone is ~35 MB there).
 """
 
 from __future__ import annotations
@@ -81,6 +82,17 @@ def _stage_tables(bs: int) -> tuple[np.ndarray, np.ndarray]:
     return np.array(js, np.int32), np.array(ks, np.int32)
 
 
+def _sort_margin(m: int) -> int:
+    """Rows of slack needed on each side of the sorted region.
+
+    Stage reads at +/-j only happen in the `local` (j < k < CH) and `mid`
+    (j < CH <= k) specializations; j and CH are powers of two, so j <=
+    CH/2 there. `far` stages (j >= CH) read the partner chunk at base ^ j,
+    which stays inside [0, m).
+    """
+    return min(m, 1024) // 2
+
+
 def _hash_for_rung(W4, L: int):
     """Wrapping int32 hash of the L-byte prefix (ladder of mixing steps)."""
     h = W4
@@ -101,8 +113,8 @@ def _sort_rung_kernel(
     kt_ref,  # SMEM (nstages,) i32: merge block size k per stage
     data_ref,  # (bs, 128) i8 block bytes
     cand_ref,  # (bs, 128) i32 out: candidate lags (0 = none)
-    pk_s,  # scratch (2 * m, 128) i32: ping buffer, data at [m/2, 3m/2)
-    stg_s,  # scratch (2 * m, 128) i32: pong buffer, same layout
+    pk_s,  # scratch (_sort_scratch_rows, 128) i32 ping buffer; sorted data
+    stg_s,  # lives at [org, org + m), org = the +/-j read margin below
     *,
     bs: int,
     rung: int,
@@ -113,11 +125,13 @@ def _sort_rung_kernel(
 
     Fully chunked (full-array phase bodies held 4-5 live (bs, 128) arrays
     — ~84 MB of register spill at bs=32768), and the compare-exchange
-    stages ping-pong between two center-offset buffers: each stage reads
+    stages ping-pong between two margin-offset buffers: each stage reads
     its own chunk and the two partner slices from buffer A and writes
     buffer B, so the per-stage snapshot copy of the staged form disappears
     (~2 of 9 chunk passes per stage). Both buffers keep live data at
-    [m/2, 3m/2) so the +/-j partner reads (j <= m/2) stay in bounds.
+    [margin, margin + m) so the +/-j partner reads (near stages have
+    j <= margin, see ``_sort_margin``) stay in bounds; margin reads land
+    on junk that the lowv select always discards.
     The hash chunk reads a 128-row lookahead (word pack 3 + ladder shifts
     <= 60 bytes of reach), zero past the block end to match the spec's
     zero-fill shifts.
@@ -134,7 +148,11 @@ def _sort_rung_kernel(
     CH = min(m, 1024)
     NC = m // CH
     LOOK = 128
-    half = m // 2
+    # The +/-j chunk reads only ever excursion by j < min(CH, m/2) rows
+    # (stages with larger j are `far` and read the in-range partner chunk
+    # base ^ j), so a margin of that size on each side replaces the old
+    # m/2-centred 2m-row layout: ~47% less sort VMEM at production sizes.
+    half = _sort_margin(m)
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
@@ -592,8 +610,23 @@ def sorted_match_groups(
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((2 * bs // stride, LANES), jnp.int32),  # ping
-                pltpu.VMEM((2 * bs // stride, LANES), jnp.int32),  # pong
+                # Sorted region [margin, margin + m) plus the +/-j read
+                # slack; the stride-2 pong buffer additionally stages the
+                # full-density words (bs rows) before compaction.
+                pltpu.VMEM(
+                    (bs // stride + 2 * _sort_margin(bs // stride), LANES),
+                    jnp.int32,
+                ),  # ping
+                pltpu.VMEM(
+                    (
+                        max(
+                            bs // stride + 2 * _sort_margin(bs // stride),
+                            bs if stride == 2 else 0,
+                        ),
+                        LANES,
+                    ),
+                    jnp.int32,
+                ),  # pong
             ],
             compiler_params=vmem_cap,
             interpret=interpret,
