@@ -566,7 +566,7 @@ def _route_kernel(
     jax.jit, static_argnames=("block_size", "interpret", "resolve_rounds")
 )
 def decode_blocks_pallas(
-    comp: jax.Array,  # uint8[num_blocks, cap] — num_blocks multiple of 1024
+    comp: jax.Array,  # uint8[num_blocks, cap] — num_blocks multiple of 128
     comp_len: jax.Array,  # int32[num_blocks]
     out_len: jax.Array,  # int32[num_blocks]
     *,
@@ -581,17 +581,18 @@ def decode_blocks_pallas(
     if block_size > MAX_PALLAS_BLOCK:
         raise ValueError(f"pallas decoder supports block_size <= {MAX_PALLAS_BLOCK}")
     nb, cap = comp.shape
-    assert nb % DFA_LANES == 0, "pad the batch to a multiple of 1024 blocks"
+    assert nb % LANES == 0, "pad the batch to a multiple of 128 blocks"
     assert cap % LANES == 0
     assert block_size % LANES == 0, "block_size must be a multiple of 128"
-    nbatch = nb // DFA_LANES
     chunk = LANES
 
     def one_batch(comp_b, clen_b, olen_b):
-        # [1024, cap] u8 -> [cap, 8, 128] i32
-        comp_t = comp_b.astype(jnp.int32).T.reshape(cap, SUBLANES, LANES)
-        clen_t = clen_b.reshape(SUBLANES, LANES)
-        olen_t = olen_b.reshape(SUBLANES, LANES)
+        # [G*128, cap] u8 -> [cap, G, 128] i32. G = 8 for full batches; a
+        # trimmed tail batch (small inputs) runs fewer lane groups.
+        G = comp_b.shape[0] // LANES
+        comp_t = comp_b.astype(jnp.int32).T.reshape(cap, G, LANES)
+        clen_t = clen_b.reshape(G, LANES)
+        olen_t = olen_b.reshape(G, LANES)
 
         tokens, _err_dfa = pl.pallas_call(
             functools.partial(
@@ -601,40 +602,40 @@ def decode_blocks_pallas(
             grid=(cap // chunk,),
             in_specs=[
                 pl.BlockSpec(
-                    (chunk, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    (chunk, G, LANES), lambda g: (g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                    (G, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                    (G, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (chunk, SUBLANES, LANES), lambda g: (g, 0, 0),
+                    (chunk, G, LANES), lambda g: (g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (SUBLANES, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                    (G, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((cap, SUBLANES, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((cap, G, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((G, LANES), jnp.int32),
             ],
-            scratch_shapes=[pltpu.VMEM((7, SUBLANES, LANES), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((7, G, LANES), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
         )(comp_t, clen_t, olen_t)
 
-        # [cap, 8, 128] -> groups of [cap, 128]
-        tokens_g = tokens.transpose(1, 0, 2)  # (8, cap, 128)
+        # [cap, G, 128] -> groups of [cap, 128]
+        tokens_g = tokens.transpose(1, 0, 2)  # (G, cap, 128)
         olen_g = jnp.broadcast_to(
-            olen_t[:, None, :], (SUBLANES, SUBLANES, LANES)
+            olen_t[:, None, :], (G, SUBLANES, LANES)
         )  # per group, row 0 used
 
         out_g, err_g = pl.pallas_call(
@@ -642,7 +643,7 @@ def decode_blocks_pallas(
                 _route_kernel, cap=cap, block_size=block_size,
                 resolve_rounds=resolve_rounds,
             ),
-            grid=(SUBLANES,),
+            grid=(G,),
             in_specs=[
                 # tokens stay in HBM; the kernel DMAs group g into W_s.
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -662,8 +663,8 @@ def decode_blocks_pallas(
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((SUBLANES, block_size, LANES), jnp.int8),
-                jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((G, block_size, LANES), jnp.int8),
+                jax.ShapeDtypeStruct((G, SUBLANES, LANES), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((cap, LANES), jnp.int32),
@@ -681,18 +682,33 @@ def decode_blocks_pallas(
             interpret=interpret,
         )(tokens_g, olen_g)
 
-        # (8, bs, 128) -> [1024, bs] u8 ; err (8, 8, 128) row 0 -> [1024]
-        out_b = out_g.transpose(0, 2, 1).reshape(DFA_LANES, block_size)
-        err_b = err_g[:, 0, :].reshape(DFA_LANES)
+        # (G, bs, 128) -> [G*128, bs] u8 ; err (G, 8, 128) row 0 -> [G*128]
+        out_b = out_g.transpose(0, 2, 1).reshape(G * LANES, block_size)
+        err_b = err_g[:, 0, :].reshape(G * LANES)
         # merge DFA-side errors (length/overrun/offset found during parse)
-        err_b = err_b | _err_dfa.reshape(DFA_LANES)
+        err_b = err_b | _err_dfa.reshape(G * LANES)
         return out_b.astype(jnp.uint8), err_b
 
-    comp_r = comp.reshape(nbatch, DFA_LANES, cap)
-    clen_r = comp_len.reshape(nbatch, DFA_LANES)
-    olen_r = out_len.reshape(nbatch, DFA_LANES)
-    out, err = jax.lax.map(lambda t: one_batch(*t), (comp_r, clen_r, olen_r))
-    return out.reshape(nb, block_size), err.reshape(nb)
+    # Full 1024-block batches iterate on-device (lax.map); a trailing
+    # partial batch (whole 128-lane groups) runs once with G < 8.
+    full = nb // DFA_LANES * DFA_LANES
+    outs, errs = [], []
+    if full:
+        comp_r = comp[:full].reshape(-1, DFA_LANES, cap)
+        clen_r = comp_len[:full].reshape(-1, DFA_LANES)
+        olen_r = out_len[:full].reshape(-1, DFA_LANES)
+        out_f, err_f = jax.lax.map(
+            lambda t: one_batch(*t), (comp_r, clen_r, olen_r)
+        )
+        outs.append(out_f.reshape(full, block_size))
+        errs.append(err_f.reshape(full))
+    if nb > full:
+        out_t, err_t = one_batch(comp[full:], comp_len[full:], out_len[full:])
+        outs.append(out_t)
+        errs.append(err_t)
+    if len(outs) == 1:
+        return outs[0], errs[0]
+    return jnp.concatenate(outs), jnp.concatenate(errs)
 
 
 def decode_blocks_pallas_sharded(

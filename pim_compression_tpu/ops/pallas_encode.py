@@ -255,14 +255,14 @@ def _granule_kernel(
 def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
     """XLA-side prep: packed 4-byte words + strided per-phase granule planes.
 
-    data_g: (8, bs, 128) i32 byte values; lens_g: (8, 1, 128).
+    data_g: (G, bs, 128) i32 byte values; lens_g: (G, 1, 128).
     Returns (lo0, hi0, ok0, lo_planes, hi_planes) per _granule_kernel's spec.
     """
-    bs = data_g.shape[1]
+    G, bs = data_g.shape[0], data_g.shape[1]
     W4 = data_g
     for b in (1, 2, 3):
         shifted = jnp.concatenate(
-            [data_g[:, b:], jnp.zeros((SUBLANES, b, LANES), jnp.int32)], axis=1
+            [data_g[:, b:], jnp.zeros((G, b, LANES), jnp.int32)], axis=1
         )
         W4 = W4 | (shifted << (8 * b))
     lo0 = W4[:, 0::8][:, :ng]
@@ -270,18 +270,18 @@ def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
     gend = (jnp.arange(ng, dtype=jnp.int32) * 8 + 8)[None, :, None]
     ok0 = (gend <= lens_g).astype(jnp.int32)
     los, his = [], []
-    zpad = jnp.zeros((SUBLANES, Dpad, LANES), jnp.int32)
+    zpad = jnp.zeros((G, Dpad, LANES), jnp.int32)
     for r in range(8):
         lo_r = W4[:, r::8][:, :ng]
         hi_r = W4[:, r + 4 :: 8][:, :ng]
         if lo_r.shape[1] < ng:  # high phases run past bs; zero rows are
             lo_r = jnp.concatenate(  # never read by a valid comparison
-                [lo_r, jnp.zeros((SUBLANES, ng - lo_r.shape[1], LANES), jnp.int32)],
+                [lo_r, jnp.zeros((G, ng - lo_r.shape[1], LANES), jnp.int32)],
                 axis=1,
             )
         if hi_r.shape[1] < ng:
             hi_r = jnp.concatenate(
-                [hi_r, jnp.zeros((SUBLANES, ng - hi_r.shape[1], LANES), jnp.int32)],
+                [hi_r, jnp.zeros((G, ng - hi_r.shape[1], LANES), jnp.int32)],
                 axis=1,
             )
         los += [zpad, lo_r]
@@ -786,7 +786,7 @@ def _emit_kernel(
     ),
 )
 def encode_blocks_pallas(
-    blocks: jax.Array,  # uint8[num_blocks, block_size], multiple of 1024
+    blocks: jax.Array,  # uint8[num_blocks, block_size], multiple of 128
     lens: jax.Array,  # int32[num_blocks]
     *,
     block_size: int = 4096,
@@ -842,18 +842,20 @@ def encode_blocks_pallas(
     k1_coarse = 0 if granular else coarse_window
     pad = max(window, k1_coarse)
     nb, _ = blocks.shape
-    assert nb % BATCH == 0, "pad the batch to a multiple of 1024 blocks"
-    nbatch = nb // BATCH
+    assert nb % LANES == 0, "pad the batch to a multiple of 128 blocks"
     bs = block_size
     assert bs % SUBLANES == 0
     cap = encode_capacity(bs)
 
     def one_batch(blocks_b, lens_b):
-        # [1024, bs] u8 -> groups (8, rows, 128)
-        data_t = blocks_b.T.reshape(bs, SUBLANES, LANES)
-        lens_t = lens_b.reshape(SUBLANES, LANES)
-        data_g = data_t.transpose(1, 0, 2).astype(jnp.int32)  # (8, bs, 128)
-        lens_g = lens_t[:, None, :]  # (8, 1, 128)
+        # [G*128, bs] u8 -> groups (G, rows, 128). G = 8 for full batches;
+        # a trimmed tail batch (small inputs) runs fewer lane groups so a
+        # 164-block file does not pay for 1024 padded slots.
+        G = blocks_b.shape[0] // LANES
+        data_t = blocks_b.T.reshape(bs, G, LANES)
+        lens_t = lens_b.reshape(G, LANES)
+        data_g = data_t.transpose(1, 0, 2).astype(jnp.int32)  # (G, bs, 128)
+        lens_g = lens_t[:, None, :]  # (G, 1, 128)
 
         def _emit(data_g, lens_t, mlen, mlag):
             # Lazy-1 matching (spec: lane_model_encode.lazy_defer): zero a
@@ -865,11 +867,11 @@ def encode_blocks_pallas(
             )
             mlen = jnp.where(nxt > mlen, 0, mlen)
             lens_bc = jnp.broadcast_to(
-                lens_t[:, None, :], (SUBLANES, SUBLANES, LANES)
+                lens_t[:, None, :], (G, SUBLANES, LANES)
             )
             comp_g, size_g = pl.pallas_call(
                 functools.partial(_emit_kernel, bs=bs, cap=cap),
-                grid=(SUBLANES,),
+                grid=(G,),
                 in_specs=[
                     # data/mlen/mlag stay in HBM; the kernel DMAs group g
                     # into single-buffered scratch (B8 / MLAG16).
@@ -889,8 +891,8 @@ def encode_blocks_pallas(
                     ),
                 ],
                 out_shape=[
-                    jax.ShapeDtypeStruct((SUBLANES, cap, LANES), jnp.int8),
-                    jax.ShapeDtypeStruct((SUBLANES, SUBLANES, LANES), jnp.int32),
+                    jax.ShapeDtypeStruct((G, cap, LANES), jnp.int8),
+                    jax.ShapeDtypeStruct((G, SUBLANES, LANES), jnp.int32),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((bs, LANES), jnp.int32),  # copy: masks->hbytes
@@ -914,15 +916,17 @@ def encode_blocks_pallas(
                 mlag.astype(jnp.int16),
                 lens_bc,
             )
-            comp_b = comp_g.transpose(0, 2, 1).reshape(BATCH, cap).astype(jnp.uint8)
-            size_b = size_g[:, 0, :].reshape(BATCH)
+            comp_b = (
+                comp_g.transpose(0, 2, 1).reshape(G * LANES, cap).astype(jnp.uint8)
+            )
+            size_b = size_g[:, 0, :].reshape(G * LANES)
             return comp_b, size_b
 
         if matcher == "sorted":
             from pim_compression_tpu.ops import pallas_match as pm
 
             lens_bc8 = jnp.broadcast_to(
-                lens_t[:, None, :], (SUBLANES, SUBLANES, LANES)
+                lens_t[:, None, :], (G, SUBLANES, LANES)
             )
             mlen, mlag = pm.sorted_match_groups(
                 data_g.astype(jnp.int8), lens_bc8, bs=bs,
@@ -933,20 +937,20 @@ def encode_blocks_pallas(
 
         padded_g = jnp.concatenate(
             [
-                jnp.zeros((SUBLANES, pad, LANES), jnp.int32),
+                jnp.zeros((G, pad, LANES), jnp.int32),
                 data_g.astype(jnp.int32),
-                jnp.zeros((SUBLANES, 64, LANES), jnp.int32),
+                jnp.zeros((G, 64, LANES), jnp.int32),
             ],
             axis=1,
         )
-        rows = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, bs + 64, LANES), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (G, bs + 64, LANES), 1)
         valid_g = (rows < lens_g).astype(jnp.int32)
 
         mlen, mlag = pl.pallas_call(
             functools.partial(
                 _match_kernel, bs=bs, window=window, coarse_window=k1_coarse
             ),
-            grid=(SUBLANES,),
+            grid=(G,),
             in_specs=[
                 pl.BlockSpec(
                     (1, pad + bs + 64, LANES), lambda g: (g, 0, 0),
@@ -966,8 +970,8 @@ def encode_blocks_pallas(
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((SUBLANES, bs, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((G, bs, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((G, bs, LANES), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=126 * 1024 * 1024,
@@ -987,7 +991,7 @@ def encode_blocks_pallas(
                     _granule_kernel, ng=ng, Dpad=Dpad, nchunks=nchunks,
                     window=window, coarse=coarse_window,
                 ),
-                grid=(SUBLANES,),
+                grid=(G,),
                 in_specs=[
                     pl.BlockSpec((1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -998,7 +1002,7 @@ def encode_blocks_pallas(
                 out_specs=pl.BlockSpec(
                     (1, ng, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
                 ),
-                out_shape=jax.ShapeDtypeStruct((SUBLANES, ng, LANES), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((G, ng, LANES), jnp.int32),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=126 * 1024 * 1024,
                 ),
@@ -1007,9 +1011,9 @@ def encode_blocks_pallas(
             # Upsample granule scores to byte rows (non-aligned rows = 0) and
             # fold into K1's packed candidates.
             up = jnp.concatenate(
-                [gsc[:, :, None, :], jnp.zeros((SUBLANES, ng, 7, LANES), jnp.int32)],
+                [gsc[:, :, None, :], jnp.zeros((G, ng, 7, LANES), jnp.int32)],
                 axis=2,
-            ).reshape(SUBLANES, bs, LANES)
+            ).reshape(G, bs, LANES)
             fine = jnp.where(mlen > 0, (mlen << 16) | (0xFFFF - mlag), 0)
             merged = jnp.maximum(fine, up)
             mlen = merged >> 16
@@ -1017,10 +1021,24 @@ def encode_blocks_pallas(
 
         return _emit(data_g, lens_t, mlen, mlag)
 
-    blocks_r = blocks.reshape(nbatch, BATCH, bs)
-    lens_r = lens.reshape(nbatch, BATCH)
-    comp, sizes = jax.lax.map(lambda t: one_batch(*t), (blocks_r, lens_r))
-    return comp.reshape(nb, cap), sizes.reshape(nb)
+    # Full 1024-block batches iterate on-device (lax.map); a trailing
+    # partial batch (whole 128-lane groups) runs once with G < 8 so small
+    # inputs — e.g. the 164-block 32 K corpus files — skip the padded work.
+    full = nb // BATCH * BATCH
+    comps, sizess = [], []
+    if full:
+        blocks_r = blocks[:full].reshape(-1, BATCH, bs)
+        lens_r = lens[:full].reshape(-1, BATCH)
+        comp_f, sizes_f = jax.lax.map(lambda t: one_batch(*t), (blocks_r, lens_r))
+        comps.append(comp_f.reshape(full, cap))
+        sizess.append(sizes_f.reshape(full))
+    if nb > full:
+        comp_t, sizes_t = one_batch(blocks[full:], lens[full:])
+        comps.append(comp_t)
+        sizess.append(sizes_t)
+    if len(comps) == 1:
+        return comps[0], sizess[0]
+    return jnp.concatenate(comps), jnp.concatenate(sizess)
 
 
 def encode_blocks_pallas_sharded(

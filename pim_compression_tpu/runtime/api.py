@@ -97,6 +97,32 @@ def _device_batches(num_blocks: int, config: CodecConfig, mesh) -> tuple[int, in
     return pad_to_multiple(max(num_blocks, 1), batch), batch
 
 
+def _pallas_batches(num_blocks: int, mesh) -> tuple[int, int]:
+    """(padded_total, batch) for the lane-parallel kernels.
+
+    The kernels batch in 128-block lane groups (up to 8 groups = 1024
+    blocks per device per on-device iteration). Inputs that fit under one
+    1024-block batch per device are trimmed to a power-of-two group count
+    (pow2 so the set of device-compiled shapes stays bounded): the
+    164-block 32 K corpus files then dispatch 2 lane groups, not 8.
+    Larger inputs keep 1024-per-device quantization — the sub-12.5%% tail
+    padding is not worth extra Mosaic compile shapes — in a few big
+    dispatches (per-dispatch tunnel overhead is ~tens of ms measured).
+    """
+    from pim_compression_tpu.ops.pallas_decode import DFA_LANES, LANES, SUBLANES
+
+    nd = mesh.devices.size
+    quantum = LANES * nd  # one 128-lane group on every device
+    per_device = DFA_LANES * nd
+    if num_blocks <= per_device:
+        groups = -(-num_blocks // quantum)
+        g = 1 << (groups - 1).bit_length()  # next pow2: 1,2,4,8
+        padded = quantum * min(g, SUBLANES)
+        return padded, padded
+    padded = pad_to_multiple(num_blocks, per_device)
+    return padded, per_device * min(16, -(-padded // per_device))
+
+
 def decompress(
     stream: bytes,
     config: CodecConfig | None = None,
@@ -129,21 +155,19 @@ def decompress(
         config, block_size, pallas_decode.MAX_PALLAS_BLOCK, timer
     )
     if use_pallas:
-        # The lane-parallel kernels want 1024-block batches *per device*
-        # (pallas runs under shard_map); keep the XLA path's mesh batching
-        # otherwise.
-        per_device = pallas_decode.DFA_LANES * mesh.devices.size
-        padded = pad_to_multiple(padded, per_device)
-        # Few large dispatches: the kernels iterate 1024-block batches
-        # on-device (lax.map), per-dispatch tunnel overhead is large (~tens
-        # of ms measured), but batch sizes are quantized so jit compiles a
-        # bounded set of shapes.
-        batch = per_device * min(16, -(-padded // per_device))
+        # The lane-parallel kernels batch in 128-block lane groups, up to 8
+        # groups (1024 blocks) per device per on-device iteration (pallas
+        # runs under shard_map); keep the XLA path's mesh batching otherwise.
+        padded, batch = _pallas_batches(nb, mesh)
         if comp.shape[0] < padded:
             pad = padded - comp.shape[0]
             comp = np.pad(comp, ((0, pad), (0, 0)))
             comp_len = np.pad(comp_len, (0, pad))
             out_len = np.pad(out_len, (0, pad))
+        elif comp.shape[0] > padded:  # trimmed below the mesh-batch padding
+            comp = comp[:padded]
+            comp_len = comp_len[:padded]
+            out_len = out_len[:padded]
 
     sharding = block_sharding(mesh)
     interpret = jax.default_backend() == "cpu"
@@ -233,9 +257,7 @@ def compress(
             encode=True,
         )
         if use_pallas:
-            per_device = pallas_encode.BATCH * mesh.devices.size
-            padded = pad_to_multiple(padded, per_device)
-            batch = per_device * min(16, -(-padded // per_device))
+            padded, batch = _pallas_batches(nb, mesh)
         blocks, lens = pipeline.blockize_plain(data, block_size, padded)
 
     cap = (

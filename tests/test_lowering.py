@@ -104,3 +104,26 @@ def test_encode_sorted_stride2_lowering_production_shapes(bs):
         jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
         jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
     )
+
+
+def test_trimmed_partial_batch_lowering_production_shapes():
+    # G=2 lane groups at the 32 K flagship config (the shape the 164-block
+    # corpus files now dispatch): both directions must still Mosaic-lower.
+    bs = 32768
+    fn = functools.partial(
+        pe.encode_blocks_pallas, block_size=bs, matcher="sorted",
+        rungs=(4, 32), prev_k=4,
+    )
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((256, bs), jnp.uint8),
+        jax.ShapeDtypeStruct((256,), jnp.int32),
+    )
+    cap = pd.pallas_capacity(bs)
+    dfn = functools.partial(pd.decode_blocks_pallas, block_size=bs)
+    _lower(
+        dfn,
+        jax.ShapeDtypeStruct((256, cap), jnp.uint8),
+        jax.ShapeDtypeStruct((256,), jnp.int32),
+        jax.ShapeDtypeStruct((256,), jnp.int32),
+    )

@@ -225,3 +225,29 @@ def test_lane_model_32k_wide_packing():
     assert not err[:nb].any()
     got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
     assert got == data
+
+
+def test_pallas_decode_partial_batch_groups():
+    # Trimmed batches: G < 8 lane groups (the small-input path — e.g. the
+    # 164-block 32 K corpus files dispatch 2 groups, not 1024 padded
+    # slots), and a full batch plus a partial tail in one call.
+    bs = 256
+    cap = pallas_decode.pallas_capacity(bs)
+    r = random.Random(21)
+    small = (b"group-trimmed batches " * 40 + r.randbytes(500)) * 30  # 162 bl
+    tailed = small * 7  # 1134 blocks: one full 1024-batch + a real tail
+    for data, pad_to in ((small, 256), (tailed, pallas_decode.DFA_LANES + 128)):
+        stream = oracle.compress(data, bs)
+        comp, clen, olen, nb, _ = _blockize(stream, cap, pad_to=128)
+        assert nb <= pad_to
+        grow = pad_to - comp.shape[0]
+        comp = np.pad(comp, ((0, grow), (0, 0)))
+        clen, olen = np.pad(clen, (0, grow)), np.pad(olen, (0, grow))
+        out, err = pallas_decode.decode_blocks_pallas(
+            comp, clen, olen, block_size=bs, interpret=True
+        )
+        out, err = np.asarray(out), np.asarray(err)
+        assert out.shape[0] == pad_to
+        assert not err[:nb].any()
+        got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
+        assert got == data

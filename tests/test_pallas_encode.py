@@ -525,3 +525,42 @@ def test_pallas_engine_fuzz_block_sizes(bs):
         assert oracle.decompress(stream) == data
         assert runtime.decompress(stream, cfg) == data
         assert runtime.decompress(oracle.compress(data, bs), cfg) == data
+
+
+def test_pallas_encode_partial_batch_groups():
+    # Trimmed batches (G < 8 lane groups) and a full-batch-plus-tail call
+    # must produce exactly the bytes of the padded full batch: the
+    # small-input path that lets the 164-block 32 K corpus files skip
+    # ~860 padded block slots.
+    bs = 256
+    r = random.Random(31)
+    data = (b"trimmed group batches for small inputs " * 12 + r.randbytes(300))
+    raw = np.frombuffer((data * 40)[: 250 * bs], np.uint8)  # 250 blocks
+    full = np.zeros((pe.BATCH + 256, bs), np.uint8)
+    lens_full = np.zeros(pe.BATCH + 256, np.int32)
+    nb = len(raw) // bs
+    full[:nb] = raw.reshape(nb, bs)
+    lens_full[:nb] = bs
+    ref_comp, ref_sizes = pe.encode_blocks_pallas(
+        full[: pe.BATCH], lens_full[: pe.BATCH], block_size=bs,
+        matcher="sorted", rungs=(4, 32), prev_k=2, interpret=True,
+    )
+    ref_comp, ref_sizes = np.asarray(ref_comp), np.asarray(ref_sizes)
+    # G=2 trimmed call
+    comp2, sizes2 = pe.encode_blocks_pallas(
+        full[:256], lens_full[:256], block_size=bs,
+        matcher="sorted", rungs=(4, 32), prev_k=2, interpret=True,
+    )
+    comp2, sizes2 = np.asarray(comp2), np.asarray(sizes2)
+    assert comp2.shape[0] == 256
+    np.testing.assert_array_equal(sizes2[:nb], ref_sizes[:nb])
+    np.testing.assert_array_equal(comp2[:nb], ref_comp[:nb])
+    # full batch + partial tail in one call
+    comp_t, sizes_t = pe.encode_blocks_pallas(
+        full, lens_full, block_size=bs,
+        matcher="sorted", rungs=(4, 32), prev_k=2, interpret=True,
+    )
+    comp_t, sizes_t = np.asarray(comp_t), np.asarray(sizes_t)
+    assert comp_t.shape[0] == pe.BATCH + 256
+    np.testing.assert_array_equal(sizes_t[:nb], ref_sizes[:nb])
+    np.testing.assert_array_equal(comp_t[:nb], ref_comp[:nb])

@@ -133,3 +133,23 @@ def test_pallas_envelope_gate_falls_back_loudly():
                     strict_engine=True,
                 ),
             )
+
+
+def test_pallas_batch_trimming_policy():
+    # Small inputs dispatch pow2 lane-group counts instead of 1024-block
+    # slots; large inputs keep the 1024-per-device quantization.
+    from pim_compression_tpu.parallel import get_mesh
+    from pim_compression_tpu.runtime.api import _pallas_batches
+
+    mesh = get_mesh(1)
+    assert _pallas_batches(164, mesh) == (256, 256)  # 32 K xml: 2 groups
+    assert _pallas_batches(1, mesh) == (128, 128)
+    assert _pallas_batches(513, mesh) == (1024, 1024)
+    assert _pallas_batches(1024, mesh) == (1024, 1024)
+    assert _pallas_batches(1025, mesh) == (2048, 2048)  # big path
+    nd = len(jax.devices())
+    if nd >= 2:
+        mesh2 = get_mesh(2)
+        # 164 blocks over 2 devices: 82/dev -> 1 group/dev.
+        assert _pallas_batches(164, mesh2) == (256, 256)
+        assert _pallas_batches(300, mesh2) == (512, 512)  # 2 groups/dev
