@@ -172,6 +172,73 @@ def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
     return row
 
 
+def sub_kernel_rows(bs: int) -> list[dict]:
+    """Per-sub-kernel decomposition of the sorted-encode pipeline at ``bs``.
+
+    Answers "where do the ops go" (per 128-block lane group): the rung
+    sort (two bitonic passes over the packed words) vs the extension fold
+    vs the lag-composition step. Payload = one group's bytes (bs * 128).
+    """
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pim_compression_tpu.ops import pallas_match as pm
+
+    data = jnp.zeros((bs, 128), jnp.int8)
+    lens = jnp.zeros((8, 128), jnp.int32)
+    cand = jnp.zeros((bs, 128), jnp.int32)
+    best = jnp.zeros((bs, 128), jnp.int32)
+    vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
+    payload = bs * 128
+
+    def sort_call(rung, stride):
+        jt_np, kt_np = pm._stage_tables(bs // stride)
+        rows_scr = bs // stride + 2 * pm._sort_margin(bs // stride)
+        return pl.pallas_call(
+            ft.partial(
+                pm._sort_rung_kernel, bs=bs, rung=rung, nstages=len(jt_np),
+                stride=stride,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bs, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((rows_scr, 128), jnp.int32),
+                pltpu.VMEM(
+                    (max(rows_scr, bs if stride == 2 else 0), 128), jnp.int32
+                ),
+            ],
+            compiler_params=vmem_cap,
+        )(jnp.asarray(jt_np), jnp.asarray(kt_np), data)
+
+    extend = pl.pallas_call(
+        ft.partial(pm._extend_fold_kernel, bs=bs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bs, 128), jnp.int32)],
+        compiler_params=vmem_cap,
+    )
+    prev_step = pl.pallas_call(
+        ft.partial(pm._prev_step_kernel, bs=bs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bs, 128), jnp.int32)],
+        compiler_params=vmem_cap,
+    )
+    subs = [
+        (f"sub: rung sort L=4 bs={bs}", lambda: sort_call(4, 1)),
+        (f"sub: rung sort L=32 stride2 bs={bs}", lambda: sort_call(32, 2)),
+        (f"sub: extend fold bs={bs}", lambda: extend(data, lens, cand, best)),
+        (f"sub: prev step bs={bs}", lambda: prev_step(cand, cand)),
+    ]
+    return [ledger_row(name, fn, (), payload) for name, fn in subs]
+
+
 def main() -> int:
     from pim_compression_tpu.ops import pallas_decode as pd
     from pim_compression_tpu.ops import pallas_encode as pe
@@ -262,6 +329,11 @@ def main() -> int:
             k: (list(v) if isinstance(v, tuple) else v) for k, v in cfg.items()
         }
         rows.append(row)
+
+    # Sub-kernel decomposition at the flagship size (where the ops go
+    # within one sorted-encode lane group; all rungs cost within 1% of the
+    # L=4 row, so the two rows span the ladder).
+    rows.extend(sub_kernel_rows(32768))
 
     # Join measured emulator wall times (tpu_validation.json) onto the
     # rows: for dyn-while kernels the static count is a lower bound, so
