@@ -440,6 +440,12 @@ def _extend_fold_kernel(
         has = cand > 0
         still = has
         lenacc = jnp.zeros((LANES, LANES), jnp.int32)
+        # The failing round's xor word, deferred: the 1-3-byte partial-match
+        # tail is a function of the first differing word alone, and `still`
+        # is monotone so each lane fails at most once — one post-loop tail
+        # computation replaces 16 per-round ones (~12% of the kernel).
+        # All-ones marks never-failed lanes (their tail is 0 either way).
+        xfail = jnp.full((LANES, LANES), -1, jnp.int32)
         own = TW_s[pl.ds(c * LANES, LANES)]
         nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
         own_nxt = TW_s[pl.ds(nxt_start, LANES)]
@@ -474,13 +480,13 @@ def _extend_fold_kernel(
             x = a ^ b
             weq = still & (x == 0)
             lenacc = lenacc + jnp.where(weq, 4, 0)
-            t = (
-                ((x & 0xFF) == 0).astype(jnp.int32)
-                + ((x & 0xFFFF) == 0).astype(jnp.int32)
-                + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
-            )
-            lenacc = lenacc + jnp.where(still & ~weq, t, 0)
+            xfail = jnp.where(still ^ weq, x, xfail)  # still & ~weq: weq<=still
             still = weq
+        lenacc = lenacc + (
+            ((xfail & 0xFF) == 0).astype(jnp.int32)
+            + ((xfail & 0xFFFF) == 0).astype(jnp.int32)
+            + ((xfail & 0xFFFFFF) == 0).astype(jnp.int32)
+        )
         el = jnp.minimum(jnp.minimum(lenacc, lens_t - p), 64)
         el = jnp.where(has & (el >= 4), el, 0)
         el_n = jnp.transpose(el)  # back to (pos, block)
