@@ -19,17 +19,14 @@ hash-probe loop (snappy_compress.c:333-348) on its own corpus: xml @ 32K
 blocks 0.7871 vs the reference's 0.7408.
 
 Kernel shape notes:
-- The compare-exchange network runs on the sublane (major) axis, where the
-  partner at distance j is two dynamic-offset reads — the
-  register-pressure-safe pattern shared with the decoder's route kernel:
-  sorted data lives at [margin, margin + m) in scratch, read down at
-  (margin + base - j) and up at (margin + base + j); the near-stage bound
-  j <= margin keeps both reads in bounds (far stages read base ^ j).
-- The bitonic (j, k) schedule is data: two SMEM tables indexed by the
-  fori_loop stage counter (log2(bs) * (log2(bs)+1) / 2 stages), segmented
-  at trace time into local / mid / far runs whose bodies specialize the
-  mask algebra and partner addressing (see the comment at the stage
-  bodies) — ~25% fewer sort vreg-ops than the generic body.
+- The compare-exchange network runs on the sublane (major) axis with a
+  STATIC schedule. Stages with partner distance j < CH (the chunk
+  height) never cross a chunk boundary, so each merge's within-chunk
+  stages fuse into one in-place chunk pass of pair-compares on the
+  (CH/2j, 2j, 128) reshape — one compare and two selects per stage on
+  half-height arrays, no partner reads at all. Only the log2(k/CH)
+  cross-chunk stages of merges k > CH read a partner chunk (one
+  contiguous read at scalar offset base ^ j) and ping-pong buffers.
 - No validity masking anywhere: keys of positions whose L-byte window
   crosses the block end hash pad zeros, which can only produce junk
   candidates that the exact extension pass rejects (its length cap
@@ -68,31 +65,6 @@ def _shift_up(x, sh):
     )
 
 
-def _stage_tables(bs: int) -> tuple[np.ndarray, np.ndarray]:
-    """Bitonic network schedule: (j, k) per stage, ascending-merge form."""
-    js, ks = [], []
-    k = 2
-    while k <= bs:
-        j = k // 2
-        while j >= 1:
-            js.append(j)
-            ks.append(k)
-            j //= 2
-        k *= 2
-    return np.array(js, np.int32), np.array(ks, np.int32)
-
-
-def _sort_margin(m: int) -> int:
-    """Rows of slack needed on each side of the sorted region.
-
-    Stage reads at +/-j only happen in the `local` (j < k < CH) and `mid`
-    (j < CH <= k) specializations; j and CH are powers of two, so j <=
-    CH/2 there. `far` stages (j >= CH) read the partner chunk at base ^ j,
-    which stays inside [0, m).
-    """
-    return min(m, 1024) // 2
-
-
 def _hash_for_rung(W4, L: int):
     """Wrapping int32 hash of the L-byte prefix (ladder of mixing steps)."""
     h = W4
@@ -109,29 +81,37 @@ def _hash_for_rung(W4, L: int):
 
 
 def _sort_rung_kernel(
-    jt_ref,  # SMEM (nstages,) i32: partner distance j per stage
-    kt_ref,  # SMEM (nstages,) i32: merge block size k per stage
     data_ref,  # (bs, 128) i8 block bytes
     cand_ref,  # (bs, 128) i32 out: candidate lags (0 = none)
-    pk_s,  # scratch (_sort_scratch_rows, 128) i32 ping buffer; sorted data
-    stg_s,  # lives at [org, org + m), org = the +/-j read margin below
+    pk_s,  # scratch (m, 128) i32 ping buffer; holds the sorted data
+    stg_s,  # scratch pong buffer (far-stage ping-pong; stride-2 staging)
     *,
     bs: int,
     rung: int,
-    nstages: int,
     stride: int = 1,
 ):
     """One rung: hash-key sort -> nearest-previous lags -> unsort.
 
     Fully chunked (full-array phase bodies held 4-5 live (bs, 128) arrays
-    — ~84 MB of register spill at bs=32768), and the compare-exchange
-    stages ping-pong between two margin-offset buffers: each stage reads
-    its own chunk and the two partner slices from buffer A and writes
-    buffer B, so the per-stage snapshot copy of the staged form disappears
-    (~2 of 9 chunk passes per stage). Both buffers keep live data at
-    [margin, margin + m) so the +/-j partner reads (near stages have
-    j <= margin, see ``_sort_margin``) stay in bounds; margin reads land
-    on junk that the lowv select always discards.
+    — ~84 MB of register spill at bs=32768). The bitonic network runs as
+    a STATIC schedule split by where the partner distance j sits relative
+    to the chunk height CH:
+
+    - j < CH (105 of 120 stages at m=32768): the compare block at
+      distance j never crosses a chunk boundary (CH is a multiple of 2j),
+      so the partner already sits inside the loaded chunk. Each merge's
+      within-chunk stages run FUSED in one in-place chunk pass: load the
+      chunk once, apply every stage as a pair-compare on the
+      (CH/2j, 2j, 128) reshape (lo/hi halves of each 2j-block — one
+      compare and two selects per stage; no shifted-window reads, no
+      select-discarded margin traffic), store once. ~45% fewer
+      compare-exchange vreg-ops than the per-stage two-read form, and no
+      read margin: each scratch buffer is exactly m rows.
+    - j >= CH (the first log2(k/CH) stages of merges k > CH): the xor
+      partner row set (base + iot) ^ j = (base ^ j) + iot is one
+      contiguous chunk read at a scalar offset; these stages ping-pong
+      between the two buffers.
+
     The hash chunk reads a 128-row lookahead (word pack 3 + ladder shifts
     <= 60 bytes of reach), zero past the block end to match the spec's
     zero-fill shifts.
@@ -148,11 +128,6 @@ def _sort_rung_kernel(
     CH = min(m, 1024)
     NC = m // CH
     LOOK = 128
-    # The +/-j chunk reads only ever excursion by j < min(CH, m/2) rows
-    # (stages with larger j are `far` and read the in-range partner chunk
-    # base ^ j), so a margin of that size on each side replaces the old
-    # m/2-centred 2m-row layout: ~47% less sort VMEM at production sizes.
-    half = _sort_margin(m)
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
@@ -186,7 +161,7 @@ def _sort_rung_kernel(
         rows = base + ch_iota(CHS)
         word = (((k17 << 15) | (rows // stride)) ^ _SIGN).astype(jnp.int32)
         if stride == 1:
-            pk_s[pl.ds(half + base, CHS)] = word
+            pk_s[pl.ds(base, CHS)] = word
         else:
             stg_s[pl.ds(base, CHS)] = word  # staged; compacted next
         return 0
@@ -206,120 +181,91 @@ def _sort_rung_kernel(
             g0 = jnp.take_along_axis(t0, even_idx, axis=1)
             g1 = jnp.take_along_axis(t1, even_idx, axis=1)
             out = jnp.where(lane < LANES // 2, g0, g1)
-            pk_s[pl.ds(half + j * LANES, LANES)] = jnp.transpose(out)
+            pk_s[pl.ds(j * LANES, LANES)] = jnp.transpose(out)
             return 0
 
         jax.lax.fori_loop(0, m // LANES, cchunk, 0)
 
-    # Compare-exchange stages, specialized by where (j, k) sit relative to
-    # the chunk height CH (static per stage — the schedule is trace-time
-    # data). With rows = base + iot (base a CH multiple, iot < CH), the
-    # masks (rows & j) == 0 and (rows & k) == 0 split into an iota part and
-    # a scalar base part, and one of the three specializations always
-    # removes the per-chunk mask algebra the generic body paid for:
-    #   local: k < CH  -> base parts vanish; the compare direction
-    #          (lowv == kbv) hoists out of the chunk loop entirely.
-    #   mid:   j < CH <= k -> the k-mask's iota part is all-true, so the
-    #          direction is lowv against one per-chunk scalar.
-    #   far:   j >= CH -> the j-mask's iota part is all-true, and the
-    #          xor-partner row set (base + iot) ^ j = (base ^ j) + iot is
-    #          one contiguous read at a scalar offset: a single get with a
-    #          scalar direction replaces two reads, a select and the masks.
+    # Compare-exchange network, statically scheduled (j and k are Python
+    # ints, so the pair-compare reshape shapes below are static):
+    #
+    # - Within-chunk stages (j < CH) of one merge k run FUSED in a single
+    #   in-place chunk pass. Viewing the chunk as (CH/2j, 2j, 128), each
+    #   2j-block's lo half (bit j clear) pairs with its hi half; the
+    #   direction bit (rows & k) == 0 depends only on the block index t
+    #   when k < CH (base is a CH multiple, so base & k == 0) and only on
+    #   the chunk base when k >= CH (t*2j + s < CH <= k) — one compare,
+    #   one eq and two selects per stage, all on half-height arrays.
+    # - Far stages (j >= CH) keep the one-contiguous-partner-read form and
+    #   ping-pong between the buffers (parity tracked in Python).
 
-    def stage_local(s, A, B):
-        j = jt_ref[s]
-        k = kt_ref[s]
-        iot = ch_iota(CH)
-        lowv = (iot & j) == 0
-        dirv = lowv == ((iot & k) == 0)
+    def fused_pass(js, k, A):
+        # dirs for k < CH are static per stage: hoist out of the chunk loop.
+        dirv = {}
+        for j in js:
+            if k < CH:
+                t2j = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (CH // (2 * j), j, LANES), 0
+                    )
+                    * (2 * j)
+                )
+                dirv[j] = (t2j & k) == 0
 
         def up(c, _):
             base = c * CH
-            w = A[pl.ds(half + base, CH)]
-            pw = jnp.where(
-                lowv,
-                A[pl.ds(half + base + j, CH)],
-                A[pl.ds(half + base - j, CH)],
-            )
-            take = dirv == (pw < w)
-            B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
+            w = A[pl.ds(base, CH)]
+            kb = (base & k) == 0  # scalar direction when k >= CH
+            for j in js:
+                v = w.reshape(CH // (2 * j), 2 * j, LANES)
+                lo = v[:, :j]
+                hi = v[:, j:]
+                cmp = hi < lo
+                swap = cmp == (dirv[j] if k < CH else kb)
+                lo2 = jnp.where(swap, hi, lo)
+                hi2 = jnp.where(swap, lo, hi)
+                w = jnp.concatenate([lo2, hi2], axis=1).reshape(CH, LANES)
+            A[pl.ds(base, CH)] = w
             return 0
 
         jax.lax.fori_loop(0, NC, up, 0)
 
-    def stage_mid(s, A, B):
-        j = jt_ref[s]
-        k = kt_ref[s]
-        iot = ch_iota(CH)
-        lowv = (iot & j) == 0
-
-        def up(c, _):
-            base = c * CH
-            kb = (base & k) == 0
-            w = A[pl.ds(half + base, CH)]
-            pw = jnp.where(
-                lowv,
-                A[pl.ds(half + base + j, CH)],
-                A[pl.ds(half + base - j, CH)],
-            )
-            take = (lowv == kb) == (pw < w)
-            B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
-            return 0
-
-        jax.lax.fori_loop(0, NC, up, 0)
-
-    def stage_far(s, A, B):
-        j = jt_ref[s]
-        k = kt_ref[s]
-
+    def far_stage(j, k, A, B):
         def up(c, _):
             base = c * CH
             dirs = ((base & j) == 0) == ((base & k) == 0)
-            w = A[pl.ds(half + base, CH)]
-            pw = A[pl.ds(half + (base ^ j), CH)]
+            w = A[pl.ds(base, CH)]
+            pw = A[pl.ds(base ^ j, CH)]
             take = dirs == (pw < w)
-            B[pl.ds(half + base, CH)] = jnp.where(take, pw, w)
+            B[pl.ds(base, CH)] = jnp.where(take, pw, w)
             return 0
 
         jax.lax.fori_loop(0, NC, up, 0)
 
-    # Static segmentation of the schedule into runs of one specialization.
-    js_np, ks_np = _stage_tables(m)
-    segs: list[list] = []
-    for i in range(nstages):
-        body = (
-            stage_local
-            if ks_np[i] < CH
-            else (stage_far if js_np[i] >= CH else stage_mid)
-        )
-        if segs and segs[-1][2] is body:
-            segs[-1][1] += 1
-        else:
-            segs.append([i, 1, body])
-
     def run_sort():
-        # Result lands back in pk_s: stages ping-pong pk<->stg with the
-        # parity tracked in python across the static segments; an odd
-        # total ends with one chunked copy back.
+        # Result lands back in pk_s: only far stages flip the buffer
+        # parity; an odd far count ends with one chunked copy back.
         cur = 0
         bufs = (pk_s, stg_s)
-        for start, count, body in segs:
-            A, B = bufs[cur], bufs[1 - cur]
-
-            def pair(i, _, start=start, body=body, A=A, B=B):
-                body(start + 2 * i, A, B)
-                body(start + 2 * i + 1, B, A)
-                return 0
-
-            jax.lax.fori_loop(0, count // 2, pair, 0)
-            if count % 2:
-                body(start + count - 1, A, B)
+        k = 2
+        while k <= m:
+            j = k // 2
+            while j >= CH:  # cross-chunk prefix of this merge
+                far_stage(j, k, bufs[cur], bufs[1 - cur])
                 cur = 1 - cur
+                j //= 2
+            if j >= 1:
+                fused_pass(
+                    [1 << b for b in range(j.bit_length() - 1, -1, -1)],
+                    k,
+                    bufs[cur],
+                )
+            k *= 2
         if cur:
 
             def back(c, _):
                 base = c * CH
-                pk_s[pl.ds(half + base, CH)] = stg_s[pl.ds(half + base, CH)]
+                pk_s[pl.ds(base, CH)] = stg_s[pl.ds(base, CH)]
                 return 0
 
             jax.lax.fori_loop(0, NC, back, 0)
@@ -333,13 +279,13 @@ def _sort_rung_kernel(
     def lag_chunk(c, carry):
         pkey, ppos = carry
         base = c * CH
-        u = pk_s[pl.ds(half + base, CH)] ^ _SIGN
+        u = pk_s[pl.ds(base, CH)] ^ _SIGN
         spos = u & 0x7FFF
         skey = (u >> 15) & 0x1FFFF
         prev_key = jnp.concatenate([pkey, skey[: CH - 1]]) if CH > 1 else pkey
         prev_pos = jnp.concatenate([ppos, spos[: CH - 1]]) if CH > 1 else ppos
         lag = jnp.where(skey == prev_key, spos - prev_pos, 0)
-        pk_s[pl.ds(half + base, CH)] = (spos << 16) | lag
+        pk_s[pl.ds(base, CH)] = (spos << 16) | lag
         return (skey[CH - 1 : CH], spos[CH - 1 : CH])
 
     jax.lax.fori_loop(
@@ -352,7 +298,7 @@ def _sort_rung_kernel(
 
         def out_chunk(c, _):
             base = c * CH
-            cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(half + base, CH)] & 0xFFFF
+            cand_ref[pl.ds(base, CH)] = pk_s[pl.ds(base, CH)] & 0xFFFF
             return 0
 
         jax.lax.fori_loop(0, NC, out_chunk, 0)
@@ -365,7 +311,7 @@ def _sort_rung_kernel(
         is_even = (lane2 & 1) == 0
 
         def xchunk(j, _):
-            t = jnp.transpose(pk_s[pl.ds(half + j * LANES, LANES)])
+            t = jnp.transpose(pk_s[pl.ds(j * LANES, LANES)])
             lo = jnp.take_along_axis(t, lane2 >> 1, axis=1)
             hi = jnp.take_along_axis(t, (LANES // 2) + (lane2 >> 1), axis=1)
             lag_lo = jnp.where(is_even, (lo & 0xFFFF) * stride, 0)
@@ -595,42 +541,23 @@ def sorted_match_groups(
         raise ValueError("prev_k must be in [1, 8]")
     if stride2_min and stride2_min <= 4:
         raise ValueError("stride2_min must be > 4 (L=4 stays full density)")
-    tables = {}
-    for stride in (1, 2):
-        jt_np, kt_np = _stage_tables(bs // stride)
-        tables[stride] = (jnp.asarray(jt_np), jnp.asarray(kt_np), len(jt_np))
     vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
 
     def rung_call(rung, stride):
-        nstages = tables[stride][2]
         return pl.pallas_call(
             functools.partial(
-                _sort_rung_kernel, bs=bs, rung=rung, nstages=nstages,
-                stride=stride,
+                _sort_rung_kernel, bs=bs, rung=rung, stride=stride,
             ),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
             scratch_shapes=[
-                # Sorted region [margin, margin + m) plus the +/-j read
-                # slack; the stride-2 pong buffer additionally stages the
-                # full-density words (bs rows) before compaction.
+                # Exactly m sorted rows each (fused in-chunk stages read no
+                # margin); the stride-2 pong buffer additionally stages
+                # the full-density words (bs rows) before compaction.
+                pltpu.VMEM((bs // stride, LANES), jnp.int32),  # ping
                 pltpu.VMEM(
-                    (bs // stride + 2 * _sort_margin(bs // stride), LANES),
-                    jnp.int32,
-                ),  # ping
-                pltpu.VMEM(
-                    (
-                        max(
-                            bs // stride + 2 * _sort_margin(bs // stride),
-                            bs if stride == 2 else 0,
-                        ),
-                        LANES,
-                    ),
+                    (max(bs // stride, bs if stride == 2 else 0), LANES),
                     jnp.int32,
                 ),  # pong
             ],
@@ -663,8 +590,7 @@ def sorted_match_groups(
         best = jnp.zeros((bs, LANES), jnp.int32)
         for rung in rungs:
             stride = 2 if (stride2_min and rung >= stride2_min) else 1
-            jt, kt, _ = tables[stride]
-            cand = rung_call(rung, stride)(jt, kt, data)
+            cand = rung_call(rung, stride)(data)
             best = extend_call(data, lens, cand, best)
             if rung == 4 and prev_k >= 2:
                 lagj = cand

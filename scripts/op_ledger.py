@@ -194,25 +194,22 @@ def sub_kernel_rows(bs: int) -> list[dict]:
     payload = bs * 128
 
     def sort_call(rung, stride):
-        jt_np, kt_np = pm._stage_tables(bs // stride)
-        rows_scr = bs // stride + 2 * pm._sort_margin(bs // stride)
         return pl.pallas_call(
             ft.partial(
-                pm._sort_rung_kernel, bs=bs, rung=rung, nstages=len(jt_np),
-                stride=stride,
+                pm._sort_rung_kernel, bs=bs, rung=rung, stride=stride,
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, 128), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((rows_scr, 128), jnp.int32),
+                pltpu.VMEM((bs // stride, 128), jnp.int32),
                 pltpu.VMEM(
-                    (max(rows_scr, bs if stride == 2 else 0), 128), jnp.int32
+                    (max(bs // stride, bs if stride == 2 else 0), 128),
+                    jnp.int32,
                 ),
             ],
             compiler_params=vmem_cap,
-        )(jnp.asarray(jt_np), jnp.asarray(kt_np), data)
+        )(data)
 
     extend = pl.pallas_call(
         ft.partial(pm._extend_fold_kernel, bs=bs),
