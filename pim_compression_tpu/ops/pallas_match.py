@@ -392,6 +392,15 @@ def _extend_fold_kernel(
         # computation replaces 16 per-round ones (~12% of the kernel).
         # All-ones marks never-failed lanes (their tail is 0 either way).
         xfail = jnp.full((LANES, LANES), -1, jnp.int32)
+        # Live lags never reach past position 0 (sorted-space lags and
+        # their compositions are backward jumps from p), so src stays
+        # >= 0 unclipped; rs is masked to a lane index and the sweep's
+        # start offset is clipped, so beyond-block rounds (p - cand + 4k
+        # >= bs, possible in the last word rounds) read junk that only
+        # affects lanes whose lenacc the el = min(..., len - p) clamp
+        # already floors — the same equivalence the spec's zero-fill
+        # relies on.
+        src0 = p - cand
         own = TW_s[pl.ds(c * LANES, LANES)]
         nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
         own_nxt = TW_s[pl.ds(nxt_start, LANES)]
@@ -406,8 +415,8 @@ def _extend_fold_kernel(
                     [own[:, 4 * k :], own_nxt[:, : 4 * k]], axis=1
                 )
                 a = jnp.where(p + 4 * k < bs, a, 0)
-            # b = W4[clip(p - cand + 4k)] via adaptive chunk-delta sweep.
-            src = jnp.clip(p - cand + 4 * k, 0, bs - 1)
+            # b = W4[p - cand + 4k] via adaptive chunk-delta sweep.
+            src = src0 + 4 * k if k else src0
             qs = src >> 7
             rs = src & (LANES - 1)
             maxd = jnp.max(jnp.where(still, c - qs, -1))
@@ -418,7 +427,9 @@ def _extend_fold_kernel(
                 got = jnp.take_along_axis(
                     TW_s[pl.ds(start, LANES)], rs, axis=1
                 )
-                return jnp.where(still & (qs == c - d), got, b)
+                # No still gate: a dead lane's b is never read (x, weq,
+                # xfail are all still-gated downstream).
+                return jnp.where(qs == c - d, got, b)
 
             b = jax.lax.fori_loop(
                 0, maxd + 2, sweep, jnp.zeros((LANES, LANES), jnp.int32)
@@ -481,9 +492,10 @@ def _prev_step_kernel(
         lagj = jnp.transpose(lagj_ref[pl.ds(c * LANES, LANES)])
         p = c * LANES + lane
         has = lagj > 0
-        # src = p - lagj is strictly below p (lagj > 0), so the adaptive
-        # chunk-delta sweep only looks backwards (d >= 0).
-        src = jnp.clip(p - lagj, 0, bs - 1)
+        # src = p - lagj sits in [0, p] (lags never reach past position
+        # 0), so no clip is needed and the adaptive chunk-delta sweep only
+        # looks backwards (d >= 0).
+        src = p - lagj
         qs = src >> 7
         rs = src & (LANES - 1)
         maxd = jnp.max(jnp.where(has, c - qs, -1))
@@ -491,7 +503,8 @@ def _prev_step_kernel(
         def sweep(d, b):
             start = jnp.clip(c - d, 0, nq - 1) * LANES
             got = jnp.take_along_axis(TC_s[pl.ds(start, LANES)], rs, axis=1)
-            return jnp.where(has & (qs == c - d), got, b)
+            # No has gate: a dead lane's b is never read (c2 is has-gated).
+            return jnp.where(qs == c - d, got, b)
 
         lag_src = jax.lax.fori_loop(
             0, maxd + 1, sweep, jnp.zeros((LANES, LANES), jnp.int32)
