@@ -110,9 +110,10 @@ def main() -> int:
     block = int(
         os.environ.get("PIM_BENCH_BLOCK", "16384" if engine == "pallas" else "32768")
     )
-    # repeat=4 -> ~21 MB: >1 dispatch batch, so the bounded-depth pipeline
-    # (h2d/kernel of batch i+1 overlapping d2h of batch i) is engaged.
-    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "4"))
+    # repeat=3 -> 984 blocks at bs=16384: fills the 1024-slot batch 96%
+    # (repeat=4's 1312 blocks padded to 2048 = 64% fill, measuring padding
+    # rather than kernels). The workload multiple is printed in the metric.
+    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "3"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
     window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
