@@ -36,6 +36,7 @@ def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
     rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
+    sel_cap: int = 0,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -48,7 +49,7 @@ def measure(
         coarse_window=coarse,
         coarse_mode="granular" if granular else "sampled",
         matcher=matcher, rungs=rungs, prev_k=prev_k,
-        stride2_min=stride2_min,
+        stride2_min=stride2_min, sel_cap=sel_cap,
     )
 
     stream = runtime.compress(plain, cfg)  # warm-up / compile
@@ -77,13 +78,13 @@ def measure(
 
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
-    matcher, rungs, prev_k, stride2_min=0,
+    matcher, rungs, prev_k, stride2_min=0, sel_cap=0,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
-        f"{rungs!r}, {prev_k}, {stride2_min})))"
+        f"{rungs!r}, {prev_k}, {stride2_min}, {sel_cap})))"
     )
     try:
         proc = subprocess.run(
@@ -136,6 +137,9 @@ def main() -> int:
     # Half-density sort on rungs >= this (~40% fewer sort ops there for a
     # small ratio cost); 0 = full density.
     stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "0"))
+    # Select-then-extend cap (bytes): prev candidates get a cheap capped
+    # extension and only the winner is fully extended; 0 = off.
+    sel_cap = int(os.environ.get("PIM_BENCH_SELCAP", "0"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -154,7 +158,7 @@ def main() -> int:
 
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
-        matcher, rungs, prev_k, stride2_min,
+        matcher, rungs, prev_k, stride2_min, sel_cap,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
         "at a small ratio cost); 0 = off",
     )
     p.add_argument(
+        "--sel-cap", type=int, default=0,
+        help="sorted-matcher select-then-extend cap (bytes, multiple of 4 "
+        "in [4,64]): prev candidates get only a cheap capped extension and "
+        "the winner alone is fully extended; 0 = off",
+    )
+    p.add_argument(
         "--strict-engine", action="store_true",
         help="fail instead of falling back to xla when the pallas kernels "
         "do not cover the requested block size",
@@ -123,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             prev_k=args.prev_k,
+            sel_cap=args.sel_cap,
             stride2_min=args.stride2_min,
         )
     except ValueError as e:

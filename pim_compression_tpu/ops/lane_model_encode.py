@@ -345,6 +345,7 @@ def match_search_sorted(
     prev_k: int = 1,
     packed: bool = True,
     stride2_min: int = 0,
+    sel_cap: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sort-based exact match finder — full-block window at O(bs log^2 bs).
 
@@ -372,6 +373,16 @@ def match_search_sorted(
     (``packed_prev_lags`` stride=2): ~40% fewer sort ops for those rungs
     at a small ratio cost (xml @32K full ladder: 0.7775 vs 0.7871 at
     ``stride2_min=16``). Packed path only.
+
+    ``sel_cap`` > 0 (bytes, multiple of 4) switches the prev ladder to
+    select-then-extend: each L=4 prev candidate gets only a CHEAP
+    extension capped at ``sel_cap`` bytes, the per-position winner
+    (longest capped length, nearest lag on ties — the same
+    strictly-greater fold order as the full path) is picked, and ONE
+    full extension runs on the winner. Cuts the prev ladder's extension
+    cost from ``prev_k`` full passes to ``prev_k`` capped passes + 1
+    full pass; the approximation loses only when two candidates both
+    saturate the cap but differ past it.
     """
     bs, lanes = data.shape
     rows = np.arange(bs, dtype=np.int64)[:, None]
@@ -392,6 +403,15 @@ def match_search_sorted(
             valid = rows + L <= lens[None, :]
             key = np.where(valid, h, SORT_SENTINEL).astype(np.int32)
             cands = nearest_prev_lags(key, k)
+        if L == 4 and k > 1 and sel_cap:
+            sel_len = np.zeros((bs, lanes), np.int32)
+            sel_off = np.zeros((bs, lanes), np.int32)
+            for cand in cands:
+                cl = extend_match(W4, lens, cand, max_len=sel_cap)
+                better = cl > sel_len
+                sel_len = np.where(better, cl, sel_len)
+                sel_off = np.where(better, cand, sel_off)
+            cands = [sel_off]
         for cand in cands:
             el = extend_match(W4, lens, cand)
             better = el > best_len
@@ -588,13 +608,14 @@ def encode_lanes(
     rungs: tuple[int, ...] | None = None,
     prev_k: int = 1,
     stride2_min: int = 0,
+    sel_cap: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
     if matcher == "sorted":
         best_len, best_off = match_search_sorted(
             data, lens, rungs=rungs or (4, 8, 16, 32, 64), prev_k=prev_k,
-            stride2_min=stride2_min,
+            stride2_min=stride2_min, sel_cap=sel_cap,
         )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)

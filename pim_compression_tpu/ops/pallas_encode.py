@@ -782,7 +782,7 @@ def _emit_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
-        "rungs", "prev_k", "stride2_min", "interpret",
+        "rungs", "prev_k", "stride2_min", "sel_cap", "interpret",
     ),
 )
 def encode_blocks_pallas(
@@ -797,6 +797,7 @@ def encode_blocks_pallas(
     rungs: tuple[int, ...] | None = None,
     prev_k: int = 1,
     stride2_min: int = 0,
+    sel_cap: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
@@ -931,7 +932,8 @@ def encode_blocks_pallas(
             mlen, mlag = pm.sorted_match_groups(
                 data_g.astype(jnp.int8), lens_bc8, bs=bs,
                 rungs=rungs or pm.DEFAULT_RUNGS, prev_k=prev_k,
-                stride2_min=stride2_min, interpret=interpret,
+                stride2_min=stride2_min, sel_cap=sel_cap,
+                interpret=interpret,
             )
             return _emit(data_g, lens_t, mlen, mlag)
 
@@ -1054,6 +1056,7 @@ def encode_blocks_pallas_sharded(
     rungs: tuple[int, ...] | None = None,
     prev_k: int = 1,
     stride2_min: int = 0,
+    sel_cap: int = 0,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1072,6 +1075,7 @@ def encode_blocks_pallas_sharded(
         rungs=rungs,
         prev_k=prev_k,
         stride2_min=stride2_min,
+        sel_cap=sel_cap,
         interpret=interpret,
     )
     sharded = shard_map(

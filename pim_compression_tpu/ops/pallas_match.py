@@ -353,6 +353,7 @@ def _extend_fold_kernel(
     TW_s,  # scratch (bs, 128) i32: chunk-transposed packed words
     *,
     bs: int,
+    rounds: int = 16,
 ):
     nq = bs // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -404,7 +405,9 @@ def _extend_fold_kernel(
         own = TW_s[pl.ds(c * LANES, LANES)]
         nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
         own_nxt = TW_s[pl.ds(nxt_start, LANES)]
-        for k in range(16):  # 64-byte copy cap = 16 word rounds
+        # rounds=16 is the 64-byte copy cap; fewer rounds make the capped
+        # cheap pass of select-then-extend (spec: extend_match(max_len)).
+        for k in range(rounds):
             # a = W4[p + 4k], zero past the block end (spec shift_up).
             # 4k is static per unrolled round, so the two-chunk lane fetch
             # is a static lane shift (slice + concat), not a gather.
@@ -444,7 +447,7 @@ def _extend_fold_kernel(
             + ((xfail & 0xFFFF) == 0).astype(jnp.int32)
             + ((xfail & 0xFFFFFF) == 0).astype(jnp.int32)
         )
-        el = jnp.minimum(jnp.minimum(lenacc, lens_t - p), 64)
+        el = jnp.minimum(jnp.minimum(lenacc, lens_t - p), 4 * rounds)
         el = jnp.where(has & (el >= 4), el, 0)
         el_n = jnp.transpose(el)  # back to (pos, block)
         best = best_ref[pl.ds(c * LANES, LANES)]
@@ -529,6 +532,7 @@ def sorted_match_groups(
     rungs: tuple[int, ...] = DEFAULT_RUNGS,
     prev_k: int = 1,
     stride2_min: int = 0,
+    sel_cap: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
@@ -545,6 +549,16 @@ def sorted_match_groups(
     sort ops for those rungs at a small ratio cost. Must be > 4 so the
     L=4 rung (the prev2 base and short-match safety net) stays full
     density.
+
+    ``sel_cap`` > 0 (bytes, multiple of 4, <= 64) switches the prev
+    ladder to select-then-extend: each prev candidate runs a CHEAP
+    capped extension (``sel_cap // 4`` word rounds instead of 16) into
+    a selection fold, and only the per-position winner gets the full
+    64-byte extension — ``prev_k`` capped passes + 1 full pass instead
+    of ``prev_k`` full passes. The fold order matches the full path
+    (strictly-greater, nearest-first), so results differ only where two
+    candidates both saturate the cap but diverge past it. Spec:
+    ``lane_model_encode.match_search_sorted(sel_cap=...)``.
     """
     if bs & (bs - 1):
         raise ValueError("sorted matcher requires a power-of-two block size")
@@ -554,6 +568,8 @@ def sorted_match_groups(
         raise ValueError("prev_k must be in [1, 8]")
     if stride2_min and stride2_min <= 4:
         raise ValueError("stride2_min must be > 4 (L=4 stays full density)")
+    if sel_cap and (sel_cap % 4 or not 4 <= sel_cap <= 64):
+        raise ValueError("sel_cap must be a multiple of 4 in [4, 64]")
     vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
 
     def rung_call(rung, stride):
@@ -578,15 +594,18 @@ def sorted_match_groups(
             interpret=interpret,
         )
 
-    extend_call = pl.pallas_call(
-        functools.partial(_extend_fold_kernel, bs=bs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
-        compiler_params=vmem_cap,
-        interpret=interpret,
-    )
+    def extend_fold_call(rounds=16):
+        return pl.pallas_call(
+            functools.partial(_extend_fold_kernel, bs=bs, rounds=rounds),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
+            compiler_params=vmem_cap,
+            interpret=interpret,
+        )
+
+    extend_call = extend_fold_call()
 
     prev_step_call = pl.pallas_call(
         functools.partial(_prev_step_kernel, bs=bs),
@@ -604,12 +623,22 @@ def sorted_match_groups(
         for rung in rungs:
             stride = 2 if (stride2_min and rung >= stride2_min) else 1
             cand = rung_call(rung, stride)(data)
-            best = extend_call(data, lens, cand, best)
-            if rung == 4 and prev_k >= 2:
+            if rung == 4 and prev_k >= 2 and sel_cap:
+                cheap_call = extend_fold_call(rounds=sel_cap // 4)
+                zero = jnp.zeros((bs, LANES), jnp.int32)
+                sel = cheap_call(data, lens, cand, zero)
                 lagj = cand
                 for _ in range(2, prev_k + 1):
                     lagj = prev_step_call(cand, lagj)
-                    best = extend_call(data, lens, lagj, best)
+                    sel = cheap_call(data, lens, lagj, sel)
+                best = extend_call(data, lens, sel & 0xFFFF, best)
+            else:
+                best = extend_call(data, lens, cand, best)
+                if rung == 4 and prev_k >= 2:
+                    lagj = cand
+                    for _ in range(2, prev_k + 1):
+                        lagj = prev_step_call(cand, lagj)
+                        best = extend_call(data, lens, lagj, best)
         # Unpack per group: a whole-batch unpack fusion on the stacked
         # (groups, bs, 128) map output exceeds XLA's 16 MB scoped-vmem
         # stack allocation (observed on v5e at bs=8192 x 8 groups).

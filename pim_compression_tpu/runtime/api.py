@@ -307,6 +307,7 @@ def compress(
                     rungs=config.rungs,
                     prev_k=config.prev_k,
                     stride2_min=config.stride2_min,
+                    sel_cap=config.sel_cap,
                     interpret=interpret,
                 )
             else:

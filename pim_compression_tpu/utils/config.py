@@ -58,6 +58,14 @@ class CodecConfig:
     # matcher. The speed axis' reference analog is the cycle/ratio
     # tradeoff (compr_cycle_tradeoff.py).
     stride2_min: int = 0
+    # Sorted-matcher select-then-extend cap (bytes): > 0 gives each prev
+    # candidate only a cheap extension capped here, picks the per-position
+    # winner, and fully extends the winner alone — prev_k capped passes
+    # + 1 full pass instead of prev_k full passes
+    # (pallas_match.sorted_match_groups(sel_cap=...)). 0 = off (every
+    # candidate fully extended). Multiple of 4 in [4, 64]; only matters
+    # when prev_k >= 2.
+    sel_cap: int = 0
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -91,3 +99,5 @@ class CodecConfig:
             self.stride2_min <= 4 or self.stride2_min not in (8, 16, 32, 64)
         ):
             raise ValueError("stride2_min must be 0 or one of (8, 16, 32, 64)")
+        if self.sel_cap and (self.sel_cap % 4 or not 4 <= self.sel_cap <= 64):
+            raise ValueError("sel_cap must be 0 or a multiple of 4 in [4, 64]")

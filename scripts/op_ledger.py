@@ -271,6 +271,10 @@ def main() -> int:
              stride2_min=32),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=4),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=4,
+             sel_cap=16),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=6,
+             sel_cap=16),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=6),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=8),
         dict(block_size=16384, matcher="sorted", rungs=(4, 32), prev_k=2),
@@ -308,6 +312,11 @@ def main() -> int:
             + (
                 f" s2@{cfg['stride2_min']}"
                 if cfg.get("stride2_min")
+                else ""
+            )
+            + (
+                f" sel{cfg['sel_cap']}"
+                if cfg.get("sel_cap")
                 else ""
             )
             + (
@@ -359,6 +368,8 @@ def main() -> int:
                     if int(v.get("stride2_min") or 0) != int(
                         cfg.get("stride2_min", 0)
                     ):
+                        continue
+                    if int(v.get("sel_cap") or 0) != int(cfg.get("sel_cap", 0)):
                         continue
                     if cfg.get("matcher") == "sweep" and (
                         v.get("window") != cfg.get("window")

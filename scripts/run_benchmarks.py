@@ -74,6 +74,11 @@ def main() -> int:
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,
         help="half-density sort threshold for long rungs (sorted matcher)",
     )
+    ap.add_argument(
+        "--sel-caps", default="0",
+        help="comma-separated select-then-extend caps in bytes, e.g. 0,16 "
+        "(sorted matcher; 0 = every prev candidate fully extended)",
+    )
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument(
         "--synth-sizes", default="",
@@ -90,6 +95,7 @@ def main() -> int:
     block_sizes = [int(b) for b in args.block_sizes.split(",")]
     matchers = args.matchers.split(",")
     prev_ks = [int(k) for k in args.prev_ks.split(",")]
+    sel_caps = [int(c) for c in args.sel_caps.split(",")]
     mesh_sizes = (
         [int(m) for m in args.mesh_sizes.split(",")] if args.mesh_sizes else [None]
     )
@@ -107,12 +113,13 @@ def main() -> int:
     rows = []
     for name, plain in files:
         for engine in engines:
-            for bs, matcher, meshn, pk in (
-                (b, m, d, k)
+            for bs, matcher, meshn, pk, sc in (
+                (b, m, d, k, c)
                 for b in block_sizes
                 for m in matchers
                 for d in mesh_sizes
                 for k in prev_ks
+                for c in sel_caps
             ):
                 cfg = CodecConfig(
                     block_size=bs, engine=engine, num_threads=args.threads,
@@ -126,6 +133,7 @@ def main() -> int:
                     ),
                     prev_k=pk,
                     stride2_min=args.stride2_min,
+                    sel_cap=sc,
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)
@@ -147,6 +155,7 @@ def main() -> int:
                         "block_size": bs,
                         "matcher": matcher,
                         "prev_k": pk,
+                        "sel_cap": sc,
                         "mesh_devices": meshn if meshn else "",
                         "direction": direction,
                         "bytes": len(plain),

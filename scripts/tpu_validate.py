@@ -51,6 +51,7 @@ def main() -> int:
     ap.add_argument(
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0
     )
+    ap.add_argument("--sel-cap", type=int, default=0)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -69,6 +70,7 @@ def main() -> int:
         "window": args.window, "coarse": args.coarse,
         "granular": args.granular, "matcher": args.matcher,
         "rungs": args.rungs, "prev_k": args.prev_k,
+        "sel_cap": args.sel_cap,
         "stride2_min": args.stride2_min}
     rungs = (
         tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
@@ -158,6 +160,7 @@ def main() -> int:
             blocks_d, lens_d, block_size=bs, window=args.window,
             coarse_window=args.coarse, granular=args.granular,
             matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
+            sel_cap=args.sel_cap,
             stride2_min=args.stride2_min,
         )
         sync(c)
@@ -183,6 +186,7 @@ def main() -> int:
                 blocks_d, lens_d, block_size=bs, window=args.window,
                 coarse_window=args.coarse, granular=args.granular,
                 matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
+            sel_cap=args.sel_cap,
                 stride2_min=args.stride2_min,
             )
         sync(c)

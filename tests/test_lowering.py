@@ -106,6 +106,21 @@ def test_encode_sorted_stride2_lowering_production_shapes(bs):
     )
 
 
+@pytest.mark.parametrize("bs", [16384, 32768])
+def test_encode_sorted_selcap_lowering_production_shapes(bs):
+    # sel_cap runs the capped extend-fold variant (rounds=sel_cap//4) for
+    # the prev ladder plus one full extension on the selected winner.
+    fn = functools.partial(
+        pe.encode_blocks_pallas, block_size=bs, matcher="sorted",
+        rungs=(4, 32), prev_k=4, sel_cap=16,
+    )
+    _lower(
+        fn,
+        jax.ShapeDtypeStruct((pe.BATCH, bs), jnp.uint8),
+        jax.ShapeDtypeStruct((pe.BATCH,), jnp.int32),
+    )
+
+
 def test_trimmed_partial_batch_lowering_production_shapes():
     # G=2 lane groups at the 32 K flagship config (the shape the 164-block
     # corpus files now dispatch): both directions must still Mosaic-lower.

@@ -405,6 +405,53 @@ def test_pallas_sorted_prevk_parity(prev_k):
     assert sizes_s.sum() <= base_sizes.sum()
 
 
+@pytest.mark.parametrize("prev_k,sel_cap", [(2, 12), (4, 16)])
+def test_pallas_sorted_selcap_parity(prev_k, sel_cap):
+    # sel_cap > 0 (select-then-extend: cheap capped extension per prev
+    # candidate, one full extension on the winner) must stay byte-parity
+    # with the spec and decode. The selection differs from the full fold
+    # only where two candidates both saturate the cap but diverge past it
+    # (the winner is never worse than the nearest candidate: it only
+    # displaces the nearest by a strictly longer capped length, which
+    # implies the nearest's full extension ended below the cap).
+    bs = 1024
+    r = random.Random(77)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(200)
+    for i in range(pe.BATCH):
+        body = bytearray()
+        while len(body) < bs:
+            body += (
+                seed[: r.randint(4, 90)]
+                if r.random() < 0.6
+                else r.randbytes(r.randint(3, 60))
+            )
+        b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    comp_k, sizes_k = pe.encode_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+        matcher="sorted", prev_k=prev_k, sel_cap=sel_cap, interpret=True,
+    )
+    cap = pe.encode_capacity(bs)
+    comp_s, sizes_s = lme.encode_lanes(
+        blocks, lens, bs, cap, matcher="sorted", prev_k=prev_k,
+        sel_cap=sel_cap,
+    )
+    assert (np.asarray(sizes_k) == sizes_s).all()
+    ck = np.asarray(comp_k)
+    for i in range(pe.BATCH):
+        assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all()
+        stream = (
+            encode_varint32(int(lens[i])) + encode_varint32(bs)
+            + int(sizes_s[i]).to_bytes(4, "little")
+            + ck[i, : sizes_s[i]].tobytes()
+        )
+        assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+
+
 def test_pallas_sorted_rungs_subset_parity():
     # The --rungs knob (cycle/ratio tradeoff) must stay byte-parity with
     # the spec for reduced ladders, and every stream must decode.
