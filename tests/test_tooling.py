@@ -118,6 +118,23 @@ def test_run_benchmarks_oracle_smoke(tmp_path):
     assert all(float(r["gbps"]) > 0 for r in rows)
 
 
+def test_run_benchmarks_selcap_axis(tmp_path):
+    # The --sel-caps sweep axis must produce one row set per cap value and
+    # record the cap in the CSV (the reproducible ladder the README cites).
+    out = tmp_path / "r.csv"
+    run(
+        [
+            str(SCRIPTS / "run_benchmarks.py"), "--engines", "pallas",
+            "--files", "alice", "--block-sizes", "512", "--iters", "1",
+            "--matchers", "sorted", "--prev-ks", "2", "--sel-caps", "0,16",
+            "--out", str(out),
+        ]
+    )
+    rows = list(csv.DictReader(open(out)))
+    assert {r["sel_cap"] for r in rows} == {"0", "16"}
+    assert all(float(r["ratio"]) > 0 for r in rows)
+
+
 def test_corpus_check_oracle():
     out = run([str(SCRIPTS / "corpus_check.py"), "--engine", "oracle"])
     assert "corpus check: PASS" in out
