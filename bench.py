@@ -124,16 +124,18 @@ def main() -> int:
     # hardware-validated xml ratio 0.726 at bs=8192 (beats every sweep
     # config on ratio AND speed); window/coarse knobs apply to "sweep" only.
     matcher = os.environ.get("PIM_BENCH_MATCHER", "sorted")
-    # Reduced rung ladder: xml ratio 0.7529 @ 16K (still above the
-    # reference's 0.7408) at ~1.6x the full ladder's speed. Set
+    # (4,32)+prev2: the measured Pareto frontier (DESIGN.md ladder) —
+    # hardware-validated xml ratio 0.758 @ 16K (above the reference's
+    # 0.7408) at 4.26 vreg-c/B vs the old 3-rung default's 0.7561 at
+    # 5.23 (tpu_validation.json; docs/perf_ledger.json). Set
     # PIM_BENCH_RUNGS= (empty) for the full ladder (0.7611 @ 16K).
-    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4,16,64")
+    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4,32")
     rungs = (
         tuple(int(x) for x in rungs_env.split(",")) if rungs_env else None
     )
     # prev_k=2 folds the second-nearest previous occurrence on the 4-byte
     # rung (no extra sort) — better ratio for ~one extension pass.
-    prev_k = int(os.environ.get("PIM_BENCH_PREVK", "1"))
+    prev_k = int(os.environ.get("PIM_BENCH_PREVK", "2"))
     # Half-density sort on rungs >= this (~40% fewer sort ops there for a
     # small ratio cost); 0 = full density.
     stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "0"))

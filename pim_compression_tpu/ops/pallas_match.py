@@ -199,10 +199,12 @@ def _sort_rung_kernel(
     # - Far stages (j >= CH) keep the one-contiguous-partner-read form and
     #   ping-pong between the buffers (parity tracked in Python).
 
-    def fused_pass(js, k, A):
-        # dirs for k < CH are static per stage: hoist out of the chunk loop.
+    def fused_pass(jks, A):
+        # jks: ordered (j, k) stage pairs, all with j < CH (chunk-local), run
+        # on ONE chunk load/store. dirs for k < CH are static per stage:
+        # hoist out of the chunk loop.
         dirv = {}
-        for j in js:
+        for j, k in jks:
             if k < CH:
                 t2j = (
                     jax.lax.broadcasted_iota(
@@ -210,18 +212,18 @@ def _sort_rung_kernel(
                     )
                     * (2 * j)
                 )
-                dirv[j] = (t2j & k) == 0
+                dirv[(j, k)] = (t2j & k) == 0
 
         def up(c, _):
             base = c * CH
             w = A[pl.ds(base, CH)]
-            kb = (base & k) == 0  # scalar direction when k >= CH
-            for j in js:
+            for j, k in jks:
+                kb = (base & k) == 0  # scalar direction when k >= CH
                 v = w.reshape(CH // (2 * j), 2 * j, LANES)
                 lo = v[:, :j]
                 hi = v[:, j:]
                 cmp = hi < lo
-                swap = cmp == (dirv[j] if k < CH else kb)
+                swap = cmp == (dirv[(j, k)] if k < CH else kb)
                 lo2 = jnp.where(swap, hi, lo)
                 hi2 = jnp.where(swap, lo, hi)
                 w = jnp.concatenate([lo2, hi2], axis=1).reshape(CH, LANES)
@@ -245,9 +247,23 @@ def _sort_rung_kernel(
     def run_sort():
         # Result lands back in pk_s: only far stages flip the buffer
         # parity; an odd far count ends with one chunked copy back.
+        #
+        # Every merge k <= CH is fully chunk-local (its largest partner
+        # distance is k/2 < CH and chunks are CH-aligned), and nothing in
+        # those merges crosses a chunk boundary — so ALL of them run on a
+        # single chunk load/store instead of one pass per merge
+        # (log2(CH) - 1 fewer chunk loads+stores per sort run).
         cur = 0
         bufs = (pk_s, stg_s)
+        jks = []
         k = 2
+        while k <= min(CH, m):
+            jks.extend(
+                (1 << b, k) for b in range(k.bit_length() - 2, -1, -1)
+            )
+            k *= 2
+        if jks:
+            fused_pass(jks, bufs[cur])
         while k <= m:
             j = k // 2
             while j >= CH:  # cross-chunk prefix of this merge
@@ -256,8 +272,7 @@ def _sort_rung_kernel(
                 j //= 2
             if j >= 1:
                 fused_pass(
-                    [1 << b for b in range(j.bit_length() - 1, -1, -1)],
-                    k,
+                    [(1 << b, k) for b in range(j.bit_length() - 1, -1, -1)],
                     bufs[cur],
                 )
             k *= 2
