@@ -194,39 +194,87 @@ def _sort_rung_kernel(
     #   2j-block's lo half (bit j clear) pairs with its hi half; the
     #   direction bit (rows & k) == 0 depends only on the block index t
     #   when k < CH (base is a CH multiple, so base & k == 0) and only on
-    #   the chunk base when k >= CH (t*2j + s < CH <= k) — one compare,
-    #   one eq and two selects per stage, all on half-height arrays.
+    #   the chunk base when k >= CH (t*2j + s < CH <= k).
+    # - Within one merge the direction is the SAME for every stage (it
+    #   depends on rows & k only), and stage j's pairs never cross the
+    #   lo/hi boundary of stage 2j — so a merge runs in PARTS form: keep
+    #   each stage's lo/hi outputs as separate arrays (no per-stage
+    #   re-concatenation; in-order concat of the parts reconstructs row
+    #   order exactly once, when parts reach PART_MIN=8 rows, the vreg
+    #   sublane height, below which sub-vreg parts would round up).
+    #   Direction is a (CH//k, 1, 1) even-block mask for k < CH, the
+    #   scalar (base & k) == 0 for k >= CH, and statically ascending for
+    #   the final merge k == m (rows < m, so the eq drops out entirely).
     # - Far stages (j >= CH) keep the one-contiguous-partner-read form and
     #   ping-pong between the buffers (parity tracked in Python).
 
+    PART_MIN = 8
+
     def fused_pass(jks, A):
         # jks: ordered (j, k) stage pairs, all with j < CH (chunk-local), run
-        # on ONE chunk load/store. dirs for k < CH are static per stage:
-        # hoist out of the chunk loop.
-        dirv = {}
+        # on ONE chunk load/store. Merge-level direction masks (k < CH) are
+        # hoisted out of the chunk loop.
+        merges = []  # [(k, [j descending])]
         for j, k in jks:
+            if merges and merges[-1][0] == k:
+                merges[-1][1].append(j)
+            else:
+                merges.append((k, [j]))
+        dir_lead = {}
+        for k, js in merges:
             if k < CH:
-                t2j = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (CH // (2 * j), j, LANES), 0
-                    )
-                    * (2 * j)
-                )
-                dirv[(j, k)] = (t2j & k) == 0
+                b0 = CH // (2 * js[0])
+                t = jax.lax.broadcasted_iota(jnp.int32, (b0, 1, LANES), 0)
+                # block t of height 2*js[0] has row bit k = bit of t*2j&k
+                dir_lead[k] = ((t * (2 * js[0])) & k) == 0
+
+        def cx(lo, hi, dirm):
+            cmp = hi < lo
+            swap = cmp if dirm is None else cmp == dirm
+            return jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)
 
         def up(c, _):
             base = c * CH
             w = A[pl.ds(base, CH)]
-            for j, k in jks:
-                kb = (base & k) == 0  # scalar direction when k >= CH
-                v = w.reshape(CH // (2 * j), 2 * j, LANES)
-                lo = v[:, :j]
-                hi = v[:, j:]
-                cmp = hi < lo
-                swap = cmp == (dirv[(j, k)] if k < CH else kb)
-                lo2 = jnp.where(swap, hi, lo)
-                hi2 = jnp.where(swap, lo, hi)
-                w = jnp.concatenate([lo2, hi2], axis=1).reshape(CH, LANES)
+            for k, js in merges:
+                if k == m:
+                    dirm = None  # rows < m: the final merge is ascending
+                elif k < CH:
+                    dirm = dir_lead[k]
+                else:
+                    dirm = (base & k) == 0  # scalar per chunk
+                j0 = js[0]
+                parts = [w.reshape(CH // (2 * j0), 2 * j0, LANES)]
+                for j in js:
+                    if j >= PART_MIN:
+                        new = []
+                        for p in parts:
+                            lo2, hi2 = cx(p[:, :j], p[:, j:], dirm)
+                            new.append(lo2)
+                            new.append(hi2)
+                        parts = new
+                    else:
+                        if len(parts) > 1:
+                            parts = [jnp.concatenate(parts, axis=1)]
+                        v = parts[0].reshape(CH // (2 * j), 2 * j, LANES)
+                        dj = dirm
+                        if (
+                            dirm is not None
+                            and getattr(dirm, "ndim", 0) == 3
+                            and dirm.shape[0] != v.shape[0]
+                        ):
+                            # re-derive the per-block mask at this reshape
+                            t2j = jax.lax.broadcasted_iota(
+                                jnp.int32, (CH // (2 * j), 1, LANES), 0
+                            ) * (2 * j)
+                            dj = (t2j & k) == 0
+                        lo2, hi2 = cx(v[:, :j], v[:, j:], dj)
+                        parts = [jnp.concatenate([lo2, hi2], axis=1)]
+                w = (
+                    parts[0]
+                    if len(parts) == 1
+                    else jnp.concatenate(parts, axis=1)
+                ).reshape(CH, LANES)
             A[pl.ds(base, CH)] = w
             return 0
 
