@@ -223,6 +223,7 @@ def packed_prev_lags(
     h: np.ndarray,  # int32 [bs, lanes] rung hash (full 32-bit)
     prev_k: int = 1,
     stride: int = 1,
+    window: int = 0,
 ) -> list[np.ndarray]:
     """Packed-key candidate search (the Pallas kernel's exact semantics).
 
@@ -247,12 +248,25 @@ def packed_prev_lags(
     k17 = fold_key17(h).astype(np.uint32).astype(np.int64)[::stride]
     m = k17.shape[0]
     rows = np.arange(m, dtype=np.int64)[:, None]
-    sp = np.sort((k17 << 15) | rows, axis=0)
+    words = (k17 << 15) | rows
+    if window and window < m:
+        # Chunk-local sort: the bitonic network stops at merge size
+        # ``window`` (sorted rows, i.e. window*stride bytes of reach), so
+        # candidates only come from the position's aligned window-group.
+        # Cuts the kernel's stage count from log^2(m)/2 to the partial sum
+        # at window; long-range redundancy is the longer rungs' job.
+        assert m % window == 0
+        sp = np.sort(words.reshape(m // window, window, lanes), axis=1)
+        sp = sp.reshape(m, lanes)
+        gstart = (rows // window) * window  # group base row
+    else:
+        sp = np.sort(words, axis=0)
+        gstart = np.zeros((m, 1), np.int64)
     spos = sp & 0x7FFF
     skey = sp >> 15
     out = []
     for j in range(1, prev_k + 1):
-        same = (skey == _shift_down(skey, j)) & (rows >= j)
+        same = (skey == _shift_down(skey, j)) & (rows - gstart >= j)
         lag_sorted = np.where(
             same, (spos - _shift_down(spos, j)) * stride, 0
         )
@@ -338,6 +352,27 @@ def extend_match(
     return np.where(el >= 4, el, 0).astype(np.int32)
 
 
+def derive_neighbor(
+    best_len: np.ndarray, best_off: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inherit the previous position's match, one byte shorter.
+
+    If data[p-1 .. p-1+L) == data[p-1-off ..), then data[p .. p+L-1) ==
+    data[p-off ..): a valid (L-1, off) match at p. Folding this in fills
+    positions the half-density (stride-2) rungs skipped — an even
+    position's match seeds its odd successor — at one elementwise pass.
+    Only strictly-better inherits fold (ties keep the own candidate, which
+    has the nearer lag by construction of the rung sort).
+    """
+    ln = _shift_down(best_len, 1) - 1
+    off = _shift_down(best_off, 1)
+    take = (ln >= 4) & (ln > best_len)
+    return (
+        np.where(take, ln, best_len).astype(np.int32),
+        np.where(take, off, best_off).astype(np.int32),
+    )
+
+
 def match_search_sorted(
     data: np.ndarray,  # int32 [bs, lanes]
     lens: np.ndarray,  # int32 [lanes]
@@ -346,6 +381,11 @@ def match_search_sorted(
     packed: bool = True,
     stride2_min: int = 0,
     sel_cap: int = 0,
+    neighbor: bool = False,
+    rung_windows: tuple[int, ...] | None = None,
+    rung_strides: tuple[int, ...] | None = None,
+    ext_cap: int = 64,
+    sel_all: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sort-based exact match finder — full-block window at O(bs log^2 bs).
 
@@ -391,18 +431,25 @@ def match_search_sorted(
     best_off = np.zeros((bs, lanes), np.int32)
     h = W4
     span = 4
-    for L in rungs:
+    all_cands: list[np.ndarray] = []
+    for ri, L in enumerate(rungs):
         while span < L:
             h = _hash_ladder_step(h, span)
             span *= 2
         k = prev_k if L == 4 else 1
         stride = 2 if (stride2_min and L >= stride2_min) else 1
+        if rung_strides:
+            stride = rung_strides[ri]
+        rw = rung_windows[ri] if rung_windows else 0
         if packed:
-            cands = packed_prev_lags(h, k, stride=stride)
+            cands = packed_prev_lags(h, k, stride=stride, window=rw)
         else:
             valid = rows + L <= lens[None, :]
             key = np.where(valid, h, SORT_SENTINEL).astype(np.int32)
             cands = nearest_prev_lags(key, k)
+        if sel_all and sel_cap:
+            all_cands.extend(cands)
+            continue
         if L == 4 and k > 1 and sel_cap:
             sel_len = np.zeros((bs, lanes), np.int32)
             sel_off = np.zeros((bs, lanes), np.int32)
@@ -413,11 +460,58 @@ def match_search_sorted(
                 sel_off = np.where(better, cand, sel_off)
             cands = [sel_off]
         for cand in cands:
-            el = extend_match(W4, lens, cand)
+            el = extend_match(W4, lens, cand, max_len=ext_cap)
             better = el > best_len
             best_len = np.where(better, el, best_len)
             best_off = np.where(better, cand, best_off)
+    if sel_all and sel_cap:
+        # Global select-then-extend: every candidate array (all rungs AND
+        # the prev ladder) gets only the CHEAP capped extension; the
+        # per-position winner (longest capped length; earlier arrays win
+        # ties — rung order puts nearer lags first) gets the one full
+        # extension. The capped passes share one word build in the kernel.
+        sel_len = np.zeros((bs, lanes), np.int32)
+        sel_off = np.zeros((bs, lanes), np.int32)
+        for cand in all_cands:
+            cl = extend_match(W4, lens, cand, max_len=sel_cap)
+            better = cl > sel_len
+            sel_len = np.where(better, cl, sel_len)
+            sel_off = np.where(better, cand, sel_off)
+        best_len = extend_match(W4, lens, sel_off, max_len=ext_cap)
+        best_off = np.where(best_len > 0, sel_off, 0)
+    if neighbor:
+        best_len, best_off = derive_neighbor(best_len, best_off)
     return best_len, best_off
+
+
+def emit_sizes(
+    lens: np.ndarray,
+    accept: np.ndarray,
+    is_copy: np.ndarray,
+    best_len: np.ndarray,
+    best_off: np.ndarray,
+) -> np.ndarray:
+    """Per-lane compressed sizes from a parse — the layout math of
+    ``layout_and_emit`` without the routing passes (for fast ratio sweeps).
+    """
+    bs, lanes = accept.shape
+    rows = np.arange(bs, dtype=np.int32)[:, None]
+    in_range = rows < lens[None, :]
+    is_lit = accept & ~is_copy
+    prev_lit = _shift_down(is_lit.astype(np.int32), 1).astype(bool)
+    head_lit = is_lit & ~prev_lit
+    INF = np.int32(1 << 28)
+    nonlit_next = np.where((accept & is_copy) | ~in_range, rows, INF)
+    run_end = np.minimum.accumulate(nonlit_next[::-1], axis=0)[::-1]
+    run_end = np.minimum(run_end, lens[None, :])
+    run_len = np.where(head_lit, run_end - rows, 0)
+    L1 = np.maximum(run_len - 1, 0)
+    lit_ext = np.where(L1 < 60, 0, np.where(L1 < 256, 1, 2))
+    hdr_lit = np.where(head_lit, 1 + lit_ext, 0)
+    copy1 = is_copy & (best_len < 12) & (best_off < 2048)
+    hdr_copy = np.where(is_copy, np.where(copy1, 2, 3), 0)
+    emit = np.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
+    return emit.sum(axis=0).astype(np.int32)
 
 
 def lazy_defer(best_len: np.ndarray) -> np.ndarray:
@@ -535,22 +629,95 @@ def layout_and_emit(
         np.where(head_lit & (lit_ext == 2), (L1 >> 8) & 0xFF, 0),
     )
 
-    # Tokens: channels 0..2 = header bytes at element heads; 3 = literal data.
+    # Single-channel tokens: every emitted byte belongs to exactly one
+    # token row, as 1-4 CONSECUTIVE output bytes in one 32-bit payload.
+    # A head row carries its 1-3 header bytes (plus, for a literal head,
+    # its own first data byte — the cov identity makes them adjacent); a
+    # non-head literal row carries its one data byte. Token start
+    # destinations are strictly increasing in row order and the byte spans
+    # are disjoint (dst of the next element >= this one's start + count),
+    # so ONE compact-then-expand route replaces the four per-byte channels,
+    # and a 4-way shifted OR lands the payload bytes.
     is_head = accept & (head_lit | is_copy)
     hdr_len_here = hdr_lit + hdr_copy
-    comp = np.zeros((cap, lanes), np.int32)
-    for ch in range(4):
-        if ch < 3:
-            tok = is_head & (hdr_len_here > ch)
-            dst = out_start + ch
-            val = h[ch]
-        else:
-            tok = is_lit
-            data_idx = rows - head_row  # position within run (head -> 0)
-            dst = cov_start + cov_hdr + data_idx
-            val = data
-        comp = _route_channel(comp, tok, dst, val, cap)
+    tok = is_head | is_lit
+    data_idx = rows - head_row  # position within run (head -> 0)
+    dst = np.where(is_head, out_start, cov_start + cov_hdr + data_idx)
+    count = np.where(
+        is_head, hdr_len_here + np.where(head_lit, 1, 0), 1
+    )
+    pay = np.where(
+        is_head,
+        h[0] | (h[1] << 8) | (h[2] << 16),
+        data & 0xFF,
+    )
+    pay = np.where(
+        head_lit, pay | (data & 0xFF) << (8 * hdr_lit), pay
+    )
+    comp = _route_tokens(tok, dst, count, pay, cap)
     return comp.astype(np.uint8), sizes
+
+
+def _route_tokens(
+    tok: np.ndarray,  # [bs, lanes] token mask
+    dst: np.ndarray,  # [bs, lanes] first-byte destinations in [0, cap)
+    count: np.ndarray,  # [bs, lanes] payload byte counts in [1, 4]
+    pay: np.ndarray,  # [bs, lanes] up to 4 little-endian payload bytes
+    cap: int,
+) -> np.ndarray:
+    """Route (dst, count, payload) tokens, then land bytes by shifted OR.
+
+    The route word packs OCC | dst << 8 | count (count in bits 0-2, dst in
+    bits 8-24 — 17 bits cover the 64 KB block capacity); the 32-bit payload
+    rides through the same compact/expand moves as a second array. Landing:
+    output row r collects byte j of the token routed to row r - j when that
+    token's count > j — spans are disjoint, so at most one j contributes.
+    """
+    bs, lanes = tok.shape
+    nrows = max(cap, bs)
+    W = np.zeros((nrows, lanes), np.int32)
+    P = np.zeros((nrows, lanes), np.int32)
+    OCC = 1 << 30
+    W[:bs] = np.where(tok, OCC | (dst << 8) | count, 0)
+    P[:bs] = np.where(tok, pay, 0)
+    rows = np.arange(nrows, dtype=np.int32)[:, None]
+
+    occ = (W & OCC) != 0
+    rank = np.where(occ, np.cumsum(occ, axis=0) - 1, 0)
+    max_bit = max(1, nrows - 1).bit_length() - 1
+    for k in range(max_bit + 1):  # compact up, LSB-first
+        sh = 1 << k
+        occ = (W & OCC) != 0
+        move = occ & ((((rows - rank) >> k) & 1) == 1)
+        mw = _shift_up(np.where(move, W, 0), sh)
+        mr = _shift_up(np.where(move, rank, 0), sh)
+        mp = _shift_up(np.where(move, P, 0), sh)
+        arriving = (mw & OCC) != 0
+        staying = occ & ~move
+        assert not (arriving & staying).any(), "route conflict (compact)"
+        W = np.where(arriving, mw, np.where(staying, W, 0))
+        rank = np.where(arriving, mr, np.where(staying, rank, 0))
+        P = np.where(arriving, mp, np.where(staying, P, 0))
+    for k in range(max_bit, -1, -1):  # expand down, MSB-first
+        sh = 1 << k
+        occ = (W & OCC) != 0
+        wdst = (W >> 8) & 0x1FFFF
+        move = occ & (wdst - rows >= sh)
+        mw = _shift_down(np.where(move, W, 0), sh)
+        mp = _shift_down(np.where(move, P, 0), sh)
+        arriving = (mw & OCC) != 0
+        staying = occ & ~move
+        assert not (arriving & staying).any(), "route conflict (expand)"
+        W = np.where(arriving, mw, np.where(staying, W, 0))
+        P = np.where(arriving, mp, np.where(staying, P, 0))
+
+    out = np.zeros((cap, lanes), np.int32)
+    for j in range(4):
+        Wj = _shift_down(W, j)[:cap] if j else W[:cap]
+        Pj = _shift_down(P, j)[:cap] if j else P[:cap]
+        hit = ((Wj & OCC) != 0) & ((Wj & 7) > j)
+        out = np.where(hit, (Pj >> (8 * j)) & 0xFF, out)
+    return out
 
 
 def _route_channel(
@@ -609,13 +776,16 @@ def encode_lanes(
     prev_k: int = 1,
     stride2_min: int = 0,
     sel_cap: int = 0,
+    sel_all: bool = False,
+    rung_strides: tuple[int, ...] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
     if matcher == "sorted":
         best_len, best_off = match_search_sorted(
             data, lens, rungs=rungs or (4, 8, 16, 32, 64), prev_k=prev_k,
-            stride2_min=stride2_min, sel_cap=sel_cap,
+            stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
+            rung_strides=rung_strides,
         )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)

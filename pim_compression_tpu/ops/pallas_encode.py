@@ -13,10 +13,11 @@ arrays, where int8 tiles are dense and per-vreg throughput is maximal):
   Dynamic lag shifts are decomposed into a 32-aligned dynamic slice plus 32
   static sub-shifts, so no unaligned dynamic sublane access is needed.
 - **K2 parse + emit** (``_emit_kernel``): greedy accept scan (8 rows per
-  aligned step), vectorized literal-run and element layout, then four
-  monotone token channels (header bytes 0..2 at element heads + literal
-  data bytes) routed into compressed-stream rows with the conflict-free
-  compact-then-expand schedule shared with the decoder.
+  aligned step), vectorized literal-run and element layout (all scans as
+  single chunk-carry passes), then ONE monotone token channel — each
+  token's 1-4 consecutive output bytes ride a 32-bit payload through the
+  conflict-free compact-then-expand schedule shared with the decoder, and
+  a 4-way shifted OR lands the bytes.
 
 Output lengths are bucketed (emitting a shorter copy than the true match is
 always format-valid); matches are exact byte equalities, never fingerprints.
@@ -52,9 +53,10 @@ def encode_capacity(block_size: int) -> int:
 
 
 def _stg_rows(bs: int) -> int:
-    # Scan/csum staging: fill region of the deepest shift + the staged
-    # copy; >= 2 chunks for the expand snapshot region.
-    return max(bs + (1 << ((bs - 1).bit_length() - 1)), 2048)
+    # Expand-phase chunk-0 snapshot staging: zeros + W snapshot + zeros +
+    # payload snapshot, one expand chunk (CHR = 1024; _route_rows is a
+    # 1024-row multiple) each.
+    return 4 * 1024
 
 
 def _route_rows(bs: int, cap: int) -> int:
@@ -73,44 +75,6 @@ def _shift_up(x, sh):
     return jnp.concatenate(
         [x[sh:], jnp.zeros((sh,) + x.shape[1:], x.dtype)], axis=0
     )
-
-
-def _scan_max_down(x):
-    # Inclusive prefix max along axis 0 (log-shift; fill -1). Mosaic has no
-    # cummax primitive, so scans are built from concat-shifts.
-    n = x.shape[0]
-    sh = 1
-    while sh < n:
-        shifted = jnp.concatenate(
-            [jnp.full((sh,) + x.shape[1:], -1, x.dtype), x[:-sh]], axis=0
-        )
-        x = jnp.maximum(x, shifted)
-        sh <<= 1
-    return x
-
-
-def _scan_min_up(x):
-    # Inclusive suffix min along axis 0 (log-shift; fill INT32_MAX).
-    n = x.shape[0]
-    big = jnp.iinfo(jnp.int32).max
-    sh = 1
-    while sh < n:
-        shifted = jnp.concatenate(
-            [x[sh:], jnp.full((sh,) + x.shape[1:], big, x.dtype)], axis=0
-        )
-        x = jnp.minimum(x, shifted)
-        sh <<= 1
-    return x
-
-
-def _scan_sum_down(x):
-    # Inclusive prefix sum along axis 0 (log-shift).
-    n = x.shape[0]
-    sh = 1
-    while sh < n:
-        x = x + _shift_down(x, sh)
-        sh <<= 1
-    return x
 
 
 # ---------------------------------------------------------------------------
@@ -294,23 +258,30 @@ def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
 # ---------------------------------------------------------------------------
 
 
-def _route_channel(
-    ch, data8, meta_s, copy_ref, comp_ref,
-    W_s, rank_s, STG, *, bs, cap, nrows
+def _route_tokens(
+    meta_s, copy_ref, B8, comp_ref,
+    W_s, rank_s, PAY, STG, *, bs, cap, nrows
 ):
-    """One monotone channel: tokens routed to their compressed-stream rows,
-    landing directly into the output block.
+    """Single-channel token route with a 32-bit payload, landing directly
+    into the output block (spec: ``lane_model_encode._route_tokens``).
 
-    Fully chunked (the VMEM diet): tokens are built CHB rows at a time
-    straight from the parked layout scratches, the occupancy prefix-sum /
-    LSB-first compact / MSB-first expand all run as (round x chunk) fori
-    nests over staged scratch — the un-chunked form's full-array round
-    bodies held ~9 live (bs, 128) arrays and spilled ~130 MB at
-    bs=16384 (hardware-measured 246 MB total against the 128 MB budget).
-    Staging inside STG (_stg_rows(bs) rows):
-      prefix-sum: fill zeros [0,SB), stage [SB,SB+bs), SB = deepest shift
-      compact:    none — in-place ascending-chunk rounds
-      expand:     chunk-0 snapshot only: zeros [0,CHR), stage [CHR,2CHR)
+    Every emitted byte belongs to exactly one token row as 1-4 CONSECUTIVE
+    output bytes: a head row carries its 1-3 header bytes (plus, for a
+    literal head, its own first data byte — adjacent by the cov identity);
+    a non-head literal row carries its one data byte. Token start
+    destinations are strictly increasing in row order and the byte spans
+    are disjoint, so ONE compact-then-expand route replaces the four
+    per-byte channels of the round-2 kernel, and a 4-way shifted OR lands
+    the payload bytes. The route word packs OCC | dst << 8 | count (dst in
+    bits 8-24: 17 bits cover the 64 KB block capacity; count in bits 0-2);
+    the payload rides the same moves as a second array.
+
+    Fully chunked (the VMEM diet): the un-chunked form's full-array round
+    bodies held ~9 live (bs, 128) arrays and spilled ~130 MB at bs=16384.
+    Token build + occupancy ranks fuse into one ascending chunk-carry
+    pass; compact/expand are staging-free in-place rounds (sources read
+    from not-yet-updated chunks) except the expand's chunk-0 snapshot in
+    STG ([0,CHR) zeros | W0 | zeros | PAY0).
     """
     CHB = min(bs, 1024)
     NCB = bs // CHB
@@ -320,75 +291,54 @@ def _route_channel(
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
-    # Tokens + occupancy into W_s[0:bs] / rank_s (chunked). The meta
-    # dst field holds the literal byte destination for lit rows and
-    # out_start for copy heads; a lit-head's out_start is its own first
-    # literal's dst minus its header size (cov_data0 identity), so header
-    # channels never need a separate out_start array.
-    def tok_init(c, _):
+    # Token build + rank assignment in one ascending pass: the occupancy
+    # prefix-sum runs chunk-locally (in-value log-shifts) with a carried
+    # running total — one pass over the rows instead of log2(bs) staged
+    # full-array rounds.
+    def tok_init(c, tot):
         base = c * CHB
         meta = meta_s[pl.ds(base, CHB)]
-        if ch < 3:
-            tok = (((meta >> 17) & 1) != 0) & (((meta >> 18) & 3) > ch)
-            lit = ((meta >> 16) & 1) != 0
-            hdr = (meta >> 18) & 3
-            dst = (meta & 0xFFFF) - jnp.where(lit, hdr, 0) + ch
-            val = (copy_ref[pl.ds(base, CHB)] >> (8 * ch)) & 0xFF
-        else:
-            tok = ((meta >> 16) & 1) != 0
-            dst = meta & 0xFFFF
-            val = data8[pl.ds(base, CHB)].astype(jnp.int32) & 0xFF
-        W_s[pl.ds(base, CHB)] = jnp.where(tok, _OCC | (dst << 8) | val, 0)
-        rank_s[pl.ds(base, CHB)] = jnp.where(tok, 1, 0)
-        return 0
-
-    jax.lax.fori_loop(0, NCB, tok_init, 0)
-    W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
-
-    # Occupancy prefix-sum rounds (rank of each token). Stage base =
-    # deepest down-shift 2^(nbit-1) (> bs/2 for non-power-of-two bs).
-    nbit = (bs - 1).bit_length()
-    SB = 1 << (nbit - 1)
-    STG[0:SB] = jnp.zeros((SB, LANES), jnp.int32)  # down-shift pad
-
-    def csum_round(j, _):
-        sh = jnp.int32(1) << j
-
-        def stage(c, _):
-            base = c * CHB
-            STG[pl.ds(SB + base, CHB)] = rank_s[pl.ds(base, CHB)]
-            return 0
-
-        jax.lax.fori_loop(0, NCB, stage, 0)
-
-        def upd(c, _):
-            base = c * CHB
-            rank_s[pl.ds(base, CHB)] = (
-                rank_s[pl.ds(base, CHB)] + STG[pl.ds(SB + base - sh, CHB)]
-            )
-            return 0
-
-        jax.lax.fori_loop(0, NCB, upd, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nbit, csum_round, 0)
-
-    def rank_fix(c, _):
-        base = c * CHB
-        occ = (W_s[pl.ds(base, CHB)] & _OCC) != 0
-        rank_s[pl.ds(base, CHB)] = jnp.where(
-            occ, rank_s[pl.ds(base, CHB)] - 1, 0
+        lit = ((meta >> 17) & 1) != 0
+        head = ((meta >> 18) & 1) != 0
+        hdr = (meta >> 19) & 3
+        dstf = meta & 0x1FFFF  # litdst for lit rows; out_start, copy heads
+        dst = jnp.where(head & lit, dstf - hdr, dstf)
+        liti = lit.astype(jnp.int32)
+        count = jnp.where(head, hdr + liti, 1)
+        tok = head | lit
+        hb = copy_ref[pl.ds(base, CHB)]  # h0 | h1<<8 | h2<<16
+        d = B8[pl.ds(base, CHB)].astype(jnp.int32) & 0xFF
+        pay = jnp.where(head, hb | jnp.where(lit, d << (8 * hdr), 0), d)
+        W_s[pl.ds(base, CHB)] = jnp.where(
+            tok, _OCC | (dst << 8) | count, 0
         )
-        return 0
+        PAY[pl.ds(base, CHB)] = jnp.where(tok, pay, 0)
+        occ_i = tok.astype(jnp.int32)
+        sh = 1
+        while sh < CHB:  # in-value inclusive prefix sum
+            occ_i = occ_i + jnp.concatenate(
+                [jnp.zeros((sh, LANES), jnp.int32), occ_i[: CHB - sh]]
+            )
+            sh <<= 1
+        incl = occ_i + tot
+        rank_s[pl.ds(base, CHB)] = jnp.where(tok, incl - 1, 0)
+        return incl[CHB - 1 : CHB]
 
-    jax.lax.fori_loop(0, NCB, rank_fix, 0)
+    jax.lax.fori_loop(
+        0, NCB, tok_init, jnp.zeros((1, LANES), jnp.int32)
+    )
+    W_s[bs:nrows] = jnp.zeros((nrows - bs, LANES), jnp.int32)
+    rank_s[bs : bs + CHB] = jnp.zeros((CHB, LANES), jnp.int32)
+    PAY[bs : bs + CHB] = jnp.zeros((CHB, LANES), jnp.int32)
 
     # Compact up, LSB-first — staging-free: ascending chunk order reads
     # source rows [base+sh, base+sh+CHB) from chunks not yet updated this
     # round (within-chunk rows are read before the chunk is written), with
-    # the read start clamped into the zero pads above bs (W_s[bs:nrows),
-    # rank_s[bs:bs+CHB)) so out-of-range sources read as unoccupied. The
-    # source's move decision is recomputed instead of staged.
+    # the read start clamped into the zero pads above bs so out-of-range
+    # sources read as unoccupied. The source's move decision is recomputed
+    # instead of staged; the payload rides the same select.
+    nbit = (bs - 1).bit_length()
+
     def compact_round(k, _):
         sh = jnp.int32(1) << k
 
@@ -396,12 +346,14 @@ def _route_channel(
             base = c * CHB
             W = W_s[pl.ds(base, CHB)]
             rank = rank_s[pl.ds(base, CHB)]
+            P = PAY[pl.ds(base, CHB)]
             occ = (W & _OCC) != 0
             crows = base + ch_iota(CHB)
             move = occ & ((((crows - rank) >> k) & 1) == 1)
             src = jnp.minimum(base + sh, bs)
             nW = W_s[pl.ds(src, CHB)]
             nR = rank_s[pl.ds(src, CHB)]
+            nP = PAY[pl.ds(src, CHB)]
             srows = src + ch_iota(CHB)
             occ_s = (nW & _OCC) != 0
             arriving = occ_s & ((((srows - nR) >> k) & 1) == 1)
@@ -411,6 +363,9 @@ def _route_channel(
             )
             rank_s[pl.ds(base, CHB)] = jnp.where(
                 arriving, nR, jnp.where(staying, rank, 0)
+            )
+            PAY[pl.ds(base, CHB)] = jnp.where(
+                arriving, nP, jnp.where(staying, P, 0)
             )
             return 0
 
@@ -422,36 +377,49 @@ def _route_channel(
     # Expand down, MSB-first over [0, nrows) — staging-free except chunk 0:
     # descending chunk order reads source rows [base-sh, base-sh+CHR) from
     # chunks not yet updated this round. Only chunk 0 can straddle row 0
-    # (sh < CHR implies every other chunk has base >= CHR > sh), so a
-    # single-chunk snapshot in STG[CHR:2CHR) (zeros in STG[0:CHR)) serves
-    # its shifted read; arriving is masked by crows >= sh and the source's
-    # move decision is recomputed from the read words.
+    # (sh < CHR implies every other chunk has base >= CHR > sh), so
+    # single-chunk snapshots in STG (W at [CHR,2CHR), PAY at [3CHR,4CHR),
+    # zeros before each) serve its shifted reads; arriving is masked by
+    # crows >= sh and the source's move decision is recomputed.
     max_bit = (nrows - 1).bit_length() - 1
     STG[0:CHR] = jnp.zeros((CHR, LANES), jnp.int32)
+    STG[2 * CHR : 3 * CHR] = jnp.zeros((CHR, LANES), jnp.int32)
 
     def expand_round(j, _):
         sh = jnp.int32(1) << (max_bit - j)
         STG[pl.ds(CHR, CHR)] = W_s[pl.ds(0, CHR)]
+        STG[pl.ds(3 * CHR, CHR)] = PAY[pl.ds(0, CHR)]
 
         def upd(i, _):
             c = NCR - 1 - i
             base = c * CHR
             W = W_s[pl.ds(base, CHR)]
+            P = PAY[pl.ds(base, CHR)]
             occ = (W & _OCC) != 0
             crows = base + ch_iota(CHR)
-            move = occ & (((W >> 8) & 0x3FFFFF) - crows >= sh)
-            mW_main = W_s[pl.ds(jnp.maximum(base - sh, 0), CHR)]
-            mW_c0 = STG[pl.ds(jnp.maximum(CHR - sh, 0), CHR)]
-            mW = jnp.where(base == 0, mW_c0, mW_main)
+            move = occ & (((W >> 8) & 0x1FFFF) - crows >= sh)
+            off0 = jnp.maximum(CHR - sh, 0)
+            moff = jnp.maximum(base - sh, 0)
+            mW = jnp.where(
+                base == 0, STG[pl.ds(off0, CHR)], W_s[pl.ds(moff, CHR)]
+            )
+            mP = jnp.where(
+                base == 0,
+                STG[pl.ds(2 * CHR + off0, CHR)],
+                PAY[pl.ds(moff, CHR)],
+            )
             occ_m = (mW & _OCC) != 0
             arriving = (
                 (crows >= sh)
                 & occ_m
-                & (((mW >> 8) & 0x3FFFFF) - (crows - sh) >= sh)
+                & (((mW >> 8) & 0x1FFFF) - (crows - sh) >= sh)
             )
             staying = occ & ~move
             W_s[pl.ds(base, CHR)] = jnp.where(
                 arriving, mW, jnp.where(staying, W, 0)
+            )
+            PAY[pl.ds(base, CHR)] = jnp.where(
+                arriving, mP, jnp.where(staying, P, 0)
             )
             return 0
 
@@ -460,18 +428,30 @@ def _route_channel(
 
     jax.lax.fori_loop(0, max_bit + 1, expand_round, 0)
 
-    # Land into the output block (valid streams never land at rows >= cap:
-    # the capacity bound holds sizes <= cap).
+    # Land: output row r collects byte j of the token routed to row r - j
+    # when that token's count > j. Spans are disjoint, so at most one j
+    # contributes; rows no token covers emit 0 (past the block's size —
+    # never read by assembly). No pre-zero pass needed.
     CHC = min(cap, 1024)
 
     def land(c, _):
         base = c * CHC
-        W = W_s[pl.ds(base, CHC)]
-        landed = (W & _OCC) != 0
-        prev = comp_ref[0, pl.ds(base, CHC)].astype(jnp.int32)
-        comp_ref[0, pl.ds(base, CHC)] = jnp.where(
-            landed, W & 0xFF, prev
-        ).astype(jnp.int8)
+        Wc = W_s[pl.ds(base, CHC)]
+        Pc = PAY[pl.ds(base, CHC)]
+        pbase = jnp.maximum(base - CHC, 0)
+        live = (base > 0).astype(jnp.int32)
+        Wp = W_s[pl.ds(pbase, CHC)] * live  # chunk 0: no rows above
+        Pp = PAY[pl.ds(pbase, CHC)] * live
+        out = jnp.zeros((CHC, LANES), jnp.int32)
+        for j in range(4):
+            if j == 0:
+                Wj, Pj = Wc, Pc
+            else:
+                Wj = jnp.concatenate([Wp[CHC - j :], Wc[: CHC - j]])
+                Pj = jnp.concatenate([Pp[CHC - j :], Pc[: CHC - j]])
+            hit = ((Wj & _OCC) != 0) & ((Wj & 7) > j)
+            out = jnp.where(hit, (Pj >> (8 * j)) & 0xFF, out)
+        comp_ref[0, pl.ds(base, CHC)] = out.astype(jnp.int8)
         return 0
 
     jax.lax.fori_loop(0, cap // CHC, land, 0)
@@ -485,9 +465,10 @@ def _emit_kernel(
     comp_ref,  # (1, cap, 128) i8 out
     size_ref,  # (1, 8, 128) i32 out
     copy_ref,  # scratch (bs, 128) i32: packed accept|copy -> h-bytes
-    W_s,  # scratch (nrows, 128) i32: scan workspace / channel words
+    W_s,  # scratch (nrows, 128) i32: scan workspace / route words
     rank_s,  # scratch (bs + CHB, 128) i32: head-row scan -> token ranks
-    STG,  # scratch (_stg_rows(bs), 128) i32: scan/expand staging
+    PAY,  # scratch (nrows, 128) i32: 32-bit token payloads
+    STG,  # scratch (4096, 128) i32: expand chunk-0 snapshots
     meta_s,  # scratch (bs, 128) i32: h-bytes+hdr -> final layout metadata
     B8,  # scratch (bs, 128) i8: DMA'd match lengths, then block bytes
     MLAG16,  # scratch (bs, 128) i16: DMA'd match lags
@@ -496,31 +477,33 @@ def _emit_kernel(
     bs: int,
     cap: int,
 ):
-    """Greedy parse + layout + 4-channel routing, fully chunked.
+    """Greedy parse + layout + single-channel payload routing, chunked.
 
-    Every full-(bs, 128) phase of the un-chunked form runs here as a
-    CHB-row fori nest with intermediates parked in scratch regions, so
-    register-allocator liveness is bounded by the chunk size at any block
-    size (the full-array form held ~16 live arrays = ~134 MB of spill at
-    bs=16384). The big inputs stay in HBM (ANY) and are DMA'd into
-    single-buffered scratch — double-buffered grid windows for
-    data+mlen+mlag alone would cost 2x16.8 MB at 32 K; B8 holds the match
-    lengths until pass B consumes them, then the block bytes for the
-    literal channel. Scratch choreography:
+    Every full-(bs, 128) phase runs as a CHB-row fori nest with
+    intermediates parked in scratch regions, so register-allocator
+    liveness is bounded by the chunk size at any block size (the
+    full-array form held ~16 live arrays = ~134 MB of spill at bs=16384).
+    All prefix/suffix scans are single chunk-carry passes (in-value
+    log-shifts within the loaded chunk + a carried boundary row) instead
+    of the round-2 staged log-shift rounds — one pass over the rows
+    replaces log2(bs) staged full-array rounds per scan. The big inputs
+    stay in HBM (ANY) and are DMA'd into single-buffered scratch; B8
+    holds the match lengths until pass B consumes them, then the block
+    bytes for the token payloads. Scratch choreography:
       greedy:  packed accept|copy masks -> copy_ref
       pass A:  head-lit rows -> rank_s, nonlit_next -> W_s
-      scan     suffix-min on W_s               -> run_end
+      scan     suffix-min on W_s (chunk-carry)  -> run_end
       pass B:  emit -> W_s, h-bytes|hdr -> meta_s
-      scan     prefix-sum on W_s               -> incl (sizes = last row)
+      scan     prefix-sum on W_s (chunk-carry)  -> incl (sizes = carry)
       pass C:  h-bytes -> copy_ref; lit|head|hdr + out_start-at-copy-heads
                -> meta_s (out_start from a carried last-incl row);
                head-emit rows -> W_s
       scan     prefix-max on W_s -> cov_data0; prefix-max in rank_s ->
-               head_row
-      pass D:  litdst into meta_s bits 0-15 (lit rows only; copy heads
+               head_row (both chunk-carry)
+      pass D:  litdst into meta_s bits 0-16 (lit rows only; copy heads
                keep out_start there — a lit-head's out_start is litdst
                minus its header size, the cov_data0 identity)
-      routing  4 monotone channels (see _route_channel)
+      routing  one payload-carrying monotone channel (_route_tokens)
     """
     nrows = _route_rows(bs, cap)
     CHB = min(bs, 1024)
@@ -562,63 +545,48 @@ def _emit_kernel(
         0, bs // SUBLANES, scan_outer, jnp.zeros((1, LANES), jnp.int32)
     )
 
-    # In-place log-shift scans over ref[0:bs], staged through
-    # STG[0:SB+bs) — the deepest shift is 2^(nbit-1) (= bs/2 for
-    # power-of-two bs, up to just under bs otherwise), so the fill region
-    # on either side of the staged copy is exactly that deep.
-    nbit = (bs - 1).bit_length()
-    SB = 1 << (nbit - 1)  # down-scan stage base = deepest shift
+    # Chunk-carry scans over ref[0:bs]: ONE pass per scan — each chunk
+    # runs an in-value log-shift inclusive scan, then folds the carried
+    # boundary row; the carry is the updated chunk's own boundary row.
+    def _chunk_incl(x, op, fill, up):
+        n = x.shape[0]
+        sh = 1
+        while sh < n:
+            pad = jnp.full((sh, LANES), fill, x.dtype)
+            shifted = (
+                jnp.concatenate([x[sh:], pad])
+                if up
+                else jnp.concatenate([pad, x[: n - sh]])
+            )
+            x = op(x, shifted)
+            sh <<= 1
+        return x
 
     def scan_down_ip(op, fill, ref=None):
         ref = W_s if ref is None else ref
-        STG[0:SB] = jnp.full((SB, LANES), fill, jnp.int32)
 
-        def rnd(j, _):
-            sh = jnp.int32(1) << j
+        def chunk(c, carry):
+            base = c * CHB
+            x = _chunk_incl(ref[pl.ds(base, CHB)], op, fill, up=False)
+            x = op(x, carry)
+            ref[pl.ds(base, CHB)] = x
+            return x[CHB - 1 : CHB]
 
-            def stage(c, _):
-                base = c * CHB
-                STG[pl.ds(SB + base, CHB)] = ref[pl.ds(base, CHB)]
-                return 0
-
-            jax.lax.fori_loop(0, NCB, stage, 0)
-
-            def upd(c, _):
-                base = c * CHB
-                ref[pl.ds(base, CHB)] = op(
-                    ref[pl.ds(base, CHB)], STG[pl.ds(SB + base - sh, CHB)]
-                )
-                return 0
-
-            jax.lax.fori_loop(0, NCB, upd, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nbit, rnd, 0)
+        return jax.lax.fori_loop(
+            0, NCB, chunk, jnp.full((1, LANES), fill, jnp.int32)
+        )
 
     def scan_up_ip(op, fill):
-        STG[bs : bs + SB] = jnp.full((SB, LANES), fill, jnp.int32)
+        def chunk(i, carry):
+            base = (NCB - 1 - i) * CHB
+            x = _chunk_incl(W_s[pl.ds(base, CHB)], op, fill, up=True)
+            x = op(x, carry)
+            W_s[pl.ds(base, CHB)] = x
+            return x[0:1]
 
-        def rnd(j, _):
-            sh = jnp.int32(1) << j
-
-            def stage(c, _):
-                base = c * CHB
-                STG[pl.ds(base, CHB)] = W_s[pl.ds(base, CHB)]
-                return 0
-
-            jax.lax.fori_loop(0, NCB, stage, 0)
-
-            def upd(c, _):
-                base = c * CHB
-                W_s[pl.ds(base, CHB)] = op(
-                    W_s[pl.ds(base, CHB)], STG[pl.ds(base + sh, CHB)]
-                )
-                return 0
-
-            jax.lax.fori_loop(0, NCB, upd, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nbit, rnd, 0)
+        return jax.lax.fori_loop(
+            0, NCB, chunk, jnp.full((1, LANES), fill, jnp.int32)
+        )
 
     def lit_chunk(base, last_lit):
         """(lit, head_lit, acc, cp) for a chunk, with cross-chunk carry."""
@@ -715,13 +683,14 @@ def _emit_kernel(
         # (rows << k) packing (which wraps int32 at 16 K).
         W_s[pl.ds(base, CHB)] = jnp.where(is_head, out_start + hdr_here, -1)
         copy_ref[pl.ds(base, CHB)] = meta & 0xFFFFFF
-        # Copy heads park their out_start in the dst field (their litdst is
-        # never read: channel 3 gates on the lit bit). Lit rows get litdst
-        # in pass D; a lit-head's out_start = litdst - hdr (cov identity).
+        # Copy heads park their out_start in the dst field (their litdst
+        # is never read: their payload is headers only). Lit rows get
+        # litdst in pass D; a lit-head's out_start = litdst - hdr (cov
+        # identity). dst takes bits 0-16: 17 bits cover the 64 KB cap.
         meta_s[pl.ds(base, CHB)] = (
             jnp.where(is_head & cp, out_start, 0)
-            | (lit << 16) | (is_head.astype(jnp.int32) << 17)
-            | (hdr_here << 18)
+            | (lit << 17) | (is_head.astype(jnp.int32) << 18)
+            | (hdr_here << 19)
         )
         return (lit[CHB - 1 : CHB], incl[CHB - 1 : CHB])
 
@@ -732,43 +701,32 @@ def _emit_kernel(
     scan_down_ip(jnp.maximum, -1)  # W_s = cov_data0
     scan_down_ip(jnp.maximum, -1, ref=rank_s)  # rank_s = head_row
 
-    # Pass D: literal data byte destinations into meta bits 0-15
-    # (16 bits cover cap(32768)).
+    # Pass D: literal data byte destinations into meta bits 0-16
+    # (17 bits cover the 64 KB cap).
     def passD(c, _):
         base = c * CHB
         crows = base + ch_iota(CHB)
         head_row = rank_s[pl.ds(base, CHB)]
         cov = W_s[pl.ds(base, CHB)]
         litdst = jnp.clip(
-            cov + (crows - jnp.maximum(head_row, 0)), 0, (1 << 16) - 1
+            cov + (crows - jnp.maximum(head_row, 0)), 0, (1 << 17) - 1
         )
         meta = meta_s[pl.ds(base, CHB)]
         meta_s[pl.ds(base, CHB)] = meta | jnp.where(
-            ((meta >> 16) & 1) != 0, litdst, 0
+            ((meta >> 17) & 1) != 0, litdst, 0
         )
         return 0
 
     jax.lax.fori_loop(0, NCB, passD, 0)
 
     # Match lengths are dead past pass B: reuse B8 for the block bytes
-    # (the literal channel's values). Zero the output block and the rank
-    # pad (the compact rounds read rows [bs, bs+CHB) as always-unoccupied
-    # sources), then route the four monotone channels.
+    # (the token payloads' literal data), then route the one
+    # payload-carrying channel.
     dma(data_ref.at[g], B8)
-    rank_s[bs : bs + CHB] = jnp.zeros((CHB, LANES), jnp.int32)
-    CHC = min(cap, 1024)
-
-    def zcomp(c, _):
-        comp_ref[0, pl.ds(c * CHC, CHC)] = jnp.zeros((CHC, LANES), jnp.int8)
-        return 0
-
-    jax.lax.fori_loop(0, cap // CHC, zcomp, 0)
-
-    for ch in range(4):
-        _route_channel(
-            ch, B8, meta_s, copy_ref, comp_ref,
-            W_s, rank_s, STG, bs=bs, cap=cap, nrows=nrows,
-        )
+    _route_tokens(
+        meta_s, copy_ref, B8, comp_ref,
+        W_s, rank_s, PAY, STG, bs=bs, cap=cap, nrows=nrows,
+    )
 
     size_ref[0] = jnp.broadcast_to(sizes, (SUBLANES, LANES))
 
@@ -782,7 +740,8 @@ def _emit_kernel(
     jax.jit,
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
-        "rungs", "prev_k", "stride2_min", "sel_cap", "interpret",
+        "rungs", "prev_k", "stride2_min", "sel_cap", "sel_all",
+        "rung_strides", "interpret",
     ),
 )
 def encode_blocks_pallas(
@@ -798,6 +757,8 @@ def encode_blocks_pallas(
     prev_k: int = 1,
     stride2_min: int = 0,
     sel_cap: int = 0,
+    sel_all: bool = False,
+    rung_strides: tuple[int, ...] | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
@@ -899,7 +860,10 @@ def encode_blocks_pallas(
                     pltpu.VMEM((bs, LANES), jnp.int32),  # copy: masks->hbytes
                     pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),  # W_s
                     pltpu.VMEM((bs + min(bs, 1024), LANES), jnp.int32),  # rank
-                    pltpu.VMEM(  # STG: scan/expand staging
+                    pltpu.VMEM(  # PAY: token payloads
+                        (_route_rows(bs, cap), LANES), jnp.int32
+                    ),
+                    pltpu.VMEM(  # STG: expand chunk-0 snapshots
                         (_stg_rows(bs), LANES), jnp.int32
                     ),
                     pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
@@ -933,6 +897,7 @@ def encode_blocks_pallas(
                 data_g.astype(jnp.int8), lens_bc8, bs=bs,
                 rungs=rungs or pm.DEFAULT_RUNGS, prev_k=prev_k,
                 stride2_min=stride2_min, sel_cap=sel_cap,
+                sel_all=sel_all, rung_strides=rung_strides,
                 interpret=interpret,
             )
             return _emit(data_g, lens_t, mlen, mlag)
@@ -1057,6 +1022,8 @@ def encode_blocks_pallas_sharded(
     prev_k: int = 1,
     stride2_min: int = 0,
     sel_cap: int = 0,
+    sel_all: bool = False,
+    rung_strides: tuple[int, ...] | None = None,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1076,6 +1043,8 @@ def encode_blocks_pallas_sharded(
         prev_k=prev_k,
         stride2_min=stride2_min,
         sel_cap=sel_cap,
+        sel_all=sel_all,
+        rung_strides=rung_strides,
         interpret=interpret,
     )
     sharded = shard_map(

@@ -168,19 +168,24 @@ def _sort_rung_kernel(
 
     jax.lax.fori_loop(0, NCS, hchunk, 0)
 
-    if stride == 2:
-        # Compact even rows: each 128-row output chunk j merges the even
-        # rows of input chunks 2j and 2j+1. Transposed, positions sit on
-        # LANES: out_T[:, l] = T0[:, 2l] (l < 64) else T1[:, 2l - 128].
+    if stride > 1:
+        # Compact stride-aligned rows: each 128-row output chunk j merges
+        # every stride-th row of input chunks stride*j .. stride*j+s-1.
+        # Transposed, positions sit on LANES: out_T[:, l] =
+        # T_{(s*l)>>7}[:, (s*l) & 127].
         lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        even_idx = (2 * lane) & (LANES - 1)
+        s_idx = (stride * lane) & (LANES - 1)
 
         def cchunk(j, _):
-            t0 = jnp.transpose(stg_s[pl.ds(j * 2 * LANES, LANES)])
-            t1 = jnp.transpose(stg_s[pl.ds(j * 2 * LANES + LANES, LANES)])
-            g0 = jnp.take_along_axis(t0, even_idx, axis=1)
-            g1 = jnp.take_along_axis(t1, even_idx, axis=1)
-            out = jnp.where(lane < LANES // 2, g0, g1)
+            out = jnp.zeros((LANES, LANES), jnp.int32)
+            for t in range(stride):
+                tt = jnp.transpose(
+                    stg_s[pl.ds((j * stride + t) * LANES, LANES)]
+                )
+                gt = jnp.take_along_axis(tt, s_idx, axis=1)
+                out = jnp.where(
+                    (stride * lane) >> 7 == t, gt, out
+                )
             pk_s[pl.ds(j * LANES, LANES)] = jnp.transpose(out)
             return 0
 
@@ -202,7 +207,7 @@ def _sort_rung_kernel(
     #   re-concatenation; in-order concat of the parts reconstructs row
     #   order exactly once, when parts reach PART_MIN=8 rows, the vreg
     #   sublane height, below which sub-vreg parts would round up).
-    #   Direction is a (CH//k, 1, 1) even-block mask for k < CH, the
+    #   Direction is a (CH//(2*j0), 1, LANES) even-block mask for k < CH, the
     #   scalar (base & k) == 0 for k >= CH, and statically ascending for
     #   the final merge k == m (rows < m, so the eq drops out entirely).
     # - Far stages (j >= CH) keep the one-contiguous-partner-read form and
@@ -221,12 +226,19 @@ def _sort_rung_kernel(
             else:
                 merges.append((k, [j]))
         dir_lead = {}
+        dir_small = {}  # per-(j, k) masks for sub-PART_MIN stages, hoisted
         for k, js in merges:
             if k < CH:
                 b0 = CH // (2 * js[0])
                 t = jax.lax.broadcasted_iota(jnp.int32, (b0, 1, LANES), 0)
                 # block t of height 2*js[0] has row bit k = bit of t*2j&k
                 dir_lead[k] = ((t * (2 * js[0])) & k) == 0
+                for j in js:
+                    if j < PART_MIN:
+                        t2j = jax.lax.broadcasted_iota(
+                            jnp.int32, (CH // (2 * j), 1, LANES), 0
+                        ) * (2 * j)
+                        dir_small[(j, k)] = (t2j & k) == 0
 
         def cx(lo, hi, dirm):
             cmp = hi < lo
@@ -257,17 +269,9 @@ def _sort_rung_kernel(
                         if len(parts) > 1:
                             parts = [jnp.concatenate(parts, axis=1)]
                         v = parts[0].reshape(CH // (2 * j), 2 * j, LANES)
-                        dj = dirm
-                        if (
-                            dirm is not None
-                            and getattr(dirm, "ndim", 0) == 3
-                            and dirm.shape[0] != v.shape[0]
-                        ):
-                            # re-derive the per-block mask at this reshape
-                            t2j = jax.lax.broadcasted_iota(
-                                jnp.int32, (CH // (2 * j), 1, LANES), 0
-                            ) * (2 * j)
-                            dj = (t2j & k) == 0
+                        # hoisted per-(j, k) mask (k < CH); scalar/None pass
+                        # through unchanged
+                        dj = dir_small.get((j, k), dirm)
                         lo2, hi2 = cx(v[:, :j], v[:, j:], dj)
                         parts = [jnp.concatenate([lo2, hi2], axis=1)]
                 w = (
@@ -367,22 +371,23 @@ def _sort_rung_kernel(
         jax.lax.fori_loop(0, NC, out_chunk, 0)
     else:
         # Expand: compacted chunk j (idx rows [128j, 128j+128)) covers
-        # positions [256j, 256j+256). Transposed lane-gather l -> l/2
-        # (+64 for the upper half), lags scale back by stride; odd
-        # positions get no candidate from this rung.
+        # positions [128*s*j, 128*s*(j+1)). Transposed lane-gather
+        # l -> l/s (+ q*(128/s) for the q-th output sub-chunk), lags scale
+        # back by stride; off-stride positions get no candidate.
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        is_even = (lane2 & 1) == 0
+        on_stride = (lane2 & (stride - 1)) == 0
+        lg2s = stride.bit_length() - 1
 
         def xchunk(j, _):
             t = jnp.transpose(pk_s[pl.ds(j * LANES, LANES)])
-            lo = jnp.take_along_axis(t, lane2 >> 1, axis=1)
-            hi = jnp.take_along_axis(t, (LANES // 2) + (lane2 >> 1), axis=1)
-            lag_lo = jnp.where(is_even, (lo & 0xFFFF) * stride, 0)
-            lag_hi = jnp.where(is_even, (hi & 0xFFFF) * stride, 0)
-            cand_ref[pl.ds(j * 2 * LANES, LANES)] = jnp.transpose(lag_lo)
-            cand_ref[pl.ds(j * 2 * LANES + LANES, LANES)] = jnp.transpose(
-                lag_hi
-            )
+            for q in range(stride):
+                part = jnp.take_along_axis(
+                    t, (q * (LANES >> lg2s)) + (lane2 >> lg2s), axis=1
+                )
+                lag = jnp.where(on_stride, (part & 0xFFFF) * stride, 0)
+                cand_ref[pl.ds((j * stride + q) * LANES, LANES)] = (
+                    jnp.transpose(lag)
+                )
             return 0
 
         jax.lax.fori_loop(0, m // LANES, xchunk, 0)
@@ -524,6 +529,135 @@ def _extend_fold_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Fused select-then-extend kernel: ALL candidate arrays (every rung and the
+# prev ladder) share ONE transposed-word build and ONE full extension. Each
+# candidate runs only the CHEAP capped extension (sel_rounds word rounds)
+# into a strictly-greater selection fold (earlier arrays win ties — the
+# caller passes nearer-lag candidates first), and the per-position winner
+# gets the single full extension. Spec:
+# lane_model_encode.match_search_sorted(sel_all=True, sel_cap=...).
+# ---------------------------------------------------------------------------
+
+
+def _select_extend_kernel(
+    data_ref,  # (bs, 128) i8
+    lens_ref,  # (8, 128) i32, row 0 = block lengths
+    *refs,  # n_cands x (bs, 128) i32 candidate lags; out_ref; TW_s
+    bs: int,
+    n_cands: int,
+    sel_rounds: int,
+    rounds: int = 16,
+):
+    cand_refs = refs[:n_cands]
+    out_ref = refs[n_cands]
+    TW_s = refs[n_cands + 1]
+    nq = bs // LANES
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+    def build(q, _):
+        d0 = data_ref[pl.ds(q * LANES, LANES)].astype(jnp.int32) & 0xFF
+        nxt = jnp.minimum(q + 1, nq - 1) * LANES
+        d1 = data_ref[pl.ds(nxt, LANES)].astype(jnp.int32) & 0xFF
+        d1 = jnp.where(q + 1 < nq, d1, 0)
+        dd = jnp.concatenate([d0, d1], axis=0)
+        w = dd[0:LANES]
+        for b in (1, 2, 3):
+            w = w | (dd[b : LANES + b] << (8 * b))
+        TW_s[pl.ds(q * LANES, LANES)] = jnp.transpose(w)
+        return 0
+
+    jax.lax.fori_loop(0, nq, build, 0)
+
+    lens_t = jnp.transpose(
+        jnp.broadcast_to(lens_ref[0:1, :], (LANES, LANES))
+    )
+
+    def per_chunk(c, _):
+        p = c * LANES + lane
+        own = TW_s[pl.ds(c * LANES, LANES)]
+        nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
+        own_nxt = TW_s[pl.ds(nxt_start, LANES)]
+
+        def ext_len(cand, nrounds, start=0, lenacc0=None, still0=None):
+            # Exact capped extension in transposed space — identical to
+            # _extend_fold_kernel's round structure (deferred-tail, adaptive
+            # chunk-delta sweep), with `own` words shared across calls.
+            # ``start/lenacc0/still0`` resume the winner's full extension
+            # from the capped pass's state instead of re-running rounds
+            # 0..start-1: equivalent to a from-scratch extension because a
+            # non-saturated capped length already includes its tail bytes
+            # (still0 = False freezes it) and a saturated one (== 4*start,
+            # only reachable by `start` clean word rounds) resumes with an
+            # untouched tail.
+            has = cand > 0
+            still = has if still0 is None else still0
+            lenacc = (
+                jnp.zeros((LANES, LANES), jnp.int32)
+                if lenacc0 is None
+                else lenacc0
+            )
+            xfail = jnp.full((LANES, LANES), -1, jnp.int32)
+            src0 = p - cand
+            for k in range(start, nrounds):
+                if k == 0:
+                    a = own
+                else:
+                    a = jnp.concatenate(
+                        [own[:, 4 * k :], own_nxt[:, : 4 * k]], axis=1
+                    )
+                    a = jnp.where(p + 4 * k < bs, a, 0)
+                src = src0 + 4 * k if k else src0
+                qs = src >> 7
+                rs = src & (LANES - 1)
+                maxd = jnp.max(jnp.where(still, c - qs, -1))
+
+                def sweep(i, b):
+                    d = i - 1
+                    start = jnp.clip(c - d, 0, nq - 1) * LANES
+                    got = jnp.take_along_axis(
+                        TW_s[pl.ds(start, LANES)], rs, axis=1
+                    )
+                    return jnp.where(qs == c - d, got, b)
+
+                b = jax.lax.fori_loop(
+                    0, maxd + 2, sweep, jnp.zeros((LANES, LANES), jnp.int32)
+                )
+                x = a ^ b
+                weq = still & (x == 0)
+                lenacc = lenacc + jnp.where(weq, 4, 0)
+                xfail = jnp.where(still ^ weq, x, xfail)
+                still = weq
+            lenacc = lenacc + (
+                ((xfail & 0xFF) == 0).astype(jnp.int32)
+                + ((xfail & 0xFFFF) == 0).astype(jnp.int32)
+                + ((xfail & 0xFFFFFF) == 0).astype(jnp.int32)
+            )
+            el = jnp.minimum(
+                jnp.minimum(lenacc, lens_t - p), 4 * nrounds
+            )
+            return jnp.where(has & (el >= 4), el, 0)
+
+        sel_len = jnp.zeros((LANES, LANES), jnp.int32)
+        sel_lag = jnp.zeros((LANES, LANES), jnp.int32)
+        for cr in cand_refs:
+            cand = jnp.transpose(cr[pl.ds(c * LANES, LANES)])
+            cl = ext_len(cand, sel_rounds)
+            better = cl > sel_len
+            sel_len = jnp.where(better, cl, sel_len)
+            sel_lag = jnp.where(better, cand, sel_lag)
+        el = ext_len(
+            sel_lag, rounds, start=sel_rounds, lenacc0=sel_len,
+            still0=sel_len == 4 * sel_rounds,
+        )
+        out_ref[pl.ds(c * LANES, LANES)] = jnp.transpose(
+            jnp.where(el > 0, (el << 16) | sel_lag, 0)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nq, per_chunk, 0)
+
+
+# ---------------------------------------------------------------------------
 # Prev-step kernel: (j+1)-th-nearest-previous-occurrence lags by lag
 # composition, with NO extra sort. In sorted space the j-step predecessor
 # lag is the sum of j consecutive equal-key-run lags; back in natural
@@ -596,6 +730,8 @@ def sorted_match_groups(
     prev_k: int = 1,
     stride2_min: int = 0,
     sel_cap: int = 0,
+    sel_all: bool = False,
+    rung_strides: tuple[int, ...] | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
@@ -622,6 +758,20 @@ def sorted_match_groups(
     (strictly-greater, nearest-first), so results differ only where two
     candidates both saturate the cap but diverge past it. Spec:
     ``lane_model_encode.match_search_sorted(sel_cap=...)``.
+
+    ``sel_all=True`` (requires ``sel_cap``) extends select-then-extend to
+    EVERY candidate array — each rung and the prev ladder — in one fused
+    kernel (``_select_extend_kernel``): all capped passes share a single
+    transposed-word build, and the winner's full extension RESUMES from
+    the capped state (rounds ``sel_cap//4``..15 only). The round-3
+    production path: (4,32)+prev2 goes 4.40 -> 2.26-2.59 c/B at a 0.4-0.7
+    ratio-point cost on xml. Spec:
+    ``match_search_sorted(sel_all=True, sel_cap=...)``.
+
+    ``rung_strides`` (parallel to ``rungs``; values 1/2/4/8) overrides
+    ``stride2_min`` with an explicit per-rung sort density — e.g.
+    ``(1, 8)`` sorts the 32-byte rung at 1/8 density for ~1/8 its sort
+    cost (xml @32K: 0.7595 with prev2+sel16 vs 0.7636 at stride 4).
     """
     if bs & (bs - 1):
         raise ValueError("sorted matcher requires a power-of-two block size")
@@ -633,7 +783,21 @@ def sorted_match_groups(
         raise ValueError("stride2_min must be > 4 (L=4 stays full density)")
     if sel_cap and (sel_cap % 4 or not 4 <= sel_cap <= 64):
         raise ValueError("sel_cap must be a multiple of 4 in [4, 64]")
+    if rung_strides is not None:
+        if len(rung_strides) != len(rungs):
+            raise ValueError("rung_strides must parallel rungs")
+        if any(s not in (1, 2, 4, 8) for s in rung_strides):
+            raise ValueError("rung strides must be 1, 2, 4 or 8")
+        if rung_strides[0] != 1 and rungs[0] == 4:
+            raise ValueError("the L=4 rung must stay full density")
+    if sel_all and not sel_cap:
+        raise ValueError("sel_all requires sel_cap")
     vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
+
+    def rung_stride(ri: int) -> int:
+        if rung_strides is not None:
+            return rung_strides[ri]
+        return 2 if (stride2_min and rungs[ri] >= stride2_min) else 1
 
     def rung_call(rung, stride):
         return pl.pallas_call(
@@ -645,11 +809,11 @@ def sorted_match_groups(
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
             scratch_shapes=[
                 # Exactly m sorted rows each (fused in-chunk stages read no
-                # margin); the stride-2 pong buffer additionally stages
+                # margin); the strided pong buffer additionally stages
                 # the full-density words (bs rows) before compaction.
                 pltpu.VMEM((bs // stride, LANES), jnp.int32),  # ping
                 pltpu.VMEM(
-                    (max(bs // stride, bs if stride == 2 else 0), LANES),
+                    (max(bs // stride, bs if stride > 1 else 0), LANES),
                     jnp.int32,
                 ),  # pong
             ],
@@ -680,12 +844,42 @@ def sorted_match_groups(
         interpret=interpret,
     )
 
+    def one_group_sel_all(args):
+        # Fused select-then-extend over EVERY candidate array (each rung
+        # and the prev ladder): collect the candidate arrays, then one
+        # kernel runs all the capped selection passes (sharing one
+        # transposed-word build) plus the single full extension.
+        data, lens = args
+        cands = []
+        for ri, rung in enumerate(rungs):
+            cand = rung_call(rung, rung_stride(ri))(data)
+            cands.append(cand)
+            if rung == 4 and prev_k >= 2:
+                lagj = cand
+                for _ in range(2, prev_k + 1):
+                    lagj = prev_step_call(cand, lagj)
+                    cands.append(lagj)
+        sel_call = pl.pallas_call(
+            functools.partial(
+                _select_extend_kernel, bs=bs, n_cands=len(cands),
+                sel_rounds=sel_cap // 4,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (2 + len(cands)),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
+            compiler_params=vmem_cap,
+            interpret=interpret,
+        )
+        best = sel_call(data, lens, *cands)
+        return best >> 16, best & 0xFFFF
+
     def one_group(args):
         data, lens = args  # (bs, 128) i8, (8, 128) i32
         best = jnp.zeros((bs, LANES), jnp.int32)
-        for rung in rungs:
-            stride = 2 if (stride2_min and rung >= stride2_min) else 1
-            cand = rung_call(rung, stride)(data)
+        for ri, rung in enumerate(rungs):
+            cand = rung_call(rung, rung_stride(ri))(data)
             if rung == 4 and prev_k >= 2 and sel_cap:
                 cheap_call = extend_fold_call(rounds=sel_cap // 4)
                 zero = jnp.zeros((bs, LANES), jnp.int32)
@@ -707,4 +901,5 @@ def sorted_match_groups(
         # stack allocation (observed on v5e at bs=8192 x 8 groups).
         return best >> 16, best & 0xFFFF
 
-    return jax.lax.map(one_group, (data_g, lens_g))
+    fn = one_group_sel_all if (sel_all and sel_cap) else one_group
+    return jax.lax.map(fn, (data_g, lens_g))

@@ -36,7 +36,7 @@ def save(results: dict) -> None:
         prev = json.loads(path.read_text())
         runs = prev if isinstance(prev, list) else [prev]
     runs.append(results)
-    path.write_text(json.dumps(runs, indent=2))
+    path.write_text(json.dumps(runs, indent=2) + "\n")
 
 
 def main() -> int:

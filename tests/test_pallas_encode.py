@@ -251,6 +251,7 @@ def test_pallas_emit_kernel_high_rows_bs16384():
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((nrows, pe.LANES), jnp.int32),
             pltpu.VMEM((bs + min(bs, 1024), pe.LANES), jnp.int32),
+            pltpu.VMEM((nrows, pe.LANES), jnp.int32),  # PAY
             pltpu.VMEM((pe._stg_rows(bs), pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int32),
             pltpu.VMEM((bs, pe.LANES), jnp.int8),
