@@ -36,7 +36,7 @@ def measure(
     engine: str, block_size: int, repeat: int, iters: int, window: int = 512,
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
     rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
-    sel_cap: int = 0,
+    sel_cap: int = 0, sel_all: bool = False, rung_strides: tuple | None = None,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -49,11 +49,16 @@ def measure(
         coarse_window=coarse,
         coarse_mode="granular" if granular else "sampled",
         matcher=matcher, rungs=rungs, prev_k=prev_k,
-        stride2_min=stride2_min, sel_cap=sel_cap,
+        stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
+        rung_strides=rung_strides,
     )
 
+    t0 = time.perf_counter()
     stream = runtime.compress(plain, cfg)  # warm-up / compile
+    enc_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     assert runtime.decompress(stream, cfg) == plain, "bit-exactness failure"
+    dec_compile_s = time.perf_counter() - t0
 
     enc_s = dec_s = 0.0
     for _ in range(iters):
@@ -73,18 +78,23 @@ def measure(
         "dec_gbps": n / dec_s / 1e9,
         "combined_gbps": 2 * n / (enc_s + dec_s) / 1e9,
         "ratio": 1 - len(stream) / len(plain),
+        # First-run cost (includes Mosaic compile; ~0 when the persistent
+        # JAX_COMPILATION_CACHE_DIR is warm - see `make warm-cache`).
+        "compile_s": round(enc_compile_s + dec_compile_s, 1),
     }
 
 
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
-    matcher, rungs, prev_k, stride2_min=0, sel_cap=0,
+    matcher, rungs, prev_k, stride2_min=0, sel_cap=0, sel_all=False,
+    rung_strides=None,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
-        f"{rungs!r}, {prev_k}, {stride2_min}, {sel_cap})))"
+        f"{rungs!r}, {prev_k}, {stride2_min}, {sel_cap}, {sel_all!r}, "
+        f"{rung_strides!r})))"
     )
     try:
         proc = subprocess.run(
@@ -106,15 +116,16 @@ def measure_subprocess(
 
 def main() -> int:
     engine = os.environ.get("PIM_BENCH_ENGINE", "pallas")
-    # 16384 = the smallest hardware-validated block size whose sorted-match
-    # ratio (0.7611) beats the reference's 32K-block ratio (0.7408).
-    block = int(
-        os.environ.get("PIM_BENCH_BLOCK", "16384" if engine == "pallas" else "32768")
+    # 32768 = the reference's own default operating point (dpu_snappy.c:100);
+    # the round-3 fused select-extend flagship runs it at 2.59 vreg-c/B
+    # with device-validated ratio above the reference bar.
+    block = int(os.environ.get("PIM_BENCH_BLOCK", "32768"))
+    # repeat=6 -> 984 blocks at bs=32768: fills the 1024-slot batch 96%
+    # (fewer blocks pad the batch and measure padding rather than kernels).
+    # The workload multiple is printed in the metric.
+    repeat = int(
+        os.environ.get("PIM_BENCH_REPEAT", "6" if block == 32768 else "3")
     )
-    # repeat=3 -> 984 blocks at bs=16384: fills the 1024-slot batch 96%
-    # (repeat=4's 1312 blocks padded to 2048 = 64% fill, measuring padding
-    # rather than kernels). The workload multiple is printed in the metric.
-    repeat = int(os.environ.get("PIM_BENCH_REPEAT", "3"))
     iters = int(os.environ.get("PIM_BENCH_ITERS", "2"))
     timeout = int(os.environ.get("PIM_BENCH_TIMEOUT", "2700"))
     window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
@@ -137,11 +148,19 @@ def main() -> int:
     # rung (no extra sort) — better ratio for ~one extension pass.
     prev_k = int(os.environ.get("PIM_BENCH_PREVK", "2"))
     # Half-density sort on rungs >= this (~40% fewer sort ops there for a
-    # small ratio cost); 0 = full density.
-    stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "0"))
-    # Select-then-extend cap (bytes): prev candidates get a cheap capped
+    # small ratio cost); 0 = full density. The flagship sorts the 32-rung
+    # at half density (ratio 0.7702 @ 32K, above the reference's 0.7408).
+    stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "32"))
+    # Select-then-extend cap (bytes): candidates get a cheap capped
     # extension and only the winner is fully extended; 0 = off.
-    sel_cap = int(os.environ.get("PIM_BENCH_SELCAP", "0"))
+    sel_cap = int(os.environ.get("PIM_BENCH_SELCAP", "16"))
+    # Global select-then-extend (the round-3 fused kernel): every candidate
+    # array shares one word build; the winner's extension resumes from the
+    # capped state. 2.59 c/B at 32K (was 4.40 for the same ladder).
+    sel_all = os.environ.get("PIM_BENCH_SELALL", "1") == "1"
+    # Per-rung sort densities, e.g. "1,8" (overrides stride2_min).
+    rs_env = os.environ.get("PIM_BENCH_RUNG_STRIDES", "")
+    rung_strides = tuple(int(x) for x in rs_env.split(",")) if rs_env else None
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -160,7 +179,7 @@ def main() -> int:
 
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
-        matcher, rungs, prev_k, stride2_min, sel_cap,
+        matcher, rungs, prev_k, stride2_min, sel_cap, sel_all, rung_strides,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.
@@ -182,7 +201,8 @@ def main() -> int:
     )
     print(
         f"# encode {result['enc_gbps']:.3f} GB/s, decode {result['dec_gbps']:.3f} "
-        f"GB/s, ratio {result['ratio']:.3f}, host-seq baseline {base:.3f} GB/s",
+        f"GB/s, ratio {result['ratio']:.3f}, host-seq baseline {base:.3f} GB/s, "
+        f"first-run compile {result.get('compile_s', 0)}s",
         file=sys.stderr,
     )
     return 0

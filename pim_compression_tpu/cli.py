@@ -85,6 +85,31 @@ def build_parser() -> argparse.ArgumentParser:
         "the winner alone is fully extended; 0 = off",
     )
     p.add_argument(
+        "--sel-all", action="store_true",
+        help="sorted-matcher global select-then-extend (needs --sel-cap): "
+        "every candidate array (rungs + prev ladder) gets only the capped "
+        "extension in one fused kernel; the winner's full extension "
+        "resumes from the capped state (the fast production mode)",
+    )
+    p.add_argument(
+        "--rung-strides", default=None,
+        help="sorted-matcher per-rung sort densities, e.g. 1,8 (parallel "
+        "to --rungs; values 1/2/4/8; overrides --stride2-min)",
+    )
+    p.add_argument(
+        "--verify", action="store_true",
+        help="on-device decode-after-encode verification: every encoded "
+        "batch is decoded by the production decoder on the device and "
+        "compared against the input before assembly (the reference "
+        "harness's cmp check, on-chip)",
+    )
+    p.add_argument(
+        "--no-triage", action="store_true",
+        help="disable the incompressible fast path (host triage that "
+        "diverts near-random blocks to raw literal frames with zero "
+        "device work)",
+    )
+    p.add_argument(
         "--strict-engine", action="store_true",
         help="fail instead of falling back to xla when the pallas kernels "
         "do not cover the requested block size",
@@ -130,7 +155,15 @@ def main(argv: list[str] | None = None) -> int:
             ),
             prev_k=args.prev_k,
             sel_cap=args.sel_cap,
+            sel_all=args.sel_all,
+            raw_triage=not args.no_triage,
+            verify=args.verify,
             stride2_min=args.stride2_min,
+            rung_strides=(
+                tuple(int(s) for s in args.rung_strides.split(","))
+                if args.rung_strides
+                else None
+            ),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

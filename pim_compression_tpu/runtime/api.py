@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from pim_compression_tpu.format import constants as C
 from pim_compression_tpu.format import oracle
@@ -251,14 +252,35 @@ def compress(
                 oracle.compress(b"", block_size)  # header-only stream
             )
         mesh = get_mesh(config.mesh_devices)
-        padded, batch = _device_batches(nb, config, mesh)
         use_pallas = _pallas_or_fallback(
             config, block_size, pallas_encode.MAX_ENC_BLOCK, timer,
             encode=True,
         )
-        if use_pallas:
-            padded, batch = _pallas_batches(nb, mesh)
-        blocks, lens = pipeline.blockize_plain(data, block_size, padded)
+        blocks, lens = pipeline.blockize_plain(data, block_size, nb)
+        # Incompressible fast path (reference skip-heuristic analog,
+        # snappy_compress.c:333-348): near-random blocks divert to raw
+        # literal frames on the host; only the rest pay device work.
+        raw_mask = (
+            pipeline.triage_incompressible(blocks, lens)
+            if config.raw_triage
+            else np.zeros(nb, dtype=bool)
+        )
+        dev_idx = np.flatnonzero(~raw_mask)
+        ndev = int(dev_idx.size)
+        if nb - ndev:
+            timer.notes["raw_blocks"] = int(nb - ndev)
+        if ndev:
+            padded, batch = (
+                _pallas_batches(ndev, mesh)
+                if use_pallas
+                else _device_batches(ndev, config, mesh)
+            )
+            dblocks = np.zeros((padded, block_size), dtype=np.uint8)
+            dblocks[:ndev] = blocks[dev_idx]
+            dlens = np.zeros(padded, dtype=np.int32)
+            dlens[:ndev] = lens[dev_idx]
+        else:
+            padded = batch = 0
 
     cap = (
         pallas_encode.encode_capacity(block_size)
@@ -272,23 +294,31 @@ def compress(
     # Same bounded-depth pipelining scheme as decompress (see above).
     depth = max(1, config.pipeline_depth)
     sync = depth <= 1 or padded <= batch
-    inflight: list[tuple[int, object, object]] = []
+    inflight: list[tuple[int, object, object, object]] = []
 
     def drain_one():
-        start, comp, sizes = inflight.pop(0)
+        start, comp, sizes, vbad = inflight.pop(0)
         with timer.phase("d2h"):
             comp_h = np.asarray(comp)
             sizes_h = np.asarray(sizes)
-        take = min(nb, start + batch) - start
+            vbad_h = np.asarray(vbad) if vbad is not None else None
+        take = min(ndev, start + batch) - start
         if take > 0:
-            comp_np[start : start + take] = comp_h[:take]
-            sizes_np[start : start + take] = sizes_h[:take]
+            rows = dev_idx[start : start + take]
+            comp_np[rows] = comp_h[:take]
+            sizes_np[rows] = sizes_h[:take]
+            if vbad_h is not None and int(vbad_h[:take].sum()):
+                bad = rows[np.flatnonzero(vbad_h[:take])]
+                raise SnappyError(
+                    SnappyStatus.INVALID_INPUT,
+                    f"on-device verify failed for blocks {bad[:8].tolist()}",
+                )
 
     for start in range(0, padded, batch):
         sl = slice(start, start + batch)
         with timer.phase("h2d"):
-            blocks_d = jax.device_put(blocks[sl], sharding)
-            lens_d = jax.device_put(lens[sl], sharding)
+            blocks_d = jax.device_put(dblocks[sl], sharding)
+            lens_d = jax.device_put(dlens[sl], sharding)
         with timer.phase("kernel"):
             if use_pallas:
                 matcher = config.matcher
@@ -308,21 +338,48 @@ def compress(
                     prev_k=config.prev_k,
                     stride2_min=config.stride2_min,
                     sel_cap=config.sel_cap,
+                    sel_all=config.sel_all,
+                    rung_strides=config.rung_strides,
                     interpret=interpret,
                 )
             else:
                 comp, sizes = encode_ops.encode_blocks(
                     blocks_d, lens_d, block_size=block_size
                 )
+            vbad = None
+            if config.verify:
+                # On-device decode-after-encode (the reference harness's
+                # cmp check, snappy/Makefile:54-60, moved onto the chip):
+                # decode the freshly encoded blocks with the production
+                # decoder and compare against the inputs, all on device;
+                # only a per-block flag word comes back.
+                if use_pallas:
+                    out_v, err_v = pallas_decode.decode_blocks_pallas_sharded(
+                        comp, sizes, lens_d, mesh, block_size=block_size,
+                        interpret=interpret,
+                    )
+                else:
+                    out_v, err_v = decode_ops.decode_blocks(
+                        comp, sizes, lens_d, block_size=block_size
+                    )
+                rows_v = jnp.arange(block_size, dtype=jnp.int32)[None, :]
+                mism = jnp.any(
+                    (out_v != blocks_d) & (rows_v < lens_d[:, None]), axis=1
+                )
+                vbad = mism.astype(jnp.int32) | (err_v != 0).astype(jnp.int32)
             if sync:
                 jax.block_until_ready(comp)
-        inflight.append((start, comp, sizes))
+        inflight.append((start, comp, sizes, vbad))
         if sync or len(inflight) >= depth:
             drain_one()
     while inflight:
         drain_one()
 
     with timer.phase("post"):
+        if nb - ndev:
+            pipeline.raw_literal_frames(
+                blocks, lens, comp_np, sizes_np, np.flatnonzero(raw_mask)
+            )
         if config.validate and int(sizes_np.max(initial=0)) > cap:
             raise SnappyError(SnappyStatus.BUFFER_TOO_SMALL, "encoder overflow")
         return pipeline.assemble_compressed(

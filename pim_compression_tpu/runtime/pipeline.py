@@ -88,6 +88,91 @@ def blockize_plain(
     return blocks, lens
 
 
+def triage_incompressible(blocks: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Host-side incompressible-block triage (the reference's skip-heuristic
+    analog, ``snappy_compress.c:333-348``, lifted to whole blocks).
+
+    Snappy only compresses via >= 4-byte matches, so a block with no
+    repeated 4-gram is incompressible by construction. Estimate cheaply per
+    block: (a) sampled 4-grams (stride 8 plus a stride-7 phase to dodge
+    lag-alignment blind spots) must contain ZERO duplicates, and (b) sampled
+    byte entropy must be near-maximal (> 7.9 bits). Both conditions are
+    conservative — any real redundancy produces duplicate grams or entropy
+    slack, keeping text corpora fully on the device path; only near-random
+    blocks are diverted to raw literal frames (zero device work, ~3 bytes of
+    overhead per 32 KB block). Returns a bool mask [num_blocks].
+    """
+    nb, bs = blocks.shape
+    if nb == 0 or bs < 64:
+        return np.zeros(nb, dtype=bool)
+    g32 = blocks.astype(np.uint32)
+    grams = (
+        g32[:, : bs - 3]
+        | (g32[:, 1 : bs - 2] << 8)
+        | (g32[:, 2 : bs - 1] << 16)
+        | (g32[:, 3:] << 24)
+    )
+    # Duplicates are detected WITHIN each sample set (the sets share
+    # positions every lcm(8,7)=56 rows, so a pooled sort would see every
+    # shared position as a false duplicate). Set A (stride 8) catches
+    # repeats at lags = 0 mod 8, set B (stride 7) lags = 0 mod 7, and set C
+    # (a contiguous window) any small-lag repeat near the block head.
+    def _has_dup(g):
+        s = np.sort(g, axis=1)
+        return (s[:, 1:] == s[:, :-1]).any(axis=1)
+
+    dup = (
+        _has_dup(grams[:, ::8])
+        | _has_dup(grams[:, 3::7])
+        | _has_dup(grams[:, : min(2048, grams.shape[1])])
+    )
+    # Byte entropy over a stride-16 sample (2 KB at 32 K blocks), with the
+    # Miller-Madow small-sample bias correction (+ (K-1)/(2N ln 2), ~0.09
+    # bits at 2048 samples — without it uniform bytes measure ~7.91 and
+    # random blocks flakily miss a raw 7.9 threshold).
+    sample = blocks[:, ::16]
+    n = sample.shape[1]
+    hist = np.apply_along_axis(np.bincount, 1, sample, minlength=256)
+    p = hist / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
+    ent = ent + ((hist > 0).sum(axis=1) - 1) / (2 * n * np.log(2))
+    # Partial final blocks keep the device path (their padding zeros would
+    # skew both tests, and they are at most one per file).
+    full = lens == bs
+    return full & ~dup & (ent > 7.9)
+
+
+def raw_literal_frames(
+    blocks: np.ndarray,
+    lens: np.ndarray,
+    comp: np.ndarray,
+    sizes: np.ndarray,
+    idx: np.ndarray,
+) -> None:
+    """Fill comp/sizes rows for triaged blocks with a single literal element
+    (tag + 1-4 little-endian length bytes + the raw block bytes) — the
+    deterministic stream a conforming compressor emits for matchless input.
+    """
+    for i in idx:
+        n = int(lens[i])
+        if n == 0:
+            sizes[i] = 0
+            continue
+        L1 = n - 1
+        if L1 < 60:
+            hdr = bytes([L1 << 2])
+        elif L1 < 1 << 8:
+            hdr = bytes([60 << 2, L1])
+        elif L1 < 1 << 16:
+            hdr = bytes([61 << 2, L1 & 0xFF, L1 >> 8])
+        else:
+            hdr = bytes([62 << 2, L1 & 0xFF, (L1 >> 8) & 0xFF, L1 >> 16])
+        comp[i, : len(hdr)] = np.frombuffer(hdr, np.uint8)
+        comp[i, len(hdr) : len(hdr) + n] = blocks[i, :n]
+        sizes[i] = len(hdr) + n
+
+
 def assemble_decompressed(out_blocks: np.ndarray, total_len: int) -> bytes:
     """Blocks are fixed-geometry (block i at i*block_size), so assembly is a
     flat view — the property the modified format exists to provide

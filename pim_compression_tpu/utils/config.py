@@ -66,6 +66,32 @@ class CodecConfig:
     # candidate fully extended). Multiple of 4 in [4, 64]; only matters
     # when prev_k >= 2.
     sel_cap: int = 0
+    # Sorted-matcher global select-then-extend (requires sel_cap): every
+    # candidate array — each rung AND the prev ladder — gets only the
+    # capped extension, fused in one kernel sharing a single word build;
+    # the winner's full extension resumes from the capped state
+    # (pallas_match._select_extend_kernel). The round-3 production mode:
+    # (4,32)+prev2 runs at 2.26-2.59 c/B (was 4.40) for a 0.4-0.7
+    # ratio-point cost on xml.
+    sel_all: bool = False
+    # Sorted-matcher per-rung sort densities (parallel to rungs; values
+    # 1/2/4/8; overrides stride2_min). E.g. (1, 8) sorts the long rung at
+    # 1/8 density: xml @32K (4,32)+prev2+sel16 = 0.7595 vs 0.7636 at
+    # (1, 4) and 0.7702 at (1, 2). The first rung must stay density 1.
+    rung_strides: tuple[int, ...] | None = None
+    # Incompressible fast path (the reference's skip heuristic,
+    # snappy_compress.c:333-348, lifted to whole blocks): host triage
+    # diverts near-random blocks (zero sampled duplicate 4-grams AND
+    # near-maximal byte entropy — conservative: snappy cannot compress a
+    # block with no repeated 4-gram) to raw literal frames with ZERO device
+    # work. Text corpora are never diverted (their streams are unchanged).
+    raw_triage: bool = True
+    # On-device encode verification (the reference harness's cmp check,
+    # snappy/Makefile:54-60, moved onto the chip): decode every freshly
+    # encoded batch with the production decoder ON DEVICE and compare
+    # against the input blocks; any mismatch or decoder error flag raises
+    # SnappyError before assembly. Costs one decode pass per batch.
+    verify: bool = False
     # Device-batch pipelining: up to this many batches in flight; h2d+kernel
     # of batch i+1 overlap d2h of batch i. <=1 = fully synchronous batches
     # (exact per-phase timing attribution, the reference's phase taxonomy).
@@ -101,3 +127,13 @@ class CodecConfig:
             raise ValueError("stride2_min must be 0 or one of (8, 16, 32, 64)")
         if self.sel_cap and (self.sel_cap % 4 or not 4 <= self.sel_cap <= 64):
             raise ValueError("sel_cap must be 0 or a multiple of 4 in [4, 64]")
+        if self.sel_all and not self.sel_cap:
+            raise ValueError("sel_all requires sel_cap > 0")
+        if self.rung_strides is not None:
+            rungs = self.rungs or (4, 8, 16, 32, 64)
+            if len(self.rung_strides) != len(rungs):
+                raise ValueError("rung_strides must parallel rungs")
+            if any(s not in (1, 2, 4, 8) for s in self.rung_strides):
+                raise ValueError("rung strides must be 1, 2, 4 or 8")
+            if self.rung_strides[0] != 1:
+                raise ValueError("the first rung must stay full density")

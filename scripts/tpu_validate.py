@@ -52,6 +52,8 @@ def main() -> int:
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0
     )
     ap.add_argument("--sel-cap", type=int, default=0)
+    ap.add_argument("--sel-all", action="store_true")
+    ap.add_argument("--rung-strides", default=None, help="e.g. 1,8")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -70,10 +72,16 @@ def main() -> int:
         "window": args.window, "coarse": args.coarse,
         "granular": args.granular, "matcher": args.matcher,
         "rungs": args.rungs, "prev_k": args.prev_k,
-        "sel_cap": args.sel_cap,
+        "sel_cap": args.sel_cap, "sel_all": args.sel_all,
+        "rung_strides": args.rung_strides,
         "stride2_min": args.stride2_min}
     rungs = (
         tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
+    )
+    rung_strides = (
+        tuple(int(s) for s in args.rung_strides.split(","))
+        if args.rung_strides
+        else None
     )
     bs = args.bs
 
@@ -160,7 +168,8 @@ def main() -> int:
             blocks_d, lens_d, block_size=bs, window=args.window,
             coarse_window=args.coarse, granular=args.granular,
             matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
-            sel_cap=args.sel_cap,
+            sel_cap=args.sel_cap, sel_all=args.sel_all,
+            rung_strides=rung_strides,
             stride2_min=args.stride2_min,
         )
         sync(c)
@@ -186,7 +195,8 @@ def main() -> int:
                 blocks_d, lens_d, block_size=bs, window=args.window,
                 coarse_window=args.coarse, granular=args.granular,
                 matcher=args.matcher, rungs=rungs, prev_k=args.prev_k,
-            sel_cap=args.sel_cap,
+                sel_cap=args.sel_cap, sel_all=args.sel_all,
+                rung_strides=rung_strides,
                 stride2_min=args.stride2_min,
             )
         sync(c)
