@@ -40,20 +40,22 @@ def _pallas_envelope_gap(
     """Why ``block_size`` is outside the pallas kernel envelope (or None).
 
     The envelope is exact, not just a range: the kernels assume 128-row
-    transpose chunks everywhere, the chunked emit kernel needs whole
-    1024-row chunks above 1024, and the round-1 sweep matcher (the
-    fallback for non-power-of-two sorted requests) is un-chunked and
-    exceeds the VMEM budget above 16384.
+    transpose chunks everywhere (which also keeps the chunked emit
+    kernel's pow2-divisor chunk height >= 128 at any allowed size), the
+    sorted matcher pads non-pow2 sizes up to the sort envelope, and the
+    round-1 sweep matcher is un-chunked and exceeds the VMEM budget
+    above 16384.
     """
     if not MIN_PALLAS_BLOCK <= block_size <= max_block:
         return f"block_size outside [{MIN_PALLAS_BLOCK}, {max_block}]"
     if block_size % 128:
         return "block_size must be a multiple of 128"
     if encode:
-        if block_size > 1024 and block_size % 1024:
-            return "encode block_size above 1024 must be a multiple of 1024"
         matcher = config.matcher
-        if matcher == "sorted" and block_size & (block_size - 1):
+        if (
+            matcher == "sorted"
+            and (1 << (block_size - 1).bit_length()) > max_block
+        ):
             matcher = "sweep"  # the runtime's sorted->sweep fallback
         if matcher == "sweep" and block_size > MAX_SWEEP_BLOCK:
             return (
@@ -322,8 +324,14 @@ def compress(
         with timer.phase("kernel"):
             if use_pallas:
                 matcher = config.matcher
-                if matcher == "sorted" and block_size & (block_size - 1):
-                    # The rung-sort network needs a power-of-two axis.
+                if (
+                    matcher == "sorted"
+                    and (1 << (block_size - 1).bit_length())
+                    > pallas_encode.MAX_ENC_BLOCK
+                ):
+                    # Non-power-of-two sizes run the rung sorts padded to
+                    # the next power of two; only sizes whose padded size
+                    # exceeds the sort envelope fall back.
                     matcher = "sweep"
                     timer.notes["matcher_fallback"] = (
                         f"sorted->sweep (block_size {block_size})"

@@ -548,17 +548,22 @@ def test_pallas_encode_non_pow2_block_size():
     assert oracle.decompress(stream) == data
 
 
-@pytest.mark.parametrize("bs", [384, 640, 1024])
-def test_pallas_engine_fuzz_block_sizes(bs):
-    # Cross-size fuzz through the full runtime (non-pow2 sizes take the
-    # sweep path and exercise the partial-chunk scan staging): random,
-    # redundant and RLE-heavy payloads must produce oracle-valid streams,
-    # round-trip, and decode the oracle's own streams.
+@pytest.mark.parametrize(
+    "bs,matcher",
+    [(384, "sorted"), (384, "sweep"), (640, "sorted"), (1024, "sorted"),
+     (1536, "sorted")],
+)
+def test_pallas_engine_fuzz_block_sizes(bs, matcher):
+    # Cross-size fuzz through the full runtime: random, redundant and
+    # RLE-heavy payloads must produce oracle-valid streams, round-trip,
+    # and decode the oracle's own streams. Non-pow2 sizes exercise the
+    # sorted matcher's pad-to-pow2 path and the emit kernel's
+    # pow2-divisor chunk height (1536 -> CHB 512), plus the sweep path's
+    # partial-chunk scan staging.
     from pim_compression_tpu import runtime
     from pim_compression_tpu.utils.config import CodecConfig
 
     r = random.Random(bs)
-    matcher = "sorted" if bs & (bs - 1) == 0 else "sweep"
     cfg = CodecConfig(
         engine="pallas", block_size=bs, matcher=matcher, strict_engine=True
     )
@@ -573,6 +578,46 @@ def test_pallas_engine_fuzz_block_sizes(bs):
         assert oracle.decompress(stream) == data
         assert runtime.decompress(stream, cfg) == data
         assert runtime.decompress(oracle.compress(data, bs), cfg) == data
+
+
+def test_pallas_sorted_non_pow2_parity_with_padded_pow2():
+    # A non-pow2 block size runs the rung sorts padded to the next power
+    # of two. Junk (zero-pad) rows sit at positions >= bs, so they can
+    # never be the nearest-PREVIOUS occurrence for a real row — the
+    # matcher candidates, and therefore the emitted bytes, must be
+    # IDENTICAL to encoding the same zero-padded payload at the pow2
+    # block size with the true lengths.
+    bs, pow2 = 768, 1024
+    r = random.Random(91)
+    data = (b"pad-to-pow2 keeps the full sort window " * 30
+            + r.randbytes(250)) * 2
+    raw = np.frombuffer(data[: 3 * bs], np.uint8)
+    kw = dict(matcher="sorted", rungs=(4, 32), prev_k=2, interpret=True)
+
+    blocks = np.zeros((128, bs), np.uint8)
+    lens = np.zeros(128, np.int32)
+    blocks[:3] = raw.reshape(3, bs)
+    lens[:3] = bs
+    comp_n, sizes_n = pe.encode_blocks_pallas(
+        blocks, lens, block_size=bs, **kw
+    )
+    blocks_p = np.zeros((128, pow2), np.uint8)
+    blocks_p[:, :bs] = blocks
+    comp_p, sizes_p = pe.encode_blocks_pallas(
+        blocks_p, lens, block_size=pow2, **kw
+    )
+    comp_n, sizes_n = np.asarray(comp_n), np.asarray(sizes_n)
+    comp_p, sizes_p = np.asarray(comp_p), np.asarray(sizes_p)
+    np.testing.assert_array_equal(sizes_n[:3], sizes_p[:3])
+    for i in range(3):
+        np.testing.assert_array_equal(
+            comp_n[i, : sizes_n[i]], comp_p[i, : sizes_p[i]]
+        )
+        out = bytearray()
+        oracle.decompress_block(
+            memoryview(comp_n[i, : sizes_n[i]].tobytes()), out, 0
+        )
+        assert bytes(out) == data[i * bs : (i + 1) * bs]
 
 
 def test_pallas_encode_partial_batch_groups():
