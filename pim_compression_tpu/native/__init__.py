@@ -68,6 +68,18 @@ def _load() -> ctypes.CDLL | None:
     lib.stpu_scan_frames.argtypes = [
         u8p, ctypes.c_int64, i64p, u32p, i64p, u32p, ctypes.c_int64
     ]
+    lib.stpu_blockize_compressed.restype = ctypes.c_int64
+    lib.stpu_blockize_compressed.argtypes = [
+        u8p, ctypes.c_int64, i64p, u32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int
+    ]
+    lib.stpu_parallel_copy.restype = ctypes.c_int64
+    lib.stpu_parallel_copy.argtypes = [u8p, u8p, ctypes.c_int64, ctypes.c_int]
+    lib.stpu_assemble_compressed.restype = ctypes.c_int64
+    lib.stpu_assemble_compressed.argtypes = [
+        u8p, ctypes.c_int64, u32p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ctypes.c_int
+    ]
     _lib = lib
     return lib
 
@@ -78,6 +90,17 @@ def available() -> bool:
 
 def _as_u8p(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+_pba_new = ctypes.pythonapi.PyByteArray_FromStringAndSize
+_pba_new.restype = ctypes.py_object
+_pba_new.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+
+
+def uninit_bytearray(n: int) -> bytearray:
+    """bytearray(n) without the zero-fill pass (CPython documents NULL
+    contents as uninitialized) — callers overwrite every byte."""
+    return _pba_new(None, n)
 
 
 def _check(status: int) -> int:
@@ -143,6 +166,104 @@ def decompress(stream: bytes, num_threads: int = 0) -> bytes:
         )
     )
     return out[:n].tobytes()
+
+
+def blockize_compressed(
+    stream: bytes,
+    payload_off: np.ndarray,
+    payload_size: np.ndarray,
+    comp: np.ndarray,
+    dirty_bytes: int = 0,
+    num_threads: int = 0,
+) -> None:
+    """Fill the padded ``comp[num_blocks_padded, cap]`` slot matrix with the
+    framed payloads — one parallel memcpy per block (the host pre-phase of
+    the TPU decode path). Bytes of ``comp`` below ``dirty_bytes`` that no
+    payload covers are zeroed; pass 0 for a freshly zeroed buffer."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    nb = len(payload_off)
+    src = np.frombuffer(stream, dtype=np.uint8)
+    off64 = np.ascontiguousarray(payload_off, dtype=np.int64)
+    size32 = np.ascontiguousarray(payload_size, dtype=np.uint32)
+    assert comp.dtype == np.uint8 and comp.flags.c_contiguous
+    assert comp.shape[0] >= nb
+    _check(
+        lib.stpu_blockize_compressed(
+            _as_u8p(src),
+            len(stream),
+            off64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            size32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            nb,
+            comp.shape[0],
+            comp.shape[1],
+            dirty_bytes,
+            _as_u8p(comp),
+            num_threads,
+        )
+    )
+
+
+def parallel_copy(dst, src, num_threads: int = 0) -> None:
+    """Chunked multi-thread memcpy between buffer-protocol objects."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    d = np.frombuffer(dst, dtype=np.uint8)
+    s = np.frombuffer(src, dtype=np.uint8)
+    assert len(d) >= len(s)
+    lib.stpu_parallel_copy(_as_u8p(d), _as_u8p(s), len(s), num_threads)
+
+
+def assemble_compressed(
+    comp: np.ndarray,
+    sizes: np.ndarray,
+    header: bytes,
+    num_threads: int = 0,
+) -> bytearray:
+    """Header + per-block u32 frames + payload compaction — one parallel
+    memcpy per block (the host post-phase of the TPU encode path; the
+    ordered-fwrite analog, ``snappy_compress.c:697-703``).
+
+    Returns a ``bytearray`` the C layer filled IN PLACE (the stream is
+    written exactly once — an immutable ``bytes`` return would force a
+    second full pass just to detach the buffer; bytearray compares,
+    slices, and writes like bytes everywhere the runtime uses streams).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    if num_threads == 0:
+        num_threads = os.cpu_count() or 1
+    nb = len(sizes)
+    sizes32 = np.ascontiguousarray(sizes, dtype=np.uint32)
+    assert comp.dtype == np.uint8 and comp.flags.c_contiguous
+    total = len(header) + int(sizes32.astype(np.int64).sum()) + 4 * nb
+    out = uninit_bytearray(total)
+    out[: len(header)] = header
+    cbuf = (ctypes.c_uint8 * total).from_buffer(out)
+    wrote = _check(
+        lib.stpu_assemble_compressed(
+            _as_u8p(comp),
+            comp.shape[1],
+            sizes32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            nb,
+            ctypes.cast(
+                ctypes.byref(cbuf, len(header)),
+                ctypes.POINTER(ctypes.c_uint8),
+            ),
+            total - len(header),
+            num_threads,
+        )
+    )
+    del cbuf  # release the bytearray's exported-buffer lock
+    assert wrote == total - len(header)
+    return out
 
 
 def scan_frames(stream: bytes) -> dict:

@@ -439,6 +439,83 @@ int64_t stpu_scan_frames(const uint8_t* in, int64_t n, int64_t* payload_off,
   return static_cast<int64_t>(frames.size());
 }
 
+// Pack framed payloads into padded [num_blocks, cap] row slots — the TPU
+// decode path's host pre-phase (the NumPy ragged gather in
+// runtime/pipeline.py touched every payload byte through fancy indexing;
+// this is one memcpy per block, fanned out like the codec itself). Rows
+// must arrive zeroed (np.zeros); only payload bytes are written.
+// num_rows covers the padded slot matrix; rows >= num_blocks carry no
+// payload. dirty_bytes marks how far a REUSED staging buffer may hold stale
+// bytes from a previous call: payload-row tails and empty rows are memset
+// only up to that watermark, so a fresh calloc'd buffer (dirty_bytes = 0)
+// pays zero memset for its untouched padding pages.
+int64_t stpu_blockize_compressed(const uint8_t* in, int64_t n,
+                                 const int64_t* payload_off,
+                                 const uint32_t* payload_size,
+                                 int64_t num_blocks, int64_t num_rows,
+                                 int64_t cap, int64_t dirty_bytes,
+                                 uint8_t* comp, int num_threads) {
+  std::atomic<int64_t> status{stpu::kOk};
+  stpu::ParallelFor(num_rows, num_threads, [&](int64_t b) {
+    uint8_t* row = comp + b * cap;
+    const int64_t row_off = b * cap;
+    int64_t size = 0;
+    if (b < num_blocks) {
+      const int64_t off = payload_off[b];
+      size = payload_size[b];
+      if (off < 0 || size > cap || off + size > n) {
+        status.store(stpu::kInvalidInput);
+        return;
+      }
+      std::memcpy(row, in + off, static_cast<size_t>(size));
+    }
+    const int64_t zero_hi =
+        std::min<int64_t>(cap, dirty_bytes - row_off);
+    if (zero_hi > size)
+      std::memset(row + size, 0, static_cast<size_t>(zero_hi - size));
+  });
+  return status.load();
+}
+
+// Plain chunked parallel memcpy: the host-side byte moves that remain after
+// the blockize/assemble entry points (plain-input blockize, decompressed
+// assembly) are single contiguous copies — fan them out so the host phases
+// track aggregate memory bandwidth, not one core's.
+int64_t stpu_parallel_copy(uint8_t* dst, const uint8_t* src, int64_t n,
+                           int num_threads) {
+  constexpr int64_t kChunk = 4 << 20;
+  const int64_t chunks = (n + kChunk - 1) / kChunk;
+  stpu::ParallelFor(chunks, num_threads, [&](int64_t c) {
+    const int64_t off = c * kChunk;
+    std::memcpy(dst + off, src + off,
+                static_cast<size_t>(std::min(kChunk, n - off)));
+  });
+  return n;
+}
+
+// Compact padded per-block payloads into the framed stream tail (u32 frame
+// word + payload per block), written at out — the encode path's host
+// post-phase, the ordered-fwrite analog (snappy_compress.c:697-703), one
+// memcpy per block in parallel. Returns bytes written.
+int64_t stpu_assemble_compressed(const uint8_t* comp, int64_t cap,
+                                 const uint32_t* sizes, int64_t num_blocks,
+                                 uint8_t* out, int64_t out_cap,
+                                 int num_threads) {
+  std::vector<int64_t> offs(static_cast<size_t>(num_blocks) + 1);
+  offs[0] = 0;
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    if (sizes[b] > cap) return stpu::kInvalidInput;
+    offs[b + 1] = offs[b] + 4 + sizes[b];
+  }
+  if (offs[num_blocks] > out_cap) return stpu::kBufferTooSmall;
+  stpu::ParallelFor(num_blocks, num_threads, [&](int64_t b) {
+    uint8_t* op = out + offs[b];
+    stpu::Store32(op, sizes[b]);
+    std::memcpy(op + 4, comp + b * cap, sizes[b]);
+  });
+  return offs[num_blocks];
+}
+
 // Decompress a framed stream. Returns bytes written.
 int64_t stpu_decompress(const uint8_t* in, int64_t n, uint8_t* out,
                         int64_t out_cap, int num_threads) {

@@ -130,7 +130,10 @@ def decompress(
     stream: bytes,
     config: CodecConfig | None = None,
     timer: PhaseTimer | None = None,
-) -> bytes:
+) -> bytes | bytearray:
+    """Decompress a framed stream (returns a bytes-like object: device
+    engines fill one output buffer in place and return it without a
+    detaching copy; small results and host engines return bytes)."""
     config = config or CodecConfig()
     timer = timer if timer is not None else PhaseTimer()
 
@@ -152,7 +155,9 @@ def decompress(
             return b""
         mesh = get_mesh(config.mesh_devices)
         padded, batch = _device_batches(nb, config, mesh)
-        comp, comp_len, out_len = pipeline.blockize_compressed(stream, info, padded)
+        comp, comp_len, out_len = pipeline.blockize_compressed(
+            stream, info, padded, zero_pad=False
+        )
 
     use_pallas = _pallas_or_fallback(
         config, block_size, pallas_decode.MAX_PALLAS_BLOCK, timer
@@ -174,7 +179,18 @@ def decompress(
 
     sharding = block_sharding(mesh)
     interpret = jax.default_backend() == "cpu"
-    out_np = np.empty((nb, block_size), dtype=np.uint8)
+    # The final output buffer, allocated ONCE and written exactly once:
+    # each batch drain lands its rows directly at byte offset start *
+    # block_size (the fixed geometry the modified format exists to provide,
+    # snappy/README.md:5-33), so decode has no separate host assembly pass.
+    from pim_compression_tpu import native as _native
+
+    result = (
+        _native.uninit_bytearray(total_len)
+        if _native.available()
+        else bytearray(total_len)
+    )
+    flat = np.frombuffer(result, dtype=np.uint8)
     # Bounded-depth pipelining: with depth > 1 and several batches, h2d +
     # kernel dispatch of batch i+1 overlap the d2h drain of batch i (JAX
     # async dispatch); the depth bound keeps the number of queued device
@@ -197,7 +213,13 @@ def decompress(
             )
         take = min(nb, start + batch) - start
         if take > 0:
-            out_np[start : start + take] = out_h[:take]
+            lo = start * block_size
+            dst = flat[lo : min(lo + take * block_size, total_len)]
+            rows = len(dst) // block_size
+            dst[: rows * block_size] = out_h[:rows].reshape(-1)
+            if rows < take:  # final partial block
+                rem = len(dst) - rows * block_size
+                dst[rows * block_size :] = out_h[rows, :rem]
 
     for start in range(0, padded, batch):
         sl = slice(start, start + batch)
@@ -224,14 +246,17 @@ def decompress(
         drain_one()
 
     with timer.phase("post"):
-        return pipeline.assemble_decompressed(out_np, total_len)
+        return bytes(result) if total_len < (1 << 20) else result
 
 
 def compress(
     data: bytes,
     config: CodecConfig | None = None,
     timer: PhaseTimer | None = None,
-) -> bytes:
+) -> bytes | bytearray:
+    """Compress to a framed stream (bytes-like: the device engines'
+    assembly fills one output buffer in place and returns it without a
+    detaching copy; host engines return bytes)."""
     config = config or CodecConfig()
     timer = timer if timer is not None else PhaseTimer()
 
@@ -316,7 +341,9 @@ def compress(
                     f"on-device verify failed for blocks {bad[:8].tolist()}",
                 )
 
-    for start in range(0, padded, batch):
+    # batch == 0 when the triage diverted EVERY block (pure-random input):
+    # zero device dispatches, straight to the raw-frame fill + assembly.
+    for start in range(0, padded, batch) if batch else ():
         sl = slice(start, start + batch)
         with timer.phase("h2d"):
             blocks_d = jax.device_put(dblocks[sl], sharding)

@@ -100,6 +100,19 @@ def run_n(nproc: int, src: pathlib.Path, tmp: pathlib.Path, engine: str,
     kern_s = max(
         s["compress_phases_s"].get("kernel", 0.0) for s in stats
     ) + max(s["decompress_phases_s"].get("kernel", 0.0) for s in stats)
+    # Work-conservation observables: max per-process CPU seconds consumed
+    # by the codec (what each "host" actually computed) and the sum across
+    # processes (total work). cpu_s * N ~ sum_cpu_s ~ N=1 codec_s means the
+    # work divides perfectly and any wall-clock efficiency below 100% on a
+    # procs ~ cores VM is scheduler timesharing, not coordination overhead.
+    cpu_s = max(
+        s.get("compress_cpu_s", 0.0) + s.get("decompress_cpu_s", 0.0)
+        for s in stats
+    )
+    sum_cpu_s = sum(
+        s.get("compress_cpu_s", 0.0) + s.get("decompress_cpu_s", 0.0)
+        for s in stats
+    )
     return {
         "procs": nproc,
         "cores": os.cpu_count(),  # procs > cores rows are oversubscribed
@@ -111,6 +124,8 @@ def run_n(nproc: int, src: pathlib.Path, tmp: pathlib.Path, engine: str,
         "decompress_s": round(dec_s, 3),
         "gbps": round(2 * n / codec_s / 1e9, 4),  # compress + decompress
         "kernel_gbps": round(2 * n / kern_s / 1e9, 4) if kern_s else 0.0,
+        "cpu_s": round(cpu_s, 3),
+        "sum_cpu_s": round(sum_cpu_s, 3),
         "compressed": stats[0]["compressed"],
         "max_rss_mb": max(s["peak_rss_mb"] for s in stats),
     }
@@ -149,16 +164,27 @@ def main() -> int:
                 r["allphase_eff"] = round(
                     base["codec_s"] / r["codec_s"] / scale, 3
                 )
+                # CPU-time efficiency: slowest process's actual codec
+                # compute vs a perfect 1/N share of the N=1 CPU time.
+                # This is the codec-scaling observable that a procs ~
+                # cores VM cannot corrupt with scheduler timesharing.
+                r["cpu_eff"] = (
+                    round(base["cpu_s"] / r["cpu_s"] / scale, 3)
+                    if r["cpu_s"]
+                    else 0.0
+                )
             else:
                 r["speedup"] = 1.0
                 r["efficiency"] = 1.0
                 r["allphase_eff"] = 1.0
+                r["cpu_eff"] = 1.0
             rows.append(r)
             print(
                 f"N={r['procs']}: kernel {r['kernel_gbps']:.3f} GB/s "
                 f"speedup {r['speedup']}x eff {r['efficiency']:.0%} "
                 f"(all-phase {r['gbps']:.3f} GB/s, eff "
-                f"{r['allphase_eff']:.0%}) peak RSS {r['max_rss_mb']} MB"
+                f"{r['allphase_eff']:.0%}; cpu-work eff {r['cpu_eff']:.0%}) "
+                f"peak RSS {r['max_rss_mb']} MB"
             )
     outp = REPO / args.out
     outp.parent.mkdir(parents=True, exist_ok=True)

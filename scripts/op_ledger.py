@@ -261,6 +261,14 @@ def main() -> int:
         )
 
     enc_cfgs = [
+        # Round-3 fused select-extend flagships (sel_all: one shared word
+        # build across every candidate array; per-rung densities).
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2,
+             stride2_min=32, sel_cap=16, sel_all=True),
+        dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2,
+             rung_strides=(1, 8), sel_cap=16, sel_all=True),
+        dict(block_size=16384, matcher="sorted", rungs=(4, 32), prev_k=2,
+             stride2_min=32, sel_cap=16, sel_all=True),
         dict(block_size=8192, matcher="sorted"),
         dict(block_size=16384, matcher="sorted"),
         dict(block_size=32768, matcher="sorted"),
@@ -319,6 +327,12 @@ def main() -> int:
                 if cfg.get("sel_cap")
                 else ""
             )
+            + (" selall" if cfg.get("sel_all") else "")
+            + (
+                " rs=" + ",".join(str(r) for r in cfg["rung_strides"])
+                if cfg.get("rung_strides")
+                else ""
+            )
             + (
                 f" w={cfg.get('window')} c={cfg.get('coarse_window')}"
                 if cfg["matcher"] == "sweep"
@@ -370,6 +384,13 @@ def main() -> int:
                     ):
                         continue
                     if int(v.get("sel_cap") or 0) != int(cfg.get("sel_cap", 0)):
+                        continue
+                    if bool(v.get("sel_all")) != bool(cfg.get("sel_all")):
+                        continue
+                    if (v.get("rung_strides") or None) != (
+                        ",".join(str(x) for x in cfg.get("rung_strides") or ())
+                        or None
+                    ):
                         continue
                     if cfg.get("matcher") == "sweep" and (
                         v.get("window") != cfg.get("window")

@@ -98,3 +98,74 @@ def test_native_rejects_trailing_empty_frame():
         oracle.decompress(bad)
     with pytest.raises(ValueError):
         oracle.scan_block_frames(bad)
+
+
+def test_native_blockize_assemble_parity():
+    # The native host pre/post entry points (parallel per-block memcpys)
+    # must reproduce the NumPy ragged gather/scatter bytes exactly,
+    # including pooled-buffer reuse with the dirty-watermark zeroing and
+    # the zero_pad=False fast path (slot bytes past each payload are
+    # unconstrained there — both decode engines mask reads >= comp_len).
+    import numpy as np
+
+    from pim_compression_tpu.runtime import pipeline
+
+    rng = random.Random(23)
+    plain = (b"blockize and assemble ride parallel memcpys " * 300
+             + rng.randbytes(4000)) * 3
+    bs = 1024
+    stream = native.compress(plain, block_size=bs)
+    info = native.scan_frames(stream)
+    nb = len(info["payload_off"])
+    pad = -(-nb // 128) * 128
+
+    comp_n, cl_n, ol_n = pipeline.blockize_compressed(stream, info, pad)
+    comp_n = comp_n.copy()
+    # NumPy reference path
+    av = native.available
+    try:
+        native.available = lambda: False
+        comp_p, cl_p, ol_p = pipeline.blockize_compressed(stream, info, pad)
+    finally:
+        native.available = av
+    np.testing.assert_array_equal(comp_n, comp_p)
+    np.testing.assert_array_equal(cl_n, cl_p)
+    np.testing.assert_array_equal(ol_n, ol_p)
+
+    # Pooled reuse at a SMALLER geometry must still zero stale pad bytes.
+    small = native.compress(plain[: 5 * bs], block_size=bs)
+    sinfo = native.scan_frames(small)
+    comp_s, cl_s, _ = pipeline.blockize_compressed(small, sinfo, 128)
+    comp_s = comp_s.copy()
+    try:
+        native.available = lambda: False
+        comp_sp, _, _ = pipeline.blockize_compressed(small, sinfo, 128)
+    finally:
+        native.available = av
+    np.testing.assert_array_equal(comp_s, comp_sp)
+
+    # zero_pad=False: payload bytes intact, stream reassembles, frames OK.
+    comp_f, cl_f, _ = pipeline.blockize_compressed(
+        stream, info, pad, zero_pad=False
+    )
+    for i in range(nb):
+        np.testing.assert_array_equal(
+            comp_f[i, : cl_f[i]], comp_n[i, : cl_n[i]]
+        )
+
+    # Assemble: native parallel compaction reconstructs the stream
+    # byte-identically (bytearray return compares equal to bytes).
+    out = pipeline.assemble_compressed(
+        comp_n, cl_n, info["total_len"], bs, nb
+    )
+    assert out == stream
+    # Plain blockize + decompressed assembly round-trip.
+    blocks, lens = pipeline.blockize_plain(plain, bs, pad)
+    try:
+        native.available = lambda: False
+        blocks_p, lens_p = pipeline.blockize_plain(plain, bs, pad)
+    finally:
+        native.available = av
+    np.testing.assert_array_equal(blocks, blocks_p)
+    np.testing.assert_array_equal(lens, lens_p)
+    assert pipeline.assemble_decompressed(blocks[:nb], len(plain)) == plain

@@ -109,15 +109,14 @@ def test_phase_timer_taxonomy():
 def test_pallas_envelope_gate_falls_back_loudly():
     # The pallas envelope is exact (reviewer finding): in-range but
     # unsupported block sizes must take the loud xla fallback, never reach
-    # the kernels (bs=1280 used to produce garbage sizes via partial
-    # chunk coverage; bs=264 hit a raw AssertionError in decode).
+    # the kernels (bs=264 hit a raw AssertionError in decode; bs=32768
+    # exceeds the un-chunked sweep matcher's VMEM budget).
     import warnings
 
     from pim_compression_tpu.runtime.profiling import PhaseTimer
 
     data = b"envelope gate " * 600
-    for bs, matcher in ((1280, "sorted"), (264, "sorted"), (32768, "sweep"),
-                        (24576, "sorted")):
+    for bs, matcher in ((264, "sorted"), (32768, "sweep")):
         t = PhaseTimer()
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
@@ -133,6 +132,26 @@ def test_pallas_envelope_gate_falls_back_loudly():
                     strict_engine=True,
                 ),
             )
+    # Formerly-fallback sizes now inside the widened envelope (pad-to-pow2
+    # sort + pow2-divisor emit chunks): run in-kernel under strict_engine
+    # and round-trip (1280 and 2688; 24576 asserted via the gap predicate —
+    # a 24 K interpret-mode sort is too slow for CI).
+    from pim_compression_tpu.runtime.api import _pallas_envelope_gap
+    from pim_compression_tpu.ops.pallas_encode import MAX_ENC_BLOCK
+
+    for bs in (1280, 2688, 24576):
+        cfg = CodecConfig(
+            engine="pallas", block_size=bs, matcher="sorted",
+            strict_engine=True,
+        )
+        assert (
+            _pallas_envelope_gap(cfg, bs, MAX_ENC_BLOCK, encode=True) is None
+        ), bs
+        if bs >= 24576:
+            continue
+        stream = runtime.compress(data, cfg)
+        assert runtime.decompress(stream, CodecConfig(engine="oracle")) == data
+        assert runtime.decompress(stream, cfg) == data
 
 
 def test_pallas_batch_trimming_policy():
