@@ -131,16 +131,17 @@ def main() -> int:
     window = int(os.environ.get("PIM_BENCH_WINDOW", "512"))
     coarse = int(os.environ.get("PIM_BENCH_COARSE", "4096"))
     granular = os.environ.get("PIM_BENCH_COARSE_MODE", "granular") == "granular"
-    # "sorted" (default): rung-ladder bitonic matcher, whole-block window,
-    # hardware-validated xml ratio 0.726 at bs=8192 (beats every sweep
-    # config on ratio AND speed); window/coarse knobs apply to "sweep" only.
+    # "sorted" (default): rung-ladder bitonic matcher, whole-block window;
+    # window/coarse knobs apply to "sweep" only.
     matcher = os.environ.get("PIM_BENCH_MATCHER", "sorted")
-    # (4,32)+prev2: the measured Pareto frontier (DESIGN.md ladder) —
-    # hardware-validated xml ratio 0.758 @ 16K (above the reference's
-    # 0.7408) at 4.26 vreg-c/B vs the old 3-rung default's 0.7561 at
-    # 5.23 (tpu_validation.json; docs/perf_ledger.json). Set
-    # PIM_BENCH_RUNGS= (empty) for the full ladder (0.7611 @ 16K).
-    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4,32")
+    # Round-3 speed flagship: a SINGLE dense 4-byte rung + prev_k
+    # nearest-previous composition + fused select-then-extend. 1.96
+    # vreg-c/B at xml ratio 0.7563 @ 32K (reference bar 0.7408),
+    # device-validated oracle-valid (tpu_validation.json); every corpus
+    # file compresses below the shipped reference stream. Richer ladders
+    # (PIM_BENCH_RUNGS=4,32 / PREVK=4/6) trade cycles for ratio — see
+    # docs/perf_ledger.json.
+    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4")
     rungs = (
         tuple(int(x) for x in rungs_env.split(",")) if rungs_env else None
     )
@@ -148,9 +149,9 @@ def main() -> int:
     # rung (no extra sort) — better ratio for ~one extension pass.
     prev_k = int(os.environ.get("PIM_BENCH_PREVK", "2"))
     # Half-density sort on rungs >= this (~40% fewer sort ops there for a
-    # small ratio cost); 0 = full density. The flagship sorts the 32-rung
-    # at half density (ratio 0.7702 @ 32K, above the reference's 0.7408).
-    stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "32"))
+    # small ratio cost); 0 = full density (the single-rung flagship keeps
+    # its 4-byte rung dense — stride-2 there was measured below the bar).
+    stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "0"))
     # Select-then-extend cap (bytes): candidates get a cheap capped
     # extension and only the winner is fully extended; 0 = off.
     sel_cap = int(os.environ.get("PIM_BENCH_SELCAP", "16"))

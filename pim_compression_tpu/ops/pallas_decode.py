@@ -48,7 +48,16 @@ from pim_compression_tpu.ops.lane_model import (
 DST_SHIFT = 16
 KIND_SHIFT = 15
 VALUE_MASK = (1 << 15) - 1
-MAX_PALLAS_BLOCK = 32768  # packing budget (15-bit dst/value fields)
+MAX_PALLAS_BLOCK = 32768  # single-plane packing budget (15-bit dst/value)
+# Wide (two-plane) token format for 32 K < block_size <= 64 K (the format's
+# documented max, snappy/README.md:7): the 34 bits a 64 K token needs
+# (17-bit dst + kind + 16-bit value + occupancy) split across an int32
+# routing word OCC | dst << 8 | kind and an int16 value plane that rides
+# every routing move — the encoder's payload-rides-the-route pattern
+# (pallas_encode._route_tokens).
+MAX_PALLAS_BLOCK_WIDE = 65536
+WDST_SHIFT = 8
+WDST_MASK = (1 << 17) - 1
 
 LANES = 128
 SUBLANES = 8
@@ -80,14 +89,19 @@ def _dfa_kernel(
     comp_len_ref,  # (8, 128) i32
     out_len_ref,  # (8, 128) i32
     tokens_ref,  # (CHUNK, 8, 128) i32 out
-    err_ref,  # (8, 128) i32 out
-    state_ref,  # scratch (7, 8, 128) i32: mode,cnt,acc,shift,len,out_cur,err
-    *,
+    *rest,  # wide: (vals_ref (CHUNK,8,128) i16, err_ref, state_ref)
+    # narrow: (err_ref, state_ref)
     chunk: int,
     cap: int,
     bias: int,
     block_size: int,
+    wide: bool = False,
 ):
+    if wide:
+        vals_ref, err_ref, state_ref = rest
+    else:
+        vals_ref = None
+        err_ref, state_ref = rest
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -152,11 +166,22 @@ def _dfa_kernel(
         # LIT: route this data byte.
         lit_ok = is_lit & (out_cur < out_len)
         err = jnp.where(is_lit & ~lit_ok, err | ERR_LENGTH_MISMATCH, err)
-        token = jnp.where(
-            lit_ok,
-            OCCUPIED | ((bias + out_cur) << DST_SHIFT) | (KIND_LIT << KIND_SHIFT) | b,
-            0,
-        )
+        if wide:
+            token = jnp.where(
+                lit_ok,
+                OCCUPIED | ((bias + out_cur) << WDST_SHIFT) | KIND_LIT,
+                0,
+            )
+            value = jnp.where(lit_ok, b, 0)
+        else:
+            token = jnp.where(
+                lit_ok,
+                OCCUPIED
+                | ((bias + out_cur) << DST_SHIFT)
+                | (KIND_LIT << KIND_SHIFT)
+                | b,
+                0,
+            )
         n_cnt = jnp.where(is_lit, cnt - 1, n_cnt)
         n_mode = jnp.where(is_lit & (cnt == 1), TAG, n_mode)
 
@@ -175,20 +200,30 @@ def _dfa_kernel(
             off_done & (out_cur + length > out_len), err | ERR_LENGTH_MISMATCH, err
         )
         copy_ok = off_done & ~bad_off & (out_cur < out_len)
-        token = jnp.where(
-            copy_ok,
-            OCCUPIED
-            | ((bias + out_cur) << DST_SHIFT)
-            | (KIND_COPY << KIND_SHIFT)
-            | ((offset - 1) & VALUE_MASK),
-            token,
-        )
+        if wide:
+            token = jnp.where(
+                copy_ok,
+                OCCUPIED | ((bias + out_cur) << WDST_SHIFT) | KIND_COPY,
+                token,
+            )
+            value = jnp.where(copy_ok, (offset - 1) & 0xFFFF, value)
+        else:
+            token = jnp.where(
+                copy_ok,
+                OCCUPIED
+                | ((bias + out_cur) << DST_SHIFT)
+                | (KIND_COPY << KIND_SHIFT)
+                | ((offset - 1) & VALUE_MASK),
+                token,
+            )
         n_mode = jnp.where(off_done, TAG, n_mode)
 
         out_cur = jnp.where(
             is_lit, out_cur + 1, jnp.where(off_done, out_cur + length, out_cur)
         )
         tokens_ref[i] = token
+        if wide:
+            vals_ref[i] = value.astype(jnp.int16)
         return n_mode, n_cnt, n_acc, n_shift, n_len, out_cur, err
 
     carry = tuple(state_ref[j] for j in range(7))
@@ -557,13 +592,370 @@ def _route_kernel(
     err_ref[0] = jnp.broadcast_to(err, (SUBLANES, LANES))
 
 
+def _pick_chunk_wide(rows: int, target: int = 4096) -> int:
+    """Largest divisor of ``rows`` <= target that is a multiple of 128.
+
+    The wide resolve phase reads 128-row-aligned source windows (delta is
+    measured in 128-row transpose groups), so chunks must be 128-aligned.
+    """
+    ch = min(rows, target) // LANES * LANES
+    while ch > LANES and rows % ch:
+        ch -= LANES
+    if ch <= 0 or rows % ch or ch % LANES:
+        raise ValueError(f"no 128-multiple chunk divisor for {rows}")
+    return ch
+
+
+def _route_kernel_wide(
+    tokens_hbm,  # (G, cap, 128) i32 in ANY (HBM); group g is DMA'd in
+    vals_hbm,  # (G, cap, 128) i16 in ANY
+    out_len_ref,  # (1, 8, 128) i32  (row 0 used)
+    out_ref,  # (1, block_size, 128) i8
+    err_ref,  # (1, 8, 128) i32
+    W_s,  # scratch (R, 128) i32: routing words, then S pointers at moff
+    rank_s,  # scratch (R, 128) i32: ranks -> fill keys -> hop accumulator
+    V_s,  # scratch (R, 128) i16: the 16-bit value plane (rides every move)
+    STG,  # scratch (2 * CH, 128) i32: expand chunk-0 W snapshot (+ zeros)
+    STGV,  # scratch (2 * CH, 128) i16: expand chunk-0 V snapshot (+ zeros)
+    sem,  # DMA semaphore
+    *,
+    cap: int,
+    block_size: int,
+    resolve_rounds: int,
+):
+    """Two-plane route for 32 K < bs <= 64 K (or force-wide tests).
+
+    Same pipeline as :func:`_route_kernel` with three structural changes
+    that keep 64 K inside the VMEM budget (the single-plane kernel's
+    staged form needs ~200 MB there):
+
+    - 16-bit values ride the routing moves as a second plane (the
+      encoder's payload-rides-the-route pattern) instead of living inside
+      the token word, freeing 17 bits for dst.
+    - Compact/expand are STAGING-FREE (pallas_encode._route_tokens):
+      ascending/descending chunk order reads partner rows from chunks not
+      yet updated this round and recomputes the partner's move decision —
+      no 2x-cap staging buffer.
+    - The resolve S-plane lives at row offset ``moff = R - bs`` inside
+      W_s; per-delta gather windows read at ``moff + base - delta*128 >=
+      moff - CH >= 0`` (cap > bs guarantees the margin), so no separate
+      staged source plane exists. Junk reads below moff are masked by the
+      delta-match condition — consuming rows always read >= moff.
+    """
+    bs = block_size
+    g = pl.program_id(0)
+    CH = _pick_chunk_wide(bs)
+    cap_r = (cap + CH - 1) // CH * CH
+    R = cap_r + CH
+    NCC = cap_r // CH
+    NCB = bs // CH
+    nq = bs // LANES
+    moff = R - bs
+    out_len = out_len_ref[0, 0:1, :]  # (1, 128)
+
+    def dma(src, dst):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    def ch_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+
+    dma(tokens_hbm.at[g], W_s.at[pl.ds(0, cap)])
+    dma(vals_hbm.at[g], V_s.at[pl.ds(0, cap)])
+    if R > cap:
+        W_s[cap:R] = jnp.zeros((R - cap, LANES), jnp.int32)
+        rank_s[cap:R] = jnp.zeros((R - cap, LANES), jnp.int32)
+
+    # ---- Phase 1: occupancy ranks, one ascending chunk-carry pass. ----
+    def occ_rank(c, tot):
+        base = c * CH
+        W = W_s[pl.ds(base, CH)]
+        occ_i = ((W & OCCUPIED) != 0).astype(jnp.int32)
+        x = occ_i
+        sh = 1
+        while sh < CH:
+            x = x + jnp.concatenate(
+                [jnp.zeros((sh, LANES), jnp.int32), x[: CH - sh]]
+            )
+            sh <<= 1
+        incl = x + tot
+        rank_s[pl.ds(base, CH)] = jnp.where(occ_i != 0, incl - 1, 0)
+        return incl[CH - 1 : CH]
+
+    jax.lax.fori_loop(
+        0, NCC, occ_rank, jnp.zeros((1, LANES), jnp.int32)
+    )
+
+    # ---- Phase 2: compact up, LSB-first, staging-free (ascending chunk
+    # order reads sources from not-yet-updated rows; reads past cap_r land
+    # in the zeroed pad chunk). V rides the same selects.
+    nbit = (cap_r - 1).bit_length()
+
+    def compact_round(k, conflict):
+        sh = jnp.int32(1) << k
+
+        def upd(c, conflict):
+            base = c * CH
+            W = W_s[pl.ds(base, CH)]
+            rank = rank_s[pl.ds(base, CH)]
+            V = V_s[pl.ds(base, CH)]
+            occ = (W & OCCUPIED) != 0
+            crows = base + ch_iota(CH)
+            move = occ & ((((crows - rank) >> k) & 1) == 1)
+            src = jnp.minimum(base + sh, cap_r)
+            nW = W_s[pl.ds(src, CH)]
+            nR = rank_s[pl.ds(src, CH)]
+            nV = V_s[pl.ds(src, CH)]
+            srows = src + ch_iota(CH)
+            occ_s = (nW & OCCUPIED) != 0
+            arriving = occ_s & ((((srows - nR) >> k) & 1) == 1)
+            staying = occ & ~move
+            conflict = conflict | jnp.any(
+                arriving & staying, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            W_s[pl.ds(base, CH)] = jnp.where(
+                arriving, nW, jnp.where(staying, W, 0)
+            )
+            rank_s[pl.ds(base, CH)] = jnp.where(
+                arriving, nR, jnp.where(staying, rank, 0)
+            )
+            V_s[pl.ds(base, CH)] = jnp.where(
+                arriving, nV, jnp.where(staying, V, 0)
+            )
+            return conflict
+
+        return jax.lax.fori_loop(0, NCC, upd, conflict)
+
+    conflict_acc = jax.lax.fori_loop(
+        0, nbit, compact_round, jnp.zeros((1, LANES), jnp.int32)
+    )
+
+    # ---- Phase 3: expand down over [0, bs), MSB-first, staging-free
+    # except the chunk-0 snapshot (descending order; every other chunk's
+    # source rows [base-sh, base-sh+CH) sit in not-yet-updated chunks).
+    # Tokens end compact inside [0, ntok <= bs): every token emits >= 1
+    # output byte.
+    max_bit = (bs - 1).bit_length() - 1
+    STG[0:CH] = jnp.zeros((CH, LANES), jnp.int32)
+    STGV[0:CH] = jnp.zeros((CH, LANES), jnp.int16)
+
+    def expand_round(j, conflict):
+        sh = jnp.int32(1) << (max_bit - j)
+        STG[pl.ds(CH, CH)] = W_s[pl.ds(0, CH)]
+        STGV[pl.ds(CH, CH)] = V_s[pl.ds(0, CH)]
+
+        def upd(i, conflict):
+            c = NCB - 1 - i
+            base = c * CH
+            W = W_s[pl.ds(base, CH)]
+            V = V_s[pl.ds(base, CH)]
+            occ = (W & OCCUPIED) != 0
+            crows = base + ch_iota(CH)
+            dst = (W >> WDST_SHIFT) & WDST_MASK
+            move = occ & (dst - crows >= sh)
+            off0 = jnp.maximum(CH - sh, 0)
+            msrc = jnp.maximum(base - sh, 0)
+            mW = jnp.where(
+                base == 0, STG[pl.ds(off0, CH)], W_s[pl.ds(msrc, CH)]
+            )
+            mV = jnp.where(
+                base == 0, STGV[pl.ds(off0, CH)], V_s[pl.ds(msrc, CH)]
+            )
+            occ_m = (mW & OCCUPIED) != 0
+            mdst = (mW >> WDST_SHIFT) & WDST_MASK
+            arriving = (
+                (crows >= sh) & occ_m & (mdst - (crows - sh) >= sh)
+            )
+            staying = occ & ~move
+            conflict = conflict | jnp.any(
+                arriving & staying, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            W_s[pl.ds(base, CH)] = jnp.where(
+                arriving, mW, jnp.where(staying, W, 0)
+            )
+            V_s[pl.ds(base, CH)] = jnp.where(
+                arriving, mV, jnp.where(staying, V, 0)
+            )
+            return conflict
+
+        return jax.lax.fori_loop(0, NCB, upd, conflict)
+
+    conflict_acc = jax.lax.fori_loop(
+        0, max_bit + 1, expand_round, conflict_acc
+    )
+    err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
+
+    # ---- Phase 4: covering-token fill, one ascending chunk-carry pass of
+    # the paired latest-token scan (key = (token_row << 1) | kind; the
+    # value plane rides the same selects). A plain prefix-max equals the
+    # 64-row-bounded fill on valid streams; invalid gaps surface as bad
+    # offsets below, exactly like the staged form.
+    def fill(c, carry):
+        ck, cv = carry
+        base = c * CH
+        W = W_s[pl.ds(base, CH)]
+        V = V_s[pl.ds(base, CH)]
+        crows = base + ch_iota(CH)
+        occ = (W & OCCUPIED) != 0
+        K = jnp.where(occ, (crows << 1) | (W & 1), -1)
+        sh = 1
+        while sh < CH:
+            Ks = jnp.concatenate(
+                [jnp.full((sh, LANES), -1, jnp.int32), K[: CH - sh]]
+            )
+            Vs = jnp.concatenate(
+                [jnp.zeros((sh, LANES), jnp.int16), V[: CH - sh]]
+            )
+            take = Ks > K
+            K = jnp.where(take, Ks, K)
+            V = jnp.where(take, Vs, V)
+            sh <<= 1
+        take = ck > K
+        K = jnp.where(take, ck, K)
+        V = jnp.where(take, cv, V)
+        rank_s[pl.ds(base, CH)] = K
+        V_s[pl.ds(base, CH)] = V
+        return (K[CH - 1 : CH], V[CH - 1 : CH])
+
+    jax.lax.fori_loop(
+        0, NCB, fill,
+        (
+            jnp.full((1, LANES), -1, jnp.int32),
+            jnp.zeros((1, LANES), jnp.int16),
+        ),
+    )
+
+    # ---- Phase 5: source pointers + transpose into the margin region.
+    # Literal output rows are their own covering token (every literal byte
+    # has a token), so the literal byte is the covering value.
+    def sbad(c, bad_acc):
+        base = c * CH
+        K = rank_s[pl.ds(base, CH)]
+        Vv = V_s[pl.ds(base, CH)].astype(jnp.int32) & 0xFFFF
+        crows = base + ch_iota(CH)
+        in_range = crows < out_len
+        covered = K >= 0
+        k_lit = covered & ((K & 1) == KIND_LIT)
+        is_lit = k_lit & ((K >> 1) == crows)
+        S = jnp.where(is_lit, -(Vv & 0xFF) - 1, crows - (Vv + 1))
+        bad = in_range & ~is_lit & (
+            ~covered | k_lit | (S >= crows) | (S < 0)
+        )
+        bad_acc = bad_acc | jnp.any(bad, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+        rank_s[pl.ds(base, CH)] = jnp.where(bad | ~in_range, -1, S)
+        return bad_acc
+
+    bad_acc = jax.lax.fori_loop(
+        0, NCB, sbad, jnp.zeros((1, LANES), jnp.int32)
+    )
+    err = err | jnp.where(bad_acc != 0, ERR_BAD_OFFSET, 0)
+
+    def tr(q, alive):
+        x = rank_s[pl.ds(q * LANES, LANES)]  # [pos residue, block]
+        W_s[pl.ds(moff + q * LANES, LANES)] = jnp.transpose(x)
+        return alive | jnp.any(x >= 0, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+
+    alive0 = jax.lax.fori_loop(0, nq, tr, jnp.zeros((1, LANES), jnp.int32))
+
+    # ---- Phase 6: adaptive pointer jumping in [block, residue] layout at
+    # W_s[moff:moff+bs); hop accumulator in rank_s[0:bs). Within a round
+    # W_s is read-only (writes land in rank_s), so the gather source needs
+    # no snapshot; consuming rows always read >= moff (s >= 0 implies
+    # source row moff + qs*128 + i), junk below moff is masked.
+    def cond(carry):
+        r, alive = carry
+        return (r < resolve_rounds) & jnp.any(alive != 0)
+
+    def body(carry):
+        r, _ = carry
+
+        def stat(c, md):
+            s = W_s[pl.ds(moff + c * CH, CH)]
+            crows = c * CH + ch_iota(CH)
+            qs = jnp.maximum(s, 0) // LANES
+            return jnp.maximum(
+                md, jnp.max(jnp.where(s >= 0, crows // LANES - qs, 0))
+            )
+
+        max_delta = jax.lax.fori_loop(0, NCB, stat, jnp.int32(0))
+        dma(W_s.at[pl.ds(moff, bs)], rank_s.at[pl.ds(0, bs)])
+
+        def per_delta(delta, _):
+            def per_chunk(c, _):
+                base = c * CH
+                s = W_s[pl.ds(moff + base, CH)]
+                crows = base + ch_iota(CH)
+                ptr = jnp.maximum(s, 0)
+                qs = ptr // LANES
+                rs = ptr - qs * LANES
+                # Whenever this chunk has a consuming row at this delta,
+                # the window start is > 0 (delta*128 < base + CH <= base +
+                # moff); the clamp only fires for chunks with no consumers,
+                # whose reads the mask below discards.
+                cand = W_s[
+                    pl.ds(
+                        jnp.clip(moff + base - delta * LANES, 0, R - CH),
+                        CH,
+                    )
+                ]
+                got = jnp.take_along_axis(cand, rs, axis=1)
+                acc = rank_s[pl.ds(base, CH)]
+                rank_s[pl.ds(base, CH)] = jnp.where(
+                    (s >= 0) & (crows // LANES - qs == delta), got, acc
+                )
+                return 0
+
+            jax.lax.fori_loop(0, NCB, per_chunk, 0)
+            return 0
+
+        jax.lax.fori_loop(0, max_delta + 1, per_delta, 0)
+        dma(rank_s.at[pl.ds(0, bs)], W_s.at[pl.ds(moff, bs)])
+
+        def alive_scan(c, alive):
+            s = W_s[pl.ds(moff + c * CH, CH)]
+            return alive | jnp.any(s >= 0, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+
+        alive = jax.lax.fori_loop(
+            0, NCB, alive_scan, jnp.zeros((1, LANES), jnp.int32)
+        )
+        return r + 1, alive
+
+    _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), alive0))
+
+    # ---- Phase 7: back-transpose + int8 output.
+    def outw(q, unres):
+        x = W_s[pl.ds(moff + q * LANES, LANES)]  # [block, residue]
+        S = jnp.transpose(x)  # [pos residue, block]
+        crows = q * LANES + ch_iota(LANES)
+        in_range = crows < out_len
+        unres = unres | jnp.any(
+            in_range & (S >= 0), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        out_ref[0, pl.ds(q * LANES, LANES), :] = jnp.where(
+            in_range, (-S - 1) & 0xFF, 0
+        ).astype(jnp.int8)
+        return unres
+
+    unres = jax.lax.fori_loop(0, nq, outw, jnp.zeros((1, LANES), jnp.int32))
+    err = err | jnp.where(unres != 0, ERR_UNRESOLVED, 0)
+    err_ref[0] = jnp.broadcast_to(err, (SUBLANES, LANES))
+
+
 # ---------------------------------------------------------------------------
 # Host-callable wrapper.
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "interpret", "resolve_rounds")
+    jax.jit,
+    static_argnames=("block_size", "interpret", "resolve_rounds", "wide"),
 )
 def decode_blocks_pallas(
     comp: jax.Array,  # uint8[num_blocks, cap] — num_blocks multiple of 128
@@ -573,13 +965,22 @@ def decode_blocks_pallas(
     block_size: int = 4096,
     interpret: bool = False,
     resolve_rounds: int = 17,
+    wide: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode a batch of blocks with the lane-parallel kernels.
 
+    Block sizes above 32768 (up to the format's 64 KB max) take the wide
+    two-plane token path automatically; ``wide=True`` forces it at small
+    sizes (the packing formats differ, the pipeline is the same — that is
+    how CI covers the 64 K path without 64 K interpret runtimes).
+
     Returns (out uint8[num_blocks, block_size], err int32[num_blocks]).
     """
-    if block_size > MAX_PALLAS_BLOCK:
-        raise ValueError(f"pallas decoder supports block_size <= {MAX_PALLAS_BLOCK}")
+    if wide is None:
+        wide = block_size > MAX_PALLAS_BLOCK
+    max_bs = MAX_PALLAS_BLOCK_WIDE if wide else MAX_PALLAS_BLOCK
+    if block_size > max_bs:
+        raise ValueError(f"pallas decoder supports block_size <= {max_bs}")
     nb, cap = comp.shape
     assert nb % LANES == 0, "pad the batch to a multiple of 128 blocks"
     assert cap % LANES == 0
@@ -594,10 +995,34 @@ def decode_blocks_pallas(
         clen_t = clen_b.reshape(G, LANES)
         olen_t = olen_b.reshape(G, LANES)
 
-        tokens, _err_dfa = pl.pallas_call(
+        dfa_out_shape = [
+            jax.ShapeDtypeStruct((cap, G, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, LANES), jnp.int32),
+        ]
+        dfa_out_specs = [
+            pl.BlockSpec(
+                (chunk, G, LANES), lambda g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (G, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        if wide:
+            dfa_out_shape.insert(
+                1, jax.ShapeDtypeStruct((cap, G, LANES), jnp.int16)
+            )
+            dfa_out_specs.insert(
+                1,
+                pl.BlockSpec(
+                    (chunk, G, LANES), lambda g: (g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+        dfa_res = pl.pallas_call(
             functools.partial(
                 _dfa_kernel, chunk=chunk, cap=cap, bias=0,
-                block_size=block_size,
+                block_size=block_size, wide=wide,
             ),
             grid=(cap // chunk,),
             in_specs=[
@@ -612,25 +1037,18 @@ def decode_blocks_pallas(
                     (G, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=[
-                pl.BlockSpec(
-                    (chunk, G, LANES), lambda g: (g, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (G, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((cap, G, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((G, LANES), jnp.int32),
-            ],
+            out_specs=dfa_out_specs,
+            out_shape=dfa_out_shape,
             scratch_shapes=[pltpu.VMEM((7, G, LANES), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
         )(comp_t, clen_t, olen_t)
+        if wide:
+            tokens, vals, _err_dfa = dfa_res
+        else:
+            tokens, _err_dfa = dfa_res
 
         # [cap, G, 128] -> groups of [cap, 128]
         tokens_g = tokens.transpose(1, 0, 2)  # (G, cap, 128)
@@ -638,49 +1056,86 @@ def decode_blocks_pallas(
             olen_t[:, None, :], (G, SUBLANES, LANES)
         )  # per group, row 0 used
 
-        out_g, err_g = pl.pallas_call(
-            functools.partial(
-                _route_kernel, cap=cap, block_size=block_size,
-                resolve_rounds=resolve_rounds,
+        route_out_specs = [
+            pl.BlockSpec(
+                (1, block_size, LANES), lambda g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            grid=(G,),
-            in_specs=[
-                # tokens stay in HBM; the kernel DMAs group g into W_s.
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (1, SUBLANES, LANES), lambda g: (g, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, block_size, LANES), lambda g: (g, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, SUBLANES, LANES), lambda g: (g, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((G, block_size, LANES), jnp.int8),
-                jax.ShapeDtypeStruct((G, SUBLANES, LANES), jnp.int32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((cap, LANES), jnp.int32),
-                pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
-                pltpu.VMEM((block_size, LANES), jnp.int32),
-                pltpu.VMEM(
-                    (2 * max(cap, block_size) + _pick_chunk(cap), LANES),
-                    jnp.int32,
-                ),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=126 * 1024 * 1024,
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            interpret=interpret,
-        )(tokens_g, olen_g)
+        ]
+        route_out_shape = [
+            jax.ShapeDtypeStruct((G, block_size, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((G, SUBLANES, LANES), jnp.int32),
+        ]
+        if wide:
+            CH = _pick_chunk_wide(block_size)
+            cap_r = (cap + CH - 1) // CH * CH
+            R = cap_r + CH
+            out_g, err_g = pl.pallas_call(
+                functools.partial(
+                    _route_kernel_wide, cap=cap, block_size=block_size,
+                    resolve_rounds=resolve_rounds,
+                ),
+                grid=(G,),
+                in_specs=[
+                    # tokens/vals stay in HBM; the kernel DMAs group g in.
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=route_out_specs,
+                out_shape=route_out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((R, LANES), jnp.int32),  # W_s
+                    pltpu.VMEM((R, LANES), jnp.int32),  # rank_s
+                    pltpu.VMEM((R, LANES), jnp.int16),  # V_s
+                    pltpu.VMEM((2 * CH, LANES), jnp.int32),  # STG
+                    pltpu.VMEM((2 * CH, LANES), jnp.int16),  # STGV
+                    pltpu.SemaphoreType.DMA,
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(tokens_g, vals.transpose(1, 0, 2), olen_g)
+        else:
+            out_g, err_g = pl.pallas_call(
+                functools.partial(
+                    _route_kernel, cap=cap, block_size=block_size,
+                    resolve_rounds=resolve_rounds,
+                ),
+                grid=(G,),
+                in_specs=[
+                    # tokens stay in HBM; the kernel DMAs group g into W_s.
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=route_out_specs,
+                out_shape=route_out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((cap, LANES), jnp.int32),
+                    pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
+                    pltpu.VMEM((block_size, LANES), jnp.int32),
+                    pltpu.VMEM(
+                        (2 * max(cap, block_size) + _pick_chunk(cap), LANES),
+                        jnp.int32,
+                    ),
+                    pltpu.SemaphoreType.DMA,
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(tokens_g, olen_g)
 
         # (G, bs, 128) -> [G*128, bs] u8 ; err (G, 8, 128) row 0 -> [G*128]
         out_b = out_g.transpose(0, 2, 1).reshape(G * LANES, block_size)

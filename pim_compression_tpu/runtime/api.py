@@ -160,7 +160,7 @@ def decompress(
         )
 
     use_pallas = _pallas_or_fallback(
-        config, block_size, pallas_decode.MAX_PALLAS_BLOCK, timer
+        config, block_size, pallas_decode.MAX_PALLAS_BLOCK_WIDE, timer
     )
     if use_pallas:
         # The lane-parallel kernels batch in 128-block lane groups, up to 8

@@ -251,3 +251,66 @@ def test_pallas_decode_partial_batch_groups():
         assert not err[:nb].any()
         got = b"".join(out[i, : olen[i]].tobytes() for i in range(nb))
         assert got == data
+
+
+def test_pallas_decode_wide_token_path():
+    # The wide (two-plane) token format serves 32K < bs <= 64K — the
+    # format's documented max (snappy/README.md:7): an int32 routing word
+    # (OCC | dst<<8 | kind) plus an int16 value plane that rides every
+    # compact/expand/fill move, with staging-free routing and the resolve
+    # S-plane in W_s's margin region. Forced on at small sizes here (the
+    # pipeline is size-parameterized; hardware validates 64K), it must
+    # produce byte-identical output to the narrow kernel, including RLE
+    # overlaps, COPY_4 elements, and corrupt-stream error flags.
+    import jax.numpy as jnp
+
+    r = random.Random(9)
+    data = (
+        b"wide tokens ride a second plane through every routing move " * 40
+        + r.randbytes(900)
+        + b"\x00" * 500
+        + b"ab" * 400
+    )
+    for bs in (256, 1024):
+        cap = pallas_decode.pallas_capacity(bs)
+        stream = oracle.compress(data, bs)
+        comp, clen, olen, nb, _ = _blockize(stream, cap, pad_to=128)
+        args = (jnp.asarray(comp), jnp.asarray(clen), jnp.asarray(olen))
+        out_w, err_w = pallas_decode.decode_blocks_pallas(
+            *args, block_size=bs, interpret=True, wide=True
+        )
+        out_n, err_n = pallas_decode.decode_blocks_pallas(
+            *args, block_size=bs, interpret=True, wide=False
+        )
+        out_w, err_w = np.asarray(out_w), np.asarray(err_w)
+        assert not err_w[:nb].any()
+        np.testing.assert_array_equal(out_w[:nb], np.asarray(out_n)[:nb])
+        got = b"".join(out_w[i, : olen[i]].tobytes() for i in range(nb))
+        assert got == data
+
+    # COPY_4 + corrupt stream through the wide path.
+    bs = 256
+    cap = pallas_decode.pallas_capacity(bs)
+    payload = bytes([0x00 << 2 | 0]) + b"Q"  # 1-byte literal
+    payload += bytes([((4 - 1) << 2) | 3]) + (1).to_bytes(4, "little")  # COPY_4
+    stream = (
+        bytes([5, bs & 0x7F | 0x80, bs >> 7])
+        + len(payload).to_bytes(4, "little")
+        + payload
+    )
+    comp, clen, olen, nb, _ = _blockize(stream, cap, pad_to=128)
+    out_w, err_w = pallas_decode.decode_blocks_pallas(
+        jnp.asarray(comp), jnp.asarray(clen), jnp.asarray(olen),
+        block_size=bs, interpret=True, wide=True,
+    )
+    assert not np.asarray(err_w)[:nb].any()
+    assert np.asarray(out_w)[0, :5].tobytes() == b"QQQQQ"
+
+    bad = bytearray(stream)
+    bad[-5] = ((60 - 1) << 2) | 2  # overlong COPY_2 in place of the COPY_4
+    comp, clen, olen, nb, _ = _blockize(bytes(bad), cap, pad_to=128)
+    _, err_w = pallas_decode.decode_blocks_pallas(
+        jnp.asarray(comp), jnp.asarray(clen), jnp.asarray(olen),
+        block_size=bs, interpret=True, wide=True,
+    )
+    assert np.asarray(err_w)[0] != 0
