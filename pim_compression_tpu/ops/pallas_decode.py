@@ -592,11 +592,14 @@ def _route_kernel(
     err_ref[0] = jnp.broadcast_to(err, (SUBLANES, LANES))
 
 
-def _pick_chunk_wide(rows: int, target: int = 4096) -> int:
+def _pick_chunk_wide(rows: int, target: int = 1024) -> int:
     """Largest divisor of ``rows`` <= target that is a multiple of 128.
 
     The wide resolve phase reads 128-row-aligned source windows (delta is
     measured in 128-row transpose groups), so chunks must be 128-aligned.
+    1024-row chunks keep the register allocator's spill slots small: the
+    compact body holds ~10 live (CH, 128) i32 values, 18 MB of spill at
+    CH=4096 (measured — it pushed the 64 K kernel past the VMEM budget).
     """
     ch = min(rows, target) // LANES * LANES
     while ch > LANES and rows % ch:
@@ -615,8 +618,6 @@ def _route_kernel_wide(
     W_s,  # scratch (R, 128) i32: routing words, then S pointers at moff
     rank_s,  # scratch (R, 128) i32: ranks -> fill keys -> hop accumulator
     V_s,  # scratch (R, 128) i16: the 16-bit value plane (rides every move)
-    STG,  # scratch (2 * CH, 128) i32: expand chunk-0 W snapshot (+ zeros)
-    STGV,  # scratch (2 * CH, 128) i16: expand chunk-0 V snapshot (+ zeros)
     sem,  # DMA semaphore
     *,
     cap: int,
@@ -646,11 +647,12 @@ def _route_kernel_wide(
     g = pl.program_id(0)
     CH = _pick_chunk_wide(bs)
     cap_r = (cap + CH - 1) // CH * CH
-    R = cap_r + CH
+    R = cap_r  # sources past cap_r are masked, not padded
     NCC = cap_r // CH
     NCB = bs // CH
     nq = bs // LANES
     moff = R - bs
+    assert moff >= CH, (cap, bs, CH)
     out_len = out_len_ref[0, 0:1, :]  # (1, 128)
 
     def dma(src, dst):
@@ -689,13 +691,17 @@ def _route_kernel_wide(
 
     # ---- Phase 2: compact up, LSB-first, staging-free (ascending chunk
     # order reads sources from not-yet-updated rows; reads past cap_r land
-    # in the zeroed pad chunk). V rides the same selects.
+    # in the zeroed pad chunk). V rides the same selects. Rounds unroll in
+    # Python so every shift is STATIC: sub-chunk shifts become register
+    # slices of the own + successor chunk (Mosaic cannot prove dynamic
+    # sublane starts aligned for the 16-sublane int16 tile), and
+    # whole-chunk shifts read at chunk-index-aligned offsets.
     nbit = (cap_r - 1).bit_length()
+    conflict_acc = jnp.zeros((1, LANES), jnp.int32)
+    for k in range(nbit):
+        sh = 1 << k
 
-    def compact_round(k, conflict):
-        sh = jnp.int32(1) << k
-
-        def upd(c, conflict):
+        def upd(c, conflict, k=k, sh=sh):
             base = c * CH
             W = W_s[pl.ds(base, CH)]
             rank = rank_s[pl.ds(base, CH)]
@@ -703,13 +709,27 @@ def _route_kernel_wide(
             occ = (W & OCCUPIED) != 0
             crows = base + ch_iota(CH)
             move = occ & ((((crows - rank) >> k) & 1) == 1)
-            src = jnp.minimum(base + sh, cap_r)
-            nW = W_s[pl.ds(src, CH)]
-            nR = rank_s[pl.ds(src, CH)]
-            nV = V_s[pl.ds(src, CH)]
-            srows = src + ch_iota(CH)
+            if sh < CH:
+                nb_ = jnp.minimum(c + 1, NCC - 1) * CH
+                nW = jnp.concatenate([W[sh:], W_s[pl.ds(nb_, CH)][:sh]])
+                nR = jnp.concatenate(
+                    [rank[sh:], rank_s[pl.ds(nb_, CH)][:sh]]
+                )
+                nV = jnp.concatenate([V[sh:], V_s[pl.ds(nb_, CH)][:sh]])
+            else:
+                src = jnp.minimum(c + sh // CH, NCC - 1) * CH
+                nW = W_s[pl.ds(src, CH)]
+                nR = rank_s[pl.ds(src, CH)]
+                nV = V_s[pl.ds(src, CH)]
+            srows = crows + sh
             occ_s = (nW & OCCUPIED) != 0
-            arriving = occ_s & ((((srows - nR) >> k) & 1) == 1)
+            # Source reads clamp to the last chunk; rows past cap_r read
+            # junk there and are masked (no tokens exist at/past cap_r).
+            arriving = (
+                occ_s
+                & (srows < cap_r)
+                & ((((srows - nR) >> k) & 1) == 1)
+            )
             staying = occ & ~move
             conflict = conflict | jnp.any(
                 arriving & staying, axis=0, keepdims=True
@@ -725,27 +745,18 @@ def _route_kernel_wide(
             )
             return conflict
 
-        return jax.lax.fori_loop(0, NCC, upd, conflict)
-
-    conflict_acc = jax.lax.fori_loop(
-        0, nbit, compact_round, jnp.zeros((1, LANES), jnp.int32)
-    )
+        conflict_acc = jax.lax.fori_loop(0, NCC, upd, conflict_acc)
 
     # ---- Phase 3: expand down over [0, bs), MSB-first, staging-free
-    # except the chunk-0 snapshot (descending order; every other chunk's
-    # source rows [base-sh, base-sh+CH) sit in not-yet-updated chunks).
-    # Tokens end compact inside [0, ntok <= bs): every token emits >= 1
-    # output byte.
+    # (descending order; source rows [base-sh, base-sh+CH) sit in
+    # not-yet-updated chunks; the chunk-0 sub-shift predecessor is a
+    # masked register select instead of a snapshot buffer). Tokens end
+    # compact inside [0, ntok <= bs): every token emits >= 1 output byte.
     max_bit = (bs - 1).bit_length() - 1
-    STG[0:CH] = jnp.zeros((CH, LANES), jnp.int32)
-    STGV[0:CH] = jnp.zeros((CH, LANES), jnp.int16)
+    for j in range(max_bit + 1):
+        sh = 1 << (max_bit - j)
 
-    def expand_round(j, conflict):
-        sh = jnp.int32(1) << (max_bit - j)
-        STG[pl.ds(CH, CH)] = W_s[pl.ds(0, CH)]
-        STGV[pl.ds(CH, CH)] = V_s[pl.ds(0, CH)]
-
-        def upd(i, conflict):
+        def upd(i, conflict, sh=sh):
             c = NCB - 1 - i
             base = c * CH
             W = W_s[pl.ds(base, CH)]
@@ -754,14 +765,17 @@ def _route_kernel_wide(
             crows = base + ch_iota(CH)
             dst = (W >> WDST_SHIFT) & WDST_MASK
             move = occ & (dst - crows >= sh)
-            off0 = jnp.maximum(CH - sh, 0)
-            msrc = jnp.maximum(base - sh, 0)
-            mW = jnp.where(
-                base == 0, STG[pl.ds(off0, CH)], W_s[pl.ds(msrc, CH)]
-            )
-            mV = jnp.where(
-                base == 0, STGV[pl.ds(off0, CH)], V_s[pl.ds(msrc, CH)]
-            )
+            if sh < CH:
+                pb = jnp.maximum(c - 1, 0) * CH
+                alive = base > 0  # chunk 0 has no rows above it
+                pW = jnp.where(alive, W_s[pl.ds(pb, CH)], 0)
+                pV = jnp.where(alive, V_s[pl.ds(pb, CH)], 0)
+                mW = jnp.concatenate([pW[CH - sh :], W[: CH - sh]])
+                mV = jnp.concatenate([pV[CH - sh :], V[: CH - sh]])
+            else:
+                mb = jnp.maximum(c - sh // CH, 0) * CH
+                mW = W_s[pl.ds(mb, CH)]
+                mV = V_s[pl.ds(mb, CH)]
             occ_m = (mW & OCCUPIED) != 0
             mdst = (mW >> WDST_SHIFT) & WDST_MASK
             arriving = (
@@ -779,11 +793,7 @@ def _route_kernel_wide(
             )
             return conflict
 
-        return jax.lax.fori_loop(0, NCB, upd, conflict)
-
-    conflict_acc = jax.lax.fori_loop(
-        0, max_bit + 1, expand_round, conflict_acc
-    )
+        conflict_acc = jax.lax.fori_loop(0, NCB, upd, conflict_acc)
     err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
     # ---- Phase 4: covering-token fill, one ascending chunk-carry pass of
@@ -1073,7 +1083,7 @@ def decode_blocks_pallas(
         if wide:
             CH = _pick_chunk_wide(block_size)
             cap_r = (cap + CH - 1) // CH * CH
-            R = cap_r + CH
+            R = cap_r
             out_g, err_g = pl.pallas_call(
                 functools.partial(
                     _route_kernel_wide, cap=cap, block_size=block_size,
@@ -1095,8 +1105,6 @@ def decode_blocks_pallas(
                     pltpu.VMEM((R, LANES), jnp.int32),  # W_s
                     pltpu.VMEM((R, LANES), jnp.int32),  # rank_s
                     pltpu.VMEM((R, LANES), jnp.int16),  # V_s
-                    pltpu.VMEM((2 * CH, LANES), jnp.int32),  # STG
-                    pltpu.VMEM((2 * CH, LANES), jnp.int16),  # STGV
                     pltpu.SemaphoreType.DMA,
                 ],
                 compiler_params=pltpu.CompilerParams(

@@ -261,8 +261,23 @@ def main() -> int:
         )
 
     enc_cfgs = [
-        # Round-3 fused select-extend flagships (sel_all: one shared word
-        # build across every candidate array; per-rung densities).
+        # Round-3 single-rung frontier: a dense 4-byte rung + prev_k
+        # nearest-previous composition + fused select-then-extend. The
+        # speed flagship (prev2) runs 1.96 c/B at xml ratio 0.7563 @32K
+        # (device-validated; every corpus file below the reference size);
+        # prev4 = 2.30 @ 0.7692; prev6 = 2.64 @ 0.7737 (ratio champion).
+        dict(block_size=32768, matcher="sorted", rungs=(4,), prev_k=2,
+             sel_cap=16, sel_all=True),
+        dict(block_size=32768, matcher="sorted", rungs=(4,), prev_k=2,
+             sel_cap=8, sel_all=True),
+        dict(block_size=32768, matcher="sorted", rungs=(4,), prev_k=4,
+             sel_cap=16, sel_all=True),
+        dict(block_size=32768, matcher="sorted", rungs=(4,), prev_k=6,
+             sel_cap=16, sel_all=True),
+        dict(block_size=16384, matcher="sorted", rungs=(4,), prev_k=3,
+             sel_cap=16, sel_all=True),
+        # Round-3 fused select-extend two-rung flagships (sel_all: one
+        # shared word build across every candidate array).
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2,
              stride2_min=32, sel_cap=16, sel_all=True),
         dict(block_size=32768, matcher="sorted", rungs=(4, 32), prev_k=2,
