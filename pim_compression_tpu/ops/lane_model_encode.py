@@ -208,15 +208,21 @@ def _hash_ladder_step(h: np.ndarray, span: int) -> np.ndarray:
     return (a ^ b).astype(np.uint32).view(np.int32)
 
 
-def fold_key17(h: np.ndarray) -> np.ndarray:
-    """Fold a 32-bit hash to the 17-bit sort key the packed kernel uses.
+def fold_key(h: np.ndarray, key_bits: int) -> np.ndarray:
+    """Fold a 32-bit hash to the sort key the packed kernel uses.
 
-    17 key bits + 15 position bits fill one int32, so the rung sort runs on
-    a single packed array (the kernel's VMEM budget at 32 KB blocks).
-    Collisions only shadow candidates — the exact extension pass rejects
-    false ones — and cost a measured ~0.001 ratio on xml vs exact keys.
+    key_bits + position bits fill one int32, so the rung sort runs on a
+    single packed array (the kernel's VMEM budget): 17+15 up to 32 KB
+    blocks, 16+16 at 64 KB. Collisions only shadow candidates — the exact
+    extension pass rejects false ones — and cost a measured ~0.001 ratio
+    on xml vs exact keys at 17 bits (~0.004 at 16 bits / 64K, where
+    prev-k's extra candidates absorb most shadowing).
     """
-    return (h ^ (h >> 15)) & 0x1FFFF
+    return (h ^ (h >> (32 - key_bits))) & ((1 << key_bits) - 1)
+
+
+def fold_key17(h: np.ndarray) -> np.ndarray:
+    return fold_key(h, 17)
 
 
 def packed_prev_lags(
@@ -245,10 +251,12 @@ def packed_prev_lags(
     shortens a copy chain that the stride-1 rungs still seed.
     """
     bs, lanes = h.shape
-    k17 = fold_key17(h).astype(np.uint32).astype(np.int64)[::stride]
-    m = k17.shape[0]
+    m0 = (bs + stride - 1) // stride
+    pos_bits = 15 if m0 <= (1 << 15) else 16
+    key = fold_key(h, 32 - pos_bits).astype(np.uint32).astype(np.int64)[::stride]
+    m = key.shape[0]
     rows = np.arange(m, dtype=np.int64)[:, None]
-    words = (k17 << 15) | rows
+    words = (key << pos_bits) | rows
     if window and window < m:
         # Chunk-local sort: the bitonic network stops at merge size
         # ``window`` (sorted rows, i.e. window*stride bytes of reach), so
@@ -262,8 +270,8 @@ def packed_prev_lags(
     else:
         sp = np.sort(words, axis=0)
         gstart = np.zeros((m, 1), np.int64)
-    spos = sp & 0x7FFF
-    skey = sp >> 15
+    spos = sp & ((1 << pos_bits) - 1)
+    skey = sp >> pos_bits
     out = []
     for j in range(1, prev_k + 1):
         same = (skey == _shift_down(skey, j)) & (rows - gstart >= j)

@@ -55,7 +55,11 @@ SUBLANES = 8
 _M1 = np.uint32(HASH_M1).view(np.int32)  # wrapping int32 multipliers
 _M2 = np.uint32(HASH_M2).view(np.int32)
 _SIGN = np.int32(-(2**31))  # top-bit flip: signed compare == unsigned
-MAX_SORT_BLOCK = 32768
+# 64 K groundwork: the rung sort/lag kernels handle the format's max block
+# (16+16 packed words above 32 K sorted rows); the emit kernel still caps
+# the end-to-end pallas encode at 32 K (pallas_encode.MAX_ENC_BLOCK — see
+# DESIGN.md Remaining #2 for its VMEM story).
+MAX_SORT_BLOCK = 65536
 DEFAULT_RUNGS = (4, 8, 16, 32, 64)
 
 
@@ -128,6 +132,12 @@ def _sort_rung_kernel(
     CH = min(m, 1024)
     NC = m // CH
     LOOK = 128
+    # Packed word geometry: 17-bit folded key + 15-bit index up to 32 K
+    # sorted rows; 16 + 16 above (the 64 K groundwork — more fold
+    # collisions, which the exact extension rejects; spec: fold_key).
+    pos_bits = 15 if m <= (1 << 15) else 16
+    key_bits = 32 - pos_bits
+    key_mask = (1 << key_bits) - 1
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
@@ -157,9 +167,11 @@ def _sort_rung_kernel(
         for b in (1, 2, 3):
             w = w | (_shift_up(dd, b) << (8 * b))
         h = _hash_for_rung(w, rung)
-        k17 = (h[0:CHS] ^ ((h[0:CHS] >> 15) & 0x1FFFF)) & 0x1FFFF
+        key = (h[0:CHS] ^ ((h[0:CHS] >> (32 - key_bits)) & key_mask)) & key_mask
         rows = base + ch_iota(CHS)
-        word = (((k17 << 15) | (rows // stride)) ^ _SIGN).astype(jnp.int32)
+        word = (((key << pos_bits) | (rows // stride)) ^ _SIGN).astype(
+            jnp.int32
+        )
         if stride == 1:
             pk_s[pl.ds(base, CHS)] = word
         else:
@@ -347,12 +359,15 @@ def _sort_rung_kernel(
         pkey, ppos = carry
         base = c * CH
         u = pk_s[pl.ds(base, CH)] ^ _SIGN
-        spos = u & 0x7FFF
-        skey = (u >> 15) & 0x1FFFF
+        spos = u & ((1 << pos_bits) - 1)
+        skey = (u >> pos_bits) & key_mask
         prev_key = jnp.concatenate([pkey, skey[: CH - 1]]) if CH > 1 else pkey
         prev_pos = jnp.concatenate([ppos, spos[: CH - 1]]) if CH > 1 else ppos
         lag = jnp.where(skey == prev_key, spos - prev_pos, 0)
-        pk_s[pl.ds(base, CH)] = (spos << 16) | lag
+        # Top-bit flip keeps the unsort's signed compare == unsigned even
+        # when a 16-bit spos fills bits 16-31 (no-op for the output: only
+        # the low 16 lag bits are read back).
+        pk_s[pl.ds(base, CH)] = ((spos << 16) | lag) ^ _SIGN
         return (skey[CH - 1 : CH], spos[CH - 1 : CH])
 
     jax.lax.fori_loop(

@@ -139,6 +139,14 @@ def main() -> int:
     ap.add_argument("--block-size", type=int, default=32768)
     ap.add_argument("--repeat", type=int, default=3,
                     help="runs per N; keeps the fastest (least interference)")
+    ap.add_argument(
+        "--sweeps", type=int, default=1,
+        help="repeat the WHOLE sweep this many times and keep the fastest "
+        "row per N (external shared-VM load only ever slows a run; "
+        "interleaving the N values across sweeps stops a noisy window "
+        "from landing entirely on the N=1 baseline and faking "
+        "super-linear scaling)",
+    )
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset core pinning + thread-pool caps")
     ap.add_argument("--out", default="docs/sample_results/sweep_procs.csv")
@@ -148,14 +156,26 @@ def main() -> int:
         tmp = pathlib.Path(td)
         src = tmp / "input.bin"
         src.write_bytes(synth_input(args.mb))
+        procs = [int(x) for x in args.procs.split(",")]
+        # Interleave N values across whole-sweep passes and keep the
+        # fastest row per N: external load on the shared VM only ever
+        # slows a run, and per-N repetition alone lets a noisy window
+        # land entirely on one N (observed: a slowed N=1 baseline faking
+        # 110% "efficiency" at N=4).
+        best: dict[int, dict] = {}
+        for _ in range(max(1, args.sweeps)):
+            for nproc in procs:
+                r = min(
+                    (run_n(nproc, src, tmp, args.engine, args.block_size,
+                           pin=not args.no_pin)
+                     for _ in range(max(1, args.repeat))),
+                    key=lambda x: x["kernel_s"],
+                )
+                if nproc not in best or r["kernel_s"] < best[nproc]["kernel_s"]:
+                    best[nproc] = r
         rows = []
-        for nproc in (int(x) for x in args.procs.split(",")):
-            r = min(
-                (run_n(nproc, src, tmp, args.engine, args.block_size,
-                       pin=not args.no_pin)
-                 for _ in range(max(1, args.repeat))),
-                key=lambda x: x["kernel_s"],
-            )
+        for nproc in procs:
+            r = best[nproc]
             if rows:
                 base = rows[0]
                 scale = r["procs"] / base["procs"]

@@ -79,6 +79,11 @@ def main() -> int:
         help="comma-separated select-then-extend caps in bytes, e.g. 0,16 "
         "(sorted matcher; 0 = every prev candidate fully extended)",
     )
+    ap.add_argument(
+        "--sel-all", action="store_true",
+        help="fused select-then-extend across ALL candidate arrays (the "
+        "round-3 kernel; requires --sel-caps > 0)",
+    )
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument(
         "--synth-sizes", default="",
@@ -134,6 +139,7 @@ def main() -> int:
                     prev_k=pk,
                     stride2_min=args.stride2_min,
                     sel_cap=sc,
+                    sel_all=args.sel_all,
                 )
                 # Warm-up (compile) round
                 stream = runtime.compress(plain, cfg)
@@ -156,6 +162,7 @@ def main() -> int:
                         "matcher": matcher,
                         "prev_k": pk,
                         "sel_cap": sc,
+                        "sel_all": int(args.sel_all),
                         "mesh_devices": meshn if meshn else "",
                         "direction": direction,
                         "bytes": len(plain),

@@ -657,3 +657,40 @@ def test_pallas_encode_partial_batch_groups():
     assert comp_t.shape[0] == pe.BATCH + 256
     np.testing.assert_array_equal(sizes_t[:nb], ref_sizes[:nb])
     np.testing.assert_array_equal(comp_t[:nb], ref_comp[:nb])
+
+
+def test_pallas_sorted_matcher_64k_packing():
+    # 64 K groundwork (the format's max block): above 32 K sorted rows the
+    # packed sort word switches to 16 key + 16 position bits and the
+    # unsort word's top bit is flipped (a 16-bit spos fills bits 16-31,
+    # where a signed compare would otherwise invert the order). The
+    # matcher kernel must equal the spec exactly at bs=65536. The emit
+    # kernel still caps end-to-end pallas encode at 32 K (DESIGN.md
+    # Remaining #2); 64 K encode rides the xla engine.
+    import jax.numpy as jnp
+
+    from pim_compression_tpu.ops import pallas_match as pm
+
+    bs = 65536
+    data = open("/root/reference/test/world192.txt", "rb").read()[: 2 * bs]
+    blocks = np.zeros((128, bs), np.uint8)
+    lens = np.full(128, bs, np.int32)
+    blocks[0] = np.frombuffer(data[:bs], np.uint8)
+    blocks[1] = np.frombuffer(data[bs : 2 * bs], np.uint8)
+    data_g = (
+        jnp.asarray(blocks).T.reshape(bs, 1, 128).transpose(1, 0, 2)
+    ).astype(jnp.int8)
+    lens_bc = jnp.broadcast_to(
+        jnp.asarray(lens).reshape(1, 128)[:, None, :], (1, 8, 128)
+    )
+    mlen, mlag = pm.sorted_match_groups(
+        data_g, lens_bc, bs=bs, rungs=(4,), prev_k=2, sel_cap=16,
+        sel_all=True, interpret=True,
+    )
+    mlen, mlag = np.asarray(mlen), np.asarray(mlag)
+    sl, so = lme.match_search_sorted(
+        blocks.T.astype(np.int32), lens, rungs=(4,), prev_k=2, sel_cap=16,
+        sel_all=True,
+    )
+    np.testing.assert_array_equal(mlen[0, :, :2], sl[:, :2])
+    np.testing.assert_array_equal(mlag[0, :, :2], so[:, :2])
