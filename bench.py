@@ -11,12 +11,13 @@ not take the bench down with it — on timeout/failure we fall back to
 reporting the threaded native engine.
 
 Env knobs: PIM_BENCH_ENGINE (default pallas), PIM_BENCH_BLOCK (default
-16384 for pallas, 32768 otherwise), PIM_BENCH_REPEAT, PIM_BENCH_ITERS,
-PIM_BENCH_TIMEOUT (seconds, default 2700), PIM_BENCH_MATCHER
-(sorted|sweep, default sorted — whole-block-window rung-sort matcher,
-hardware-validated ratio 0.726 @ bs 8192), PIM_BENCH_WINDOW (default 512)
-/ PIM_BENCH_COARSE (default 4096) / PIM_BENCH_COARSE_MODE
-(granular|sampled) — sweep-matcher knobs only.
+32768 — the reference's own operating point, dpu_snappy.c:100),
+PIM_BENCH_REPEAT, PIM_BENCH_ITERS, PIM_BENCH_TIMEOUT (seconds, default
+2700), PIM_BENCH_MATCHER (sorted|sweep, default sorted), PIM_BENCH_RUNGS
+/ PREVK / SELCAP / SELALL / RUNG_STRIDES / STRIDE2MIN (sorted-matcher
+ladder; defaults = the round-3 speed flagship, 1.96 vreg-c/B at
+device-validated xml ratio 0.7563), PIM_BENCH_WINDOW / PIM_BENCH_COARSE /
+PIM_BENCH_COARSE_MODE (granular|sampled) — sweep-matcher knobs only.
 """
 
 from __future__ import annotations
