@@ -37,7 +37,10 @@ from pim_compression_tpu.format import constants as C
 LANES = 128
 SUBLANES = 8
 BATCH = SUBLANES * LANES  # blocks per batch
-MAX_ENC_BLOCK = 32768
+MAX_ENC_BLOCK = 32768  # resident emit kernel (all layout planes in VMEM)
+# The wide emit kernel streams its layout planes through HBM workspaces,
+# reaching the format's 64 KB max block (snappy/README.md:7).
+MAX_ENC_BLOCK_WIDE = 65536
 # The round-1 sweep matcher is un-chunked (full-array lag rounds): above
 # 16 K its register liveness exceeds the 126 MB VMEM budget. The sorted
 # matcher (chunked) covers the full envelope.
@@ -273,7 +276,8 @@ def _granule_planes(data_g, lens_g, ng: int, Dpad: int):
 
 def _route_tokens(
     meta_s, copy_ref, B8, comp_ref,
-    W_s, rank_s, PAY, STG, *, bs, cap, nrows
+    W_s, rank_s, PAY, STG, *, bs, cap, nrows,
+    chunk_in=None, land_out=None,
 ):
     """Single-channel token route with a 32-bit payload, landing directly
     into the output block (spec: ``lane_model_encode._route_tokens``).
@@ -310,7 +314,14 @@ def _route_tokens(
     # full-array rounds.
     def tok_init(c, tot):
         base = c * CHB
-        meta = meta_s[pl.ds(base, CHB)]
+        if chunk_in is None:
+            meta = meta_s[pl.ds(base, CHB)]
+            hb = copy_ref[pl.ds(base, CHB)]  # h0 | h1<<8 | h2<<16
+            d8 = B8[pl.ds(base, CHB)]
+        else:
+            # Wide (64 K) emit: the layout planes live in HBM workspaces;
+            # the hook DMAs this chunk's meta/h-bytes/data windows in.
+            meta, hb, d8 = chunk_in(base)
         lit = ((meta >> 17) & 1) != 0
         head = ((meta >> 18) & 1) != 0
         hdr = (meta >> 19) & 3
@@ -319,8 +330,7 @@ def _route_tokens(
         liti = lit.astype(jnp.int32)
         count = jnp.where(head, hdr + liti, 1)
         tok = head | lit
-        hb = copy_ref[pl.ds(base, CHB)]  # h0 | h1<<8 | h2<<16
-        d = B8[pl.ds(base, CHB)].astype(jnp.int32) & 0xFF
+        d = d8.astype(jnp.int32) & 0xFF
         pay = jnp.where(head, hb | jnp.where(lit, d << (8 * hdr), 0), d)
         W_s[pl.ds(base, CHB)] = jnp.where(
             tok, _OCC | (dst << 8) | count, 0
@@ -464,7 +474,10 @@ def _route_tokens(
                 Pj = jnp.concatenate([Pp[CHC - j :], Pc[: CHC - j]])
             hit = ((Wj & _OCC) != 0) & ((Wj & 7) > j)
             out = jnp.where(hit, (Pj >> (8 * j)) & 0xFF, out)
-        comp_ref[0, pl.ds(base, CHC)] = out.astype(jnp.int8)
+        if land_out is None:
+            comp_ref[0, pl.ds(base, CHC)] = out.astype(jnp.int8)
+        else:
+            land_out(base, out.astype(jnp.int8))
         return 0
 
     jax.lax.fori_loop(0, cap // CHC, land, 0)
@@ -744,6 +757,270 @@ def _emit_kernel(
     size_ref[0] = jnp.broadcast_to(sizes, (SUBLANES, LANES))
 
 
+def _emit_kernel_wide(
+    data_ref,  # (G, bs, 128) i8 in ANY (HBM)
+    mlen_ref,  # (G, bs, 128) i8 in ANY
+    mlag_ref,  # (G, bs, 128) i16 in ANY
+    lens_ref,  # (1, 8, 128) i32, row 0 = block lengths
+    comp_ref,  # (G, cap, 128) i8 out in ANY
+    size_ref,  # (1, 8, 128) i32 out
+    cph_ref,  # (bs, 128) i32 ANY workspace: masks -> h-bytes
+    met_ref,  # (bs, 128) i32 ANY workspace: h-bytes+hdr -> layout metadata
+    W_s,  # scratch (nrows, 128) i32: scan workspace / route words
+    rank_s,  # scratch (bs + CHB, 128) i32
+    PAY,  # scratch (nrows, 128) i32: 32-bit token payloads
+    STG,  # scratch (4096, 128) i32: expand chunk-0 snapshots
+    WIN,  # scratch (CHB, 128) i32 window A (masks / h-bytes)
+    WIN2,  # scratch (CHB, 128) i32 window B (meta)
+    W8,  # scratch (CHB, 128) i8 window (mlen / data)
+    W16,  # scratch (CHB, 128) i16 window (mlag)
+    O8,  # scratch (CHB, 128) i8 window (landed output bytes)
+    sem,  # DMA semaphore
+    *,
+    bs: int,
+    cap: int,
+):
+    """The 64 K emit kernel: same pipeline as :func:`_emit_kernel`, with
+    the three (bs, 128) layout planes in HBM workspaces streamed through
+    chunk windows. At 64 K the resident form needs ~217 MB of scratch; the
+    big VMEM stays with the routing planes (W/rank/PAY, ~113 MB) while the
+    layout passes — all chunk-local with carried rows already — DMA their
+    chunk in, compute, and DMA out (~10 passes x 67 MB per 8.4 MB group:
+    ~0.1 cycles/byte-equivalent of HBM traffic at 800 GB/s).
+    """
+    nrows = _route_rows(bs, cap)
+    CHB = _chb(bs)
+    NCB = bs // CHB
+    lens = lens_ref[0, 0:1, :]  # (1, 128)
+    g = pl.program_id(0)
+
+    def dma(src, dst):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+    def ch_iota(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+
+    # Greedy accept scan, windowed: DMA the chunk's match lengths in, run
+    # the 8-row sequential accept steps against the window, DMA masks out.
+    def gchunk(c, next_accept):
+        base = c * CHB
+        dma(mlen_ref.at[g, pl.ds(base, CHB)], W8)
+
+        def step(i, na):
+            off = i * SUBLANES
+            bl8 = W8[pl.ds(off, SUBLANES), :].astype(jnp.int32) & 0x7F
+            mask_rows = []
+            for j in range(SUBLANES):
+                p = base + off + j
+                bl = bl8[j : j + 1]
+                acc = (na == p) & (lens > p)
+                copy = acc & (bl >= 4)
+                adv = jnp.where(copy, bl, 1)
+                na = jnp.where(acc, p + adv, na)
+                mask_rows.append(
+                    acc.astype(jnp.int32) | (copy.astype(jnp.int32) << 1)
+                )
+            WIN[pl.ds(off, SUBLANES), :] = jnp.concatenate(mask_rows)
+            return na
+
+        next_accept = jax.lax.fori_loop(0, CHB // SUBLANES, step, next_accept)
+        dma(WIN, cph_ref.at[pl.ds(base, CHB)])
+        return next_accept
+
+    jax.lax.fori_loop(0, NCB, gchunk, jnp.zeros((1, LANES), jnp.int32))
+
+    # Chunk-carry scans over W_s[0:bs] / rank_s[0:bs] — identical to the
+    # resident kernel (the scan arrays stay in VMEM).
+    def _chunk_incl(x, op, fill, up):
+        n = x.shape[0]
+        sh = 1
+        while sh < n:
+            pad = jnp.full((sh, LANES), fill, x.dtype)
+            shifted = (
+                jnp.concatenate([x[sh:], pad])
+                if up
+                else jnp.concatenate([pad, x[: n - sh]])
+            )
+            x = op(x, shifted)
+            sh <<= 1
+        return x
+
+    def scan_down_ip(op, fill, ref=None):
+        ref = W_s if ref is None else ref
+
+        def chunk(c, carry):
+            base = c * CHB
+            x = _chunk_incl(ref[pl.ds(base, CHB)], op, fill, up=False)
+            x = op(x, carry)
+            ref[pl.ds(base, CHB)] = x
+            return x[CHB - 1 : CHB]
+
+        return jax.lax.fori_loop(
+            0, NCB, chunk, jnp.full((1, LANES), fill, jnp.int32)
+        )
+
+    def scan_up_ip(op, fill):
+        def chunk(i, carry):
+            base = (NCB - 1 - i) * CHB
+            x = _chunk_incl(W_s[pl.ds(base, CHB)], op, fill, up=True)
+            x = op(x, carry)
+            W_s[pl.ds(base, CHB)] = x
+            return x[0:1]
+
+        return jax.lax.fori_loop(
+            0, NCB, chunk, jnp.full((1, LANES), fill, jnp.int32)
+        )
+
+    def lit_parts(m, last_lit):
+        acc = (m & 1) != 0
+        cp = (m & 2) != 0
+        lit = (acc & ~cp).astype(jnp.int32)
+        prev = (
+            jnp.concatenate([last_lit, lit[: CHB - 1]]) != 0
+            if CHB > 1
+            else (last_lit != 0)
+        )
+        head_lit = (lit != 0) & ~prev
+        return lit, head_lit, acc, cp
+
+    INF = jnp.int32(1 << 28)
+
+    # Pass A: masks -> head-lit rows (rank_s) + nonlit_next (W_s).
+    def passA(c, last_lit):
+        base = c * CHB
+        dma(cph_ref.at[pl.ds(base, CHB)], WIN)
+        lit, head_lit, acc, cp = lit_parts(WIN[...], last_lit)
+        crows = base + ch_iota(CHB)
+        rank_s[pl.ds(base, CHB)] = jnp.where(head_lit, crows, -1)
+        in_range = crows < lens
+        W_s[pl.ds(base, CHB)] = jnp.where((acc & cp) | ~in_range, crows, INF)
+        return lit[CHB - 1 : CHB]
+
+    jax.lax.fori_loop(0, NCB, passA, jnp.zeros((1, LANES), jnp.int32))
+    scan_up_ip(jnp.minimum, jnp.iinfo(jnp.int32).max)  # W_s = run_end_raw
+
+    # Pass B: literal runs, header bytes, per-position emit size.
+    def passB(c, last_lit):
+        base = c * CHB
+        dma(cph_ref.at[pl.ds(base, CHB)], WIN)
+        dma(mlen_ref.at[g, pl.ds(base, CHB)], W8)
+        dma(mlag_ref.at[g, pl.ds(base, CHB)], W16)
+        lit, head_lit, acc, cp = lit_parts(WIN[...], last_lit)
+        crows = base + ch_iota(CHB)
+        run_end = jnp.minimum(W_s[pl.ds(base, CHB)], lens)
+        run_len = jnp.where(head_lit, run_end - crows, 0)
+        L1 = jnp.maximum(run_len - 1, 0)
+        lit_ext = jnp.where(L1 < 60, 0, jnp.where(L1 < 256, 1, 2))
+        hdr_lit = jnp.where(head_lit, 1 + lit_ext, 0)
+        best_len = W8[...].astype(jnp.int32) & 0x7F
+        best_off = W16[...].astype(jnp.int32) & 0xFFFF
+        copy1 = cp & (best_len < 12) & (best_off < C.COPY1_MAX_OFFSET)
+        hdr_copy = jnp.where(cp, jnp.where(copy1, 2, 3), 0)
+        emit = jnp.where(head_lit, hdr_lit + run_len, 0) + hdr_copy
+        h0 = jnp.where(
+            cp,
+            jnp.where(
+                copy1,
+                1 | ((best_len - 4) << 2) | ((best_off >> 8) << 5),
+                2 | ((best_len - 1) << 2),
+            ),
+            jnp.where(
+                lit_ext == 0, L1 << 2,
+                jnp.where(lit_ext == 1, 60 << 2, 61 << 2),
+            ),
+        )
+        h1 = jnp.where(cp, best_off & 0xFF, jnp.where(lit_ext >= 1, L1 & 0xFF, 0))
+        h2 = jnp.where(
+            cp & ~copy1,
+            (best_off >> 8) & 0xFF,
+            jnp.where(lit_ext == 2, (L1 >> 8) & 0xFF, 0),
+        )
+        W_s[pl.ds(base, CHB)] = emit
+        WIN2[...] = (
+            h0 | (h1 << 8) | (h2 << 16) | ((hdr_lit + hdr_copy) << 24)
+        )
+        dma(WIN2, met_ref.at[pl.ds(base, CHB)])
+        return lit[CHB - 1 : CHB]
+
+    jax.lax.fori_loop(0, NCB, passB, jnp.zeros((1, LANES), jnp.int32))
+    scan_down_ip(jnp.add, 0)  # W_s = inclusive prefix sum of emit
+    sizes = W_s[bs - 1 : bs, :]  # (1, 128)
+
+    # Pass C: out_start, meta repack, covering-head scan input.
+    def passC(c, carry):
+        last_lit, last_incl = carry
+        base = c * CHB
+        dma(cph_ref.at[pl.ds(base, CHB)], WIN)
+        dma(met_ref.at[pl.ds(base, CHB)], WIN2)
+        lit, head_lit, acc, cp = lit_parts(WIN[...], last_lit)
+        is_head = acc & (head_lit | cp)
+        meta = WIN2[...]
+        hdr_here = (meta >> 24) & 3
+        incl = W_s[pl.ds(base, CHB)]
+        out_start = (
+            jnp.concatenate([last_incl, incl[: CHB - 1]])
+            if CHB > 1
+            else last_incl
+        )
+        W_s[pl.ds(base, CHB)] = jnp.where(is_head, out_start + hdr_here, -1)
+        WIN[...] = meta & 0xFFFFFF
+        dma(WIN, cph_ref.at[pl.ds(base, CHB)])
+        WIN2[...] = (
+            jnp.where(is_head & cp, out_start, 0)
+            | (lit << 17) | (is_head.astype(jnp.int32) << 18)
+            | (hdr_here << 19)
+        )
+        dma(WIN2, met_ref.at[pl.ds(base, CHB)])
+        return (lit[CHB - 1 : CHB], incl[CHB - 1 : CHB])
+
+    jax.lax.fori_loop(
+        0, NCB, passC,
+        (jnp.zeros((1, LANES), jnp.int32), jnp.zeros((1, LANES), jnp.int32)),
+    )
+    scan_down_ip(jnp.maximum, -1)  # W_s = cov_data0
+    scan_down_ip(jnp.maximum, -1, ref=rank_s)  # rank_s = head_row
+
+    # Pass D: literal data byte destinations into meta bits 0-16.
+    def passD(c, _):
+        base = c * CHB
+        dma(met_ref.at[pl.ds(base, CHB)], WIN2)
+        crows = base + ch_iota(CHB)
+        head_row = rank_s[pl.ds(base, CHB)]
+        cov = W_s[pl.ds(base, CHB)]
+        litdst = jnp.clip(
+            cov + (crows - jnp.maximum(head_row, 0)), 0, (1 << 17) - 1
+        )
+        meta = WIN2[...]
+        WIN2[...] = meta | jnp.where(((meta >> 17) & 1) != 0, litdst, 0)
+        dma(WIN2, met_ref.at[pl.ds(base, CHB)])
+        return 0
+
+    jax.lax.fori_loop(0, NCB, passD, 0)
+
+    # Routing: the layout/h-byte/data windows stream in per chunk; the
+    # landed output bytes stream out per chunk.
+    def chunk_in(base):
+        dma(met_ref.at[pl.ds(base, CHB)], WIN2)
+        dma(cph_ref.at[pl.ds(base, CHB)], WIN)
+        dma(data_ref.at[g, pl.ds(base, CHB)], W8)
+        return WIN2[...], WIN[...], W8[...]
+
+    def land_out(base, out_i8):
+        # O8 is sized to the route's land chunk (min(cap, 1024) rows).
+        O8[...] = out_i8
+        dma(O8, comp_ref.at[g, pl.ds(base, out_i8.shape[0])])
+
+    _route_tokens(
+        None, None, None, None,
+        W_s, rank_s, PAY, STG, bs=bs, cap=cap, nrows=nrows,
+        chunk_in=chunk_in, land_out=land_out,
+    )
+
+    size_ref[0] = jnp.broadcast_to(sizes, (SUBLANES, LANES))
+
+
 # ---------------------------------------------------------------------------
 # Host-callable wrapper.
 # ---------------------------------------------------------------------------
@@ -754,7 +1031,7 @@ def _emit_kernel(
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
         "rungs", "prev_k", "stride2_min", "sel_cap", "sel_all",
-        "rung_strides", "interpret",
+        "rung_strides", "interpret", "wide",
     ),
 )
 def encode_blocks_pallas(
@@ -773,8 +1050,13 @@ def encode_blocks_pallas(
     sel_all: bool = False,
     rung_strides: tuple[int, ...] | None = None,
     interpret: bool = False,
+    wide: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Compress a batch of blocks with the lane-parallel kernels.
+
+    Block sizes above 32768 (up to the format's 64 KB max) take the wide
+    emit kernel automatically (HBM-streamed layout planes; sorted matcher
+    only); ``wide=True`` forces it at small sizes for CI coverage.
 
     ``matcher="sorted"`` (the production path) finds candidates with the
     bitonic rung-sort kernels (pallas_match.py): exact nearest previous
@@ -790,8 +1072,20 @@ def encode_blocks_pallas(
 
     Returns (comp uint8[num_blocks, cap], sizes int32[num_blocks]).
     """
-    if block_size > MAX_ENC_BLOCK:
-        raise ValueError(f"pallas encoder supports block_size <= {MAX_ENC_BLOCK}")
+    if wide is None:
+        wide = block_size > MAX_ENC_BLOCK
+    if wide and matcher != "sorted":
+        raise ValueError("the wide (64K) emit path needs the sorted matcher")
+    if block_size > MAX_ENC_BLOCK and not (sel_all and sel_cap):
+        # The per-candidate full-extension path holds one more resident
+        # (bs, 128) plane than the VMEM budget allows at 64 K.
+        raise ValueError(
+            "block_size > 32768 needs sel_all + sel_cap (fused "
+            "select-then-extend keeps the 64K matcher inside VMEM)"
+        )
+    max_bs = MAX_ENC_BLOCK_WIDE if wide else MAX_ENC_BLOCK
+    if block_size > max_bs:
+        raise ValueError(f"pallas encoder supports block_size <= {max_bs}")
     if block_size % SUBLANES:
         raise ValueError(
             "pallas encoder needs block_size % 8 == 0 (8-row accept "
@@ -850,6 +1144,64 @@ def encode_blocks_pallas(
             lens_bc = jnp.broadcast_to(
                 lens_t[:, None, :], (G, SUBLANES, LANES)
             )
+            if wide:
+                CHC = min(cap, 1024)
+                comp_g, size_g, _, _ = pl.pallas_call(
+                    functools.partial(_emit_kernel_wide, bs=bs, cap=cap),
+                    grid=(G,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pl.ANY),  # data
+                        pl.BlockSpec(memory_space=pl.ANY),  # mlen
+                        pl.BlockSpec(memory_space=pl.ANY),  # mlag
+                        pl.BlockSpec(
+                            (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec(memory_space=pl.ANY),  # comp
+                        pl.BlockSpec(
+                            (1, SUBLANES, LANES), lambda g: (g, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        pl.BlockSpec(memory_space=pl.ANY),  # cph workspace
+                        pl.BlockSpec(memory_space=pl.ANY),  # met workspace
+                    ],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((G, cap, LANES), jnp.int8),
+                        jax.ShapeDtypeStruct((G, SUBLANES, LANES), jnp.int32),
+                        jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
+                        jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
+                        pltpu.VMEM((bs + _chb(bs), LANES), jnp.int32),
+                        pltpu.VMEM((_route_rows(bs, cap), LANES), jnp.int32),
+                        pltpu.VMEM((_stg_rows(bs), LANES), jnp.int32),
+                        pltpu.VMEM((_chb(bs), LANES), jnp.int32),  # WIN
+                        pltpu.VMEM((_chb(bs), LANES), jnp.int32),  # WIN2
+                        pltpu.VMEM((_chb(bs), LANES), jnp.int8),  # W8
+                        pltpu.VMEM((_chb(bs), LANES), jnp.int16),  # W16
+                        pltpu.VMEM((CHC, LANES), jnp.int8),  # O8
+                        pltpu.SemaphoreType.DMA,
+                    ],
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=126 * 1024 * 1024,
+                    ),
+                    interpret=interpret,
+                )(
+                    data_g.astype(jnp.int8),
+                    mlen.astype(jnp.int8),
+                    mlag.astype(jnp.int16),
+                    lens_bc,
+                )
+                comp_b = (
+                    comp_g.transpose(0, 2, 1)
+                    .reshape(G * LANES, cap)
+                    .astype(jnp.uint8)
+                )
+                size_b = size_g[:, 0, :].reshape(G * LANES)
+                return comp_b, size_b
             comp_g, size_g = pl.pallas_call(
                 functools.partial(_emit_kernel, bs=bs, cap=cap),
                 grid=(G,),

@@ -55,10 +55,9 @@ SUBLANES = 8
 _M1 = np.uint32(HASH_M1).view(np.int32)  # wrapping int32 multipliers
 _M2 = np.uint32(HASH_M2).view(np.int32)
 _SIGN = np.int32(-(2**31))  # top-bit flip: signed compare == unsigned
-# 64 K groundwork: the rung sort/lag kernels handle the format's max block
-# (16+16 packed words above 32 K sorted rows); the emit kernel still caps
-# the end-to-end pallas encode at 32 K (pallas_encode.MAX_ENC_BLOCK — see
-# DESIGN.md Remaining #2 for its VMEM story).
+# The rung sort/lag kernels handle the format's max 64 K block (16+16
+# packed words above 32 K sorted rows; prev-step/select candidates window
+# in from HBM there — see sorted_match_groups' hbm_cands).
 MAX_SORT_BLOCK = 65536
 DEFAULT_RUNGS = (4, 8, 16, 32, 64)
 
@@ -558,14 +557,18 @@ def _select_extend_kernel(
     data_ref,  # (bs, 128) i8
     lens_ref,  # (8, 128) i32, row 0 = block lengths
     *refs,  # n_cands x (bs, 128) i32 candidate lags; out_ref; TW_s
+    # hbm mode appends: CWIN (128, 128) i32 window, DMA sem
     bs: int,
     n_cands: int,
     sel_rounds: int,
     rounds: int = 16,
+    hbm: bool = False,
 ):
     cand_refs = refs[:n_cands]
     out_ref = refs[n_cands]
     TW_s = refs[n_cands + 1]
+    if hbm:
+        CWIN, csem = refs[n_cands + 2], refs[n_cands + 3]
     nq = bs // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
 
@@ -655,7 +658,18 @@ def _select_extend_kernel(
         sel_len = jnp.zeros((LANES, LANES), jnp.int32)
         sel_lag = jnp.zeros((LANES, LANES), jnp.int32)
         for cr in cand_refs:
-            cand = jnp.transpose(cr[pl.ds(c * LANES, LANES)])
+            if hbm:
+                # 64 K envelope: candidate planes live in HBM; window in
+                # this chunk's 128 rows (resident candidates would put the
+                # kernel ~40 MB over the VMEM budget).
+                cp = pltpu.make_async_copy(
+                    cr.at[pl.ds(c * LANES, LANES)], CWIN, csem
+                )
+                cp.start()
+                cp.wait()
+                cand = jnp.transpose(CWIN[...])
+            else:
+                cand = jnp.transpose(cr[pl.ds(c * LANES, LANES)])
             cl = ext_len(cand, sel_rounds)
             better = cl > sel_len
             sel_len = jnp.where(better, cl, sel_len)
@@ -689,16 +703,29 @@ def _prev_step_kernel(
     lagj_ref,  # (bs, 128) i32 j-th-previous lags (0 = none)
     out_ref,  # (bs, 128) i32 out: (j+1)-th-previous lags (0 = none)
     TC_s,  # scratch (bs, 128) i32: chunk-transposed nearest lags
-    *,
+    *hbm_scratch,  # hbm mode: (WIN (128,128) i32, DMA sem)
     bs: int,
+    hbm: bool = False,
 ):
+    """``hbm=True`` (the 64 K envelope) takes ``near_ref`` in ANY/HBM and
+    windows it in per 128-row chunk: three resident (bs, 128) planes +
+    scratch total 128.07 MB at 64 K — 72 KB over the budget."""
     nq = bs // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
 
     def build(q, _):
-        TC_s[pl.ds(q * LANES, LANES)] = jnp.transpose(
-            near_ref[pl.ds(q * LANES, LANES)]
-        )
+        if hbm:
+            WIN, sem = hbm_scratch
+            cp = pltpu.make_async_copy(
+                near_ref.at[pl.ds(q * LANES, LANES)], WIN, sem
+            )
+            cp.start()
+            cp.wait()
+            TC_s[pl.ds(q * LANES, LANES)] = jnp.transpose(WIN[...])
+        else:
+            TC_s[pl.ds(q * LANES, LANES)] = jnp.transpose(
+                near_ref[pl.ds(q * LANES, LANES)]
+            )
         return 0
 
     jax.lax.fori_loop(0, nq, build, 0)
@@ -849,12 +876,25 @@ def sorted_match_groups(
 
     extend_call = extend_fold_call()
 
+    # 64 K envelope: the gather-source plane arrives via HBM windows — a
+    # third resident (bs, 128) plane put the kernel 72 KB over the budget.
+    hbm_cands = bs > 32768
     prev_step_call = pl.pallas_call(
-        functools.partial(_prev_step_kernel, bs=bs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        functools.partial(_prev_step_kernel, bs=bs, hbm=hbm_cands),
+        in_specs=[
+            pl.BlockSpec(
+                memory_space=pl.ANY if hbm_cands else pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)]
+        + (
+            [pltpu.VMEM((LANES, LANES), jnp.int32), pltpu.SemaphoreType.DMA]
+            if hbm_cands
+            else []
+        ),
         compiler_params=vmem_cap,
         interpret=interpret,
     )
@@ -877,13 +917,26 @@ def sorted_match_groups(
         sel_call = pl.pallas_call(
             functools.partial(
                 _select_extend_kernel, bs=bs, n_cands=len(cands),
-                sel_rounds=sel_cap // 4,
+                sel_rounds=sel_cap // 4, hbm=hbm_cands,
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * (2 + len(cands)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [
+                pl.BlockSpec(
+                    memory_space=pl.ANY if hbm_cands else pltpu.VMEM
+                )
+            ]
+            * len(cands),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((bs, LANES), jnp.int32)]
+            + (
+                [
+                    pltpu.VMEM((LANES, LANES), jnp.int32),
+                    pltpu.SemaphoreType.DMA,
+                ]
+                if hbm_cands
+                else []
+            ),
             compiler_params=vmem_cap,
             interpret=interpret,
         )

@@ -62,6 +62,10 @@ def _pallas_envelope_gap(
                 f"sweep matcher supports block_size <= {MAX_SWEEP_BLOCK}"
                 " (un-chunked kernel VMEM envelope)"
             )
+        from pim_compression_tpu.ops.pallas_encode import MAX_ENC_BLOCK
+
+        if matcher != "sorted" and block_size > MAX_ENC_BLOCK:
+            return "the wide (64K) emit path needs the sorted matcher"
     return None
 
 
@@ -280,7 +284,7 @@ def compress(
             )
         mesh = get_mesh(config.mesh_devices)
         use_pallas = _pallas_or_fallback(
-            config, block_size, pallas_encode.MAX_ENC_BLOCK, timer,
+            config, block_size, pallas_encode.MAX_ENC_BLOCK_WIDE, timer,
             encode=True,
         )
         blocks, lens = pipeline.blockize_plain(data, block_size, nb)
@@ -354,11 +358,12 @@ def compress(
                 if (
                     matcher == "sorted"
                     and (1 << (block_size - 1).bit_length())
-                    > pallas_encode.MAX_ENC_BLOCK
+                    > pallas_encode.MAX_ENC_BLOCK_WIDE
                 ):
                     # Non-power-of-two sizes run the rung sorts padded to
                     # the next power of two; only sizes whose padded size
-                    # exceeds the sort envelope fall back.
+                    # exceeds the sort envelope fall back (none exist
+                    # below the 64 KB format cap — safety net only).
                     matcher = "sweep"
                     timer.notes["matcher_fallback"] = (
                         f"sorted->sweep (block_size {block_size})"

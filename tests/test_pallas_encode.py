@@ -664,9 +664,7 @@ def test_pallas_sorted_matcher_64k_packing():
     # packed sort word switches to 16 key + 16 position bits and the
     # unsort word's top bit is flipped (a 16-bit spos fills bits 16-31,
     # where a signed compare would otherwise invert the order). The
-    # matcher kernel must equal the spec exactly at bs=65536. The emit
-    # kernel still caps end-to-end pallas encode at 32 K (DESIGN.md
-    # Remaining #2); 64 K encode rides the xla engine.
+    # matcher kernel must equal the spec exactly at bs=65536.
     import jax.numpy as jnp
 
     from pim_compression_tpu.ops import pallas_match as pm
@@ -694,3 +692,46 @@ def test_pallas_sorted_matcher_64k_packing():
     )
     np.testing.assert_array_equal(mlen[0, :, :2], sl[:, :2])
     np.testing.assert_array_equal(mlag[0, :, :2], so[:, :2])
+
+
+def test_pallas_encode_wide_emit_parity():
+    # The wide (64K) emit kernel streams its layout planes through HBM
+    # workspaces (chunk windows + carried rows) instead of holding them
+    # resident in VMEM; the routing reuses _route_tokens via chunk_in /
+    # land_out hooks. Forced on at small sizes (the pipeline is
+    # size-parameterized; the device validates 64K), it must produce
+    # byte-identical streams to the resident kernel.
+    r = random.Random(13)
+    data = (
+        b"wide emit streams its layout planes through HBM windows " * 60
+        + r.randbytes(1500)
+        + b"\x00" * 700
+        + b"xy" * 500
+    )
+    for bs in (256, 1024):
+        nb = -(-len(data) // bs)
+        blocks = np.zeros((128, bs), np.uint8)
+        lens = np.zeros(128, np.int32)
+        for i in range(nb):
+            ch = data[i * bs : (i + 1) * bs]
+            blocks[i, : len(ch)] = np.frombuffer(ch, np.uint8)
+            lens[i] = len(ch)
+        kw = dict(
+            block_size=bs, matcher="sorted", rungs=(4,), prev_k=2,
+            sel_cap=16, sel_all=True, interpret=True,
+        )
+        cw, sw = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), wide=True, **kw
+        )
+        cn, sn = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), wide=False, **kw
+        )
+        cw, sw, cn, sn = map(np.asarray, (cw, sw, cn, sn))
+        np.testing.assert_array_equal(sw[:nb], sn[:nb])
+        for i in range(nb):
+            np.testing.assert_array_equal(cw[i, : sw[i]], cn[i, : sn[i]])
+            out = bytearray()
+            oracle.decompress_block(
+                memoryview(cw[i, : sw[i]].tobytes()), out, 0
+            )
+            assert bytes(out) == data[i * bs : (i + 1) * bs]
