@@ -368,6 +368,18 @@ def compress(
                     timer.notes["matcher_fallback"] = (
                         f"sorted->sweep (block_size {block_size})"
                     )
+                sel_cap, sel_all = config.sel_cap, config.sel_all
+                if block_size > pallas_encode.MAX_ENC_BLOCK and not (
+                    sel_all and sel_cap
+                ):
+                    # The wide (64K) emit path requires the fused
+                    # select-then-extend (the per-candidate full-extension
+                    # form holds one more resident plane than VMEM fits);
+                    # upgrade the config rather than crash or fall back —
+                    # sel16 costs ~0.01 ratio vs uncapped and uncapped is
+                    # impossible at this size.
+                    sel_cap, sel_all = sel_cap or 16, True
+                    timer.notes["wide_select"] = f"sel_all sel_cap={sel_cap}"
                 comp, sizes = pallas_encode.encode_blocks_pallas_sharded(
                     blocks_d, lens_d, mesh,
                     block_size=block_size, window=config.match_window,
@@ -377,8 +389,8 @@ def compress(
                     rungs=config.rungs,
                     prev_k=config.prev_k,
                     stride2_min=config.stride2_min,
-                    sel_cap=config.sel_cap,
-                    sel_all=config.sel_all,
+                    sel_cap=sel_cap,
+                    sel_all=sel_all,
                     rung_strides=config.rung_strides,
                     interpret=interpret,
                 )

@@ -172,3 +172,25 @@ def test_pallas_batch_trimming_policy():
         # 164 blocks over 2 devices: 82/dev -> 1 group/dev.
         assert _pallas_batches(164, mesh2) == (256, 256)
         assert _pallas_batches(300, mesh2) == (512, 512)  # 2 groups/dev
+
+
+def test_pallas_64k_blocks_end_to_end():
+    # The format's documented max block (snappy/README.md:7) runs on the
+    # device kernels in both directions: wide emit (HBM-windowed layout
+    # planes) + wide two-plane decode. A config without the fused
+    # select-then-extend is auto-upgraded (uncapped extension cannot fit
+    # VMEM at 64K) with a visible timer note.
+    from pim_compression_tpu.runtime.profiling import PhaseTimer
+
+    data = (b"sixty-four kilobyte blocks ride the wide kernels " * 1500)[
+        : 65536 + 9000
+    ]
+    cfg = CodecConfig(
+        engine="pallas", block_size=65536, matcher="sorted", rungs=(4,),
+        prev_k=2, strict_engine=True,
+    )
+    t = PhaseTimer()
+    stream = runtime.compress(data, cfg, t)
+    assert t.notes.get("wide_select") == "sel_all sel_cap=16"
+    assert runtime.decompress(stream, CodecConfig(engine="oracle")) == data
+    assert runtime.decompress(stream, cfg) == data
