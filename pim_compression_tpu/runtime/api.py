@@ -6,8 +6,9 @@ Engines (SURVEY.md §2.1 parity):
 - ``native``: C++ threaded host codec (fast sequential path).
 - ``xla``: portable vectorized device kernels (pointer-doubling decode,
   sort-match encode) batched and sharded over a 1-D device mesh.
-- ``pallas``: TPU lane-parallel kernels (decode + encode) for block sizes
-  up to the packing/VMEM envelope; falls back to ``xla`` above it.
+- ``pallas``: TPU lane-parallel kernels (decode + encode) covering the
+  format's full 256..65536 block-size range (128-multiples); ``xla``
+  fallback only outside it.
 """
 
 from __future__ import annotations
