@@ -97,19 +97,20 @@ def _sort_rung_kernel(
 
     Fully chunked (full-array phase bodies held 4-5 live (bs, 128) arrays
     — ~84 MB of register spill at bs=32768). The bitonic network runs as
-    a STATIC schedule split by where the partner distance j sits relative
-    to the chunk height CH:
+    a STATIC schedule in XOR-COMPLEMENT form (descending regions hold
+    bit-inverted words, so every compare-exchange is a direction-free
+    reduce_min/reduce_max pair and complement transitions cost one XOR
+    per merge — see the network comment below), split by where the
+    partner distance j sits relative to the chunk height CH:
 
-    - j < CH (105 of 120 stages at m=32768): the compare block at
-      distance j never crosses a chunk boundary (CH is a multiple of 2j),
-      so the partner already sits inside the loaded chunk. Each merge's
-      within-chunk stages run FUSED in one in-place chunk pass: load the
-      chunk once, apply every stage as a pair-compare on the
-      (CH/2j, 2j, 128) reshape (lo/hi halves of each 2j-block — one
-      compare and two selects per stage; no shifted-window reads, no
-      select-discarded margin traffic), store once. ~45% fewer
-      compare-exchange vreg-ops than the per-stage two-read form, and no
-      read margin: each scratch buffer is exactly m rows.
+    - j < CH (114 of 120 stages at m=32768, CH=4096): the compare block
+      at distance j never crosses a chunk boundary (CH is a multiple of
+      2j), so the partner already sits inside the loaded chunk. Each
+      merge's within-chunk stages run FUSED in one in-place chunk pass:
+      load the chunk once, apply every stage as a min/max pair on the
+      (parts, 2, j, 128) reshape (~1 vreg-op/row/stage — no direction
+      mask, no selects, no partner reads), store once. No read margin:
+      each scratch buffer is exactly m rows.
     - j >= CH (the first log2(k/CH) stages of merges k > CH): the xor
       partner row set (base + iot) ^ j = (base ^ j) + iot is one
       contiguous chunk read at a scalar offset; these stages ping-pong
@@ -128,7 +129,10 @@ def _sort_rung_kernel(
     ``lane_model_encode.packed_prev_lags(stride=2)``.
     """
     m = bs // stride  # sorted rows
-    CH = min(m, 1024)
+    # 8192-row chunks: at m=32768 only 2 merges have cross-chunk (far)
+    # stages (3 far stages vs 15 at CH=1024) — far stages cost ~6 ops/row
+    # (two chunk reads, compare, select, store) vs the fused form's ~1.
+    CH = min(m, 8192)
     NC = m // CH
     LOOK = 128
     # Packed word geometry: 17-bit folded key + 15-bit index up to 32 K
@@ -143,9 +147,18 @@ def _sort_rung_kernel(
 
     # Phase H: packed (key17 << 15) | idx sort words (idx = pos / stride;
     # odd-position words are dropped by compaction when stride = 2), top
-    # bit flipped so the signed bitonic compare realises unsigned order.
+    # bit flipped so the signed bitonic compare realises unsigned order,
+    # then complement-initialised for the XOR-form network below (rows in
+    # merge k=2's descending regions, bit 1 of the row index, start
+    # bit-inverted).
     CHS = min(bs, 1024)
     NCS = bs // CHS
+    # Hoisted phase-H init plane: _SIGN everywhere, additionally inverted
+    # where (row & 2) != 0. Bit 1 of the global row equals bit 1 of the
+    # chunk-local iota for any chunk height >= 2.
+    xsign_h = jnp.where(
+        (ch_iota(CHS) & 2) != 0, jnp.int32(~_SIGN), jnp.int32(_SIGN)
+    )
 
     def hchunk(c, _):
         base = c * CHS
@@ -168,13 +181,14 @@ def _sort_rung_kernel(
         h = _hash_for_rung(w, rung)
         key = (h[0:CHS] ^ ((h[0:CHS] >> (32 - key_bits)) & key_mask)) & key_mask
         rows = base + ch_iota(CHS)
-        word = (((key << pos_bits) | (rows // stride)) ^ _SIGN).astype(
-            jnp.int32
-        )
+        packed = ((key << pos_bits) | (rows // stride)).astype(jnp.int32)
         if stride == 1:
-            pk_s[pl.ds(base, CHS)] = word
+            pk_s[pl.ds(base, CHS)] = packed ^ xsign_h
         else:
-            stg_s[pl.ds(base, CHS)] = word  # staged; compacted next
+            # Compaction MOVES words between rows, so the k=2 complement
+            # init (a row property) is applied on the compacted rows in
+            # cchunk below; stage plain sign-flipped words here.
+            stg_s[pl.ds(base, CHS)] = packed ^ _SIGN
         return 0
 
     jax.lax.fori_loop(0, NCS, hchunk, 0)
@@ -186,6 +200,13 @@ def _sort_rung_kernel(
         # T_{(s*l)>>7}[:, (s*l) & 127].
         lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
         s_idx = (stride * lane) & (LANES - 1)
+        # k=2 complement init over the compacted (sorted-space) row index.
+        xinit = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0) & 2)
+            != 0,
+            jnp.int32(-1),
+            jnp.int32(0),
+        )
 
         def cchunk(j, _):
             out = jnp.zeros((LANES, LANES), jnp.int32)
@@ -197,94 +218,89 @@ def _sort_rung_kernel(
                 out = jnp.where(
                     (stride * lane) >> 7 == t, gt, out
                 )
-            pk_s[pl.ds(j * LANES, LANES)] = jnp.transpose(out)
+            pk_s[pl.ds(j * LANES, LANES)] = jnp.transpose(out) ^ xinit
             return 0
 
         jax.lax.fori_loop(0, m // LANES, cchunk, 0)
 
     # Compare-exchange network, statically scheduled (j and k are Python
-    # ints, so the pair-compare reshape shapes below are static):
+    # ints, so the pair-compare reshape shapes below are static), in
+    # XOR-COMPLEMENT form: while merge k runs, every row in one of its
+    # descending regions ((row & k) != 0) holds the BIT-INVERTED word, so
+    # bitwise-NOT reverses unsigned order and every compare-exchange is a
+    # direction-free min/max pair — one reduce_min + one reduce_max over
+    # the pair axis per stage, no direction mask, no select. All exchanges
+    # of merge k stay inside one k-aligned region, so the complement state
+    # (a row property, constant per region) is preserved by the exchanges;
+    # transitions between merges XOR the array with the state-difference
+    # mask ONCE per merge. For rows of a CH-aligned chunk, row-index bits
+    # t < CH come from the chunk-local iota (hoisted planes shared by all
+    # chunks) and bits t >= CH are chunk-constant scalars; bit t == m is 0
+    # (rows < m), so the final merge runs plain-ascending and the sorted
+    # result needs no un-complementing.
     #
-    # - Within-chunk stages (j < CH) of one merge k run FUSED in a single
-    #   in-place chunk pass. Viewing the chunk as (CH/2j, 2j, 128), each
-    #   2j-block's lo half (bit j clear) pairs with its hi half; the
-    #   direction bit (rows & k) == 0 depends only on the block index t
-    #   when k < CH (base is a CH multiple, so base & k == 0) and only on
-    #   the chunk base when k >= CH (t*2j + s < CH <= k).
-    # - Within one merge the direction is the SAME for every stage (it
-    #   depends on rows & k only), and stage j's pairs never cross the
-    #   lo/hi boundary of stage 2j — so a merge runs in PARTS form: keep
-    #   each stage's lo/hi outputs as separate arrays (no per-stage
-    #   re-concatenation; in-order concat of the parts reconstructs row
-    #   order exactly once, when parts reach PART_MIN=8 rows, the vreg
-    #   sublane height, below which sub-vreg parts would round up).
-    #   Direction is a (CH//(2*j0), 1, LANES) even-block mask for k < CH, the
-    #   scalar (base & k) == 0 for k >= CH, and statically ascending for
-    #   the final merge k == m (rows < m, so the eq drops out entirely).
+    # - Within-chunk stages (j < CH) of one merge run FUSED in a single
+    #   in-place chunk pass, in PARTS form: each stage's min/max halves
+    #   stay separate arrays (no per-stage re-concatenation; bounded at
+    #   PARTS_MAX arrays, the trace-size cap); one in-order concat per
+    #   merge reconstructs row order.
     # - Far stages (j >= CH) keep the one-contiguous-partner-read form and
-    #   ping-pong between the buffers (parity tracked in Python).
+    #   ping-pong between the buffers (parity tracked in Python); the
+    #   merge's complement transition folds into its first far stage (one
+    #   scalar XOR per side — partner chunks share the merge-k state but
+    #   not the previous-merge state, so each side flips by its own base).
 
-    PART_MIN = 8
+    PARTS_MAX = 64
+    iot = ch_iota(CH)
 
-    def fused_pass(jks, A):
-        # jks: ordered (j, k) stage pairs, all with j < CH (chunk-local), run
-        # on ONE chunk load/store. Merge-level direction masks (k < CH) are
-        # hoisted out of the chunk loop.
-        merges = []  # [(k, [j descending])]
-        for j, k in jks:
-            if merges and merges[-1][0] == k:
-                merges[-1][1].append(j)
-            else:
-                merges.append((k, [j]))
-        dir_lead = {}
-        dir_small = {}  # per-(j, k) masks for sub-PART_MIN stages, hoisted
-        for k, js in merges:
-            if k < CH:
-                b0 = CH // (2 * js[0])
-                t = jax.lax.broadcasted_iota(jnp.int32, (b0, 1, LANES), 0)
-                # block t of height 2*js[0] has row bit k = bit of t*2j&k
-                dir_lead[k] = ((t * (2 * js[0])) & k) == 0
-                for j in js:
-                    if j < PART_MIN:
-                        t2j = jax.lax.broadcasted_iota(
-                            jnp.int32, (CH // (2 * j), 1, LANES), 0
-                        ) * (2 * j)
-                        dir_small[(j, k)] = (t2j & k) == 0
+    def _pair_step(p, j):
+        v = p.reshape(-1, 2, j, LANES)
+        return jnp.min(v, axis=1), jnp.max(v, axis=1)
 
-        def cx(lo, hi, dirm):
-            cmp = hi < lo
-            swap = cmp if dirm is None else cmp == dirm
-            return jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)
+    def fused_pass(merges, A, enter):
+        # merges: [(k, [j descending])], all j < CH; ``enter`` = the merge
+        # size whose complement state the array carries on entry (the
+        # previous merge, or this one when a far prefix already applied
+        # the transition). Iota-bit flip planes are hoisted per merge.
+        trans = []  # per merge: (iota_plane | None, [scalar bits])
+        kp = enter
+        for k, _ in merges:
+            ip, sb = None, []
+            if kp != k:
+                lo = [t for t in (kp, k) if t < CH]
+                hi = [t for t in (kp, k) if CH <= t < m]
+                if lo:
+                    x = (iot & lo[0]) != 0
+                    if len(lo) > 1:
+                        x = x != ((iot & lo[1]) != 0)
+                    ip = jnp.where(x, jnp.int32(-1), jnp.int32(0))
+                sb = hi
+            trans.append((ip, sb))
+            kp = k
 
         def up(c, _):
             base = c * CH
             w = A[pl.ds(base, CH)]
-            for k, js in merges:
-                if k == m:
-                    dirm = None  # rows < m: the final merge is ascending
-                elif k < CH:
-                    dirm = dir_lead[k]
-                else:
-                    dirm = (base & k) == 0  # scalar per chunk
+            for (k, js), (ip, sb) in zip(merges, trans):
+                f = ip
+                for t in sb:
+                    s = jnp.where(
+                        (base & t) != 0, jnp.int32(-1), jnp.int32(0)
+                    )
+                    f = s if f is None else f ^ s
+                if f is not None:
+                    w = w ^ f
                 j0 = js[0]
                 parts = [w.reshape(CH // (2 * j0), 2 * j0, LANES)]
                 for j in js:
-                    if j >= PART_MIN:
-                        new = []
-                        for p in parts:
-                            lo2, hi2 = cx(p[:, :j], p[:, j:], dirm)
-                            new.append(lo2)
-                            new.append(hi2)
-                        parts = new
-                    else:
-                        if len(parts) > 1:
-                            parts = [jnp.concatenate(parts, axis=1)]
-                        v = parts[0].reshape(CH // (2 * j), 2 * j, LANES)
-                        # hoisted per-(j, k) mask (k < CH); scalar/None pass
-                        # through unchanged
-                        dj = dir_small.get((j, k), dirm)
-                        lo2, hi2 = cx(v[:, :j], v[:, j:], dj)
-                        parts = [jnp.concatenate([lo2, hi2], axis=1)]
+                    if len(parts) >= PARTS_MAX:
+                        parts = [jnp.concatenate(parts, axis=1)]
+                    new = []
+                    for p in parts:
+                        lo2, hi2 = _pair_step(p, j)
+                        new.append(lo2)
+                        new.append(hi2)
+                    parts = new
                 w = (
                     parts[0]
                     if len(parts) == 1
@@ -295,13 +311,23 @@ def _sort_rung_kernel(
 
         jax.lax.fori_loop(0, NC, up, 0)
 
-    def far_stage(j, k, A, B):
+    def _sflip(b, kp, k):
+        # Scalar complement-transition word for a chunk at base ``b``:
+        # bits kp and k are both >= CH here (chunk-constant); bit m is 0.
+        x = (b & kp) != 0
+        if k < m:
+            x = x != ((b & k) != 0)
+        return jnp.where(x, jnp.int32(-1), jnp.int32(0))
+
+    def far_stage(j, k, A, B, trans_from=None):
         def up(c, _):
             base = c * CH
-            dirs = ((base & j) == 0) == ((base & k) == 0)
             w = A[pl.ds(base, CH)]
             pw = A[pl.ds(base ^ j, CH)]
-            take = dirs == (pw < w)
+            if trans_from is not None:
+                w = w ^ _sflip(base, trans_from, k)
+                pw = pw ^ _sflip(base ^ j, trans_from, k)
+            take = (pw < w) != ((base & j) != 0)
             B[pl.ds(base, CH)] = jnp.where(take, pw, w)
             return 0
 
@@ -318,25 +344,31 @@ def _sort_rung_kernel(
         # (log2(CH) - 1 fewer chunk loads+stores per sort run).
         cur = 0
         bufs = (pk_s, stg_s)
-        jks = []
+        merges1 = []
         k = 2
         while k <= min(CH, m):
-            jks.extend(
-                (1 << b, k) for b in range(k.bit_length() - 2, -1, -1)
+            merges1.append(
+                (k, [1 << b for b in range(k.bit_length() - 2, -1, -1)])
             )
             k *= 2
-        if jks:
-            fused_pass(jks, bufs[cur])
+        if merges1:
+            fused_pass(merges1, bufs[cur], enter=2)
         while k <= m:
             j = k // 2
+            first = True
             while j >= CH:  # cross-chunk prefix of this merge
-                far_stage(j, k, bufs[cur], bufs[1 - cur])
+                far_stage(
+                    j, k, bufs[cur], bufs[1 - cur],
+                    trans_from=k // 2 if first else None,
+                )
+                first = False
                 cur = 1 - cur
                 j //= 2
             if j >= 1:
                 fused_pass(
-                    [(1 << b, k) for b in range(j.bit_length() - 1, -1, -1)],
+                    [(k, [1 << b for b in range(j.bit_length() - 1, -1, -1)])],
                     bufs[cur],
+                    enter=k,
                 )
             k *= 2
         if cur:
@@ -354,6 +386,13 @@ def _sort_rung_kernel(
     # occurrence (the position field orders equal-key runs by position).
     # Chunked with a carried previous row; repack as (pos << 16) | lag so
     # a second sort restores position order (the TPU-native scatter).
+    # The hoisted plane folds the sign flip (keeps the unsort's signed
+    # compare == unsigned even when a 16-bit spos fills bits 16-31) with
+    # the k=2 complement init of the second XOR-form sort.
+    xsign_l = jnp.where(
+        (iot & 2) != 0, jnp.int32(~_SIGN), jnp.int32(_SIGN)
+    )
+
     def lag_chunk(c, carry):
         pkey, ppos = carry
         base = c * CH
@@ -363,10 +402,7 @@ def _sort_rung_kernel(
         prev_key = jnp.concatenate([pkey, skey[: CH - 1]]) if CH > 1 else pkey
         prev_pos = jnp.concatenate([ppos, spos[: CH - 1]]) if CH > 1 else ppos
         lag = jnp.where(skey == prev_key, spos - prev_pos, 0)
-        # Top-bit flip keeps the unsort's signed compare == unsigned even
-        # when a 16-bit spos fills bits 16-31 (no-op for the output: only
-        # the low 16 lag bits are read back).
-        pk_s[pl.ds(base, CH)] = ((spos << 16) | lag) ^ _SIGN
+        pk_s[pl.ds(base, CH)] = ((spos << 16) | lag) ^ xsign_l
         return (skey[CH - 1 : CH], spos[CH - 1 : CH])
 
     jax.lax.fori_loop(
@@ -460,29 +496,39 @@ def _extend_fold_kernel(
     lens_t = jnp.transpose(
         jnp.broadcast_to(lens_ref[0:1, :], (LANES, LANES))
     )  # (blocks, _) — per-row block lengths in transposed layout
+    # Hoisted constant planes: every per-round use below is a reference,
+    # not a fresh broadcast eqn (the jaxpr-level op count — the ledger and
+    # the emulator's per-op dispatch cost — pays for each broadcast).
+    zz = jnp.zeros((LANES, LANES), jnp.int32)
+    neg1 = jnp.full((LANES, LANES), -1, jnp.int32)
+    four4 = jnp.full((LANES, LANES), 4, jnp.int32)
 
     # Phase E: per destination chunk, all 16 extension rounds in registers.
     def per_chunk(c, _):
         cn = cand_ref[pl.ds(c * LANES, LANES)]  # normal layout (pos, block)
         cand = jnp.transpose(cn)  # (block, residue)
         p = c * LANES + lane  # position, per lane
+        crow = zz + c  # chunk index plane, shared by every round's dist
         has = cand > 0
         still = has
-        lenacc = jnp.zeros((LANES, LANES), jnp.int32)
+        lenacc = zz
         # The failing round's xor word, deferred: the 1-3-byte partial-match
         # tail is a function of the first differing word alone, and `still`
         # is monotone so each lane fails at most once — one post-loop tail
         # computation replaces 16 per-round ones (~12% of the kernel).
         # All-ones marks never-failed lanes (their tail is 0 either way).
-        xfail = jnp.full((LANES, LANES), -1, jnp.int32)
+        xfail = neg1
         # Live lags never reach past position 0 (sorted-space lags and
         # their compositions are backward jumps from p), so src stays
         # >= 0 unclipped; rs is masked to a lane index and the sweep's
-        # start offset is clipped, so beyond-block rounds (p - cand + 4k
-        # >= bs, possible in the last word rounds) read junk that only
-        # affects lanes whose lenacc the el = min(..., len - p) clamp
-        # already floors — the same equivalence the spec's zero-fill
-        # relies on.
+        # start offset is clipped, so beyond-block reads on EITHER side
+        # (a-words past the block end read the next chunk's real rows or
+        # the repeated last chunk; b-words past it read a clipped chunk)
+        # produce junk that only affects lanes whose lenacc the
+        # el = min(..., len - p) clamp already floors: any lane whose
+        # lenacc or tail came from a junk round had already survived to
+        # p + 4k >= bs >= len, so its lenacc >= len - p and the clamp
+        # decides — the same equivalence the spec's zero-fill relies on.
         src0 = p - cand
         own = TW_s[pl.ds(c * LANES, LANES)]
         nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
@@ -490,21 +536,21 @@ def _extend_fold_kernel(
         # rounds=16 is the 64-byte copy cap; fewer rounds make the capped
         # cheap pass of select-then-extend (spec: extend_match(max_len)).
         for k in range(rounds):
-            # a = W4[p + 4k], zero past the block end (spec shift_up).
-            # 4k is static per unrolled round, so the two-chunk lane fetch
-            # is a static lane shift (slice + concat), not a gather.
+            # a = W4[p + 4k]: 4k is static per unrolled round, so the
+            # two-chunk lane fetch is a static lane shift (slice +
+            # concat), not a gather; no block-end mask (see junk note).
             if k == 0:
                 a = own
             else:
                 a = jnp.concatenate(
                     [own[:, 4 * k :], own_nxt[:, : 4 * k]], axis=1
                 )
-                a = jnp.where(p + 4 * k < bs, a, 0)
             # b = W4[p - cand + 4k] via adaptive chunk-delta sweep.
             src = src0 + 4 * k if k else src0
             qs = src >> 7
             rs = src & (LANES - 1)
-            maxd = jnp.max(jnp.where(still, c - qs, -1))
+            dist = crow - qs
+            maxd = jnp.max(jnp.where(still, dist, neg1))
 
             def sweep(i, b):
                 d = i - 1  # d = -1 covers forward reads (4k > cand)
@@ -514,14 +560,12 @@ def _extend_fold_kernel(
                 )
                 # No still gate: a dead lane's b is never read (x, weq,
                 # xfail are all still-gated downstream).
-                return jnp.where(qs == c - d, got, b)
+                return jnp.where(dist == d, got, b)
 
-            b = jax.lax.fori_loop(
-                0, maxd + 2, sweep, jnp.zeros((LANES, LANES), jnp.int32)
-            )
+            b = jax.lax.fori_loop(0, maxd + 2, sweep, zz)
             x = a ^ b
             weq = still & (x == 0)
-            lenacc = lenacc + jnp.where(weq, 4, 0)
+            lenacc = lenacc + jnp.where(weq, four4, zz)
             xfail = jnp.where(still ^ weq, x, xfail)  # still & ~weq: weq<=still
             still = weq
         lenacc = lenacc + (
@@ -589,9 +633,16 @@ def _select_extend_kernel(
     lens_t = jnp.transpose(
         jnp.broadcast_to(lens_ref[0:1, :], (LANES, LANES))
     )
+    # Hoisted constant planes (see _extend_fold_kernel: each per-round use
+    # is a reference, not a fresh broadcast eqn).
+    zz = jnp.zeros((LANES, LANES), jnp.int32)
+    neg1 = jnp.full((LANES, LANES), -1, jnp.int32)
+    four4 = jnp.full((LANES, LANES), 4, jnp.int32)
 
     def per_chunk(c, _):
         p = c * LANES + lane
+        crow = zz + c
+        lensp = lens_t - p
         own = TW_s[pl.ds(c * LANES, LANES)]
         nxt_start = jnp.minimum(c + 1, nq - 1) * LANES
         own_nxt = TW_s[pl.ds(nxt_start, LANES)]
@@ -599,7 +650,8 @@ def _select_extend_kernel(
         def ext_len(cand, nrounds, start=0, lenacc0=None, still0=None):
             # Exact capped extension in transposed space — identical to
             # _extend_fold_kernel's round structure (deferred-tail, adaptive
-            # chunk-delta sweep), with `own` words shared across calls.
+            # chunk-delta sweep, junk-read block-end equivalence), with
+            # `own` words shared across calls.
             # ``start/lenacc0/still0`` resume the winner's full extension
             # from the capped pass's state instead of re-running rounds
             # 0..start-1: equivalent to a from-scratch extension because a
@@ -609,12 +661,8 @@ def _select_extend_kernel(
             # untouched tail.
             has = cand > 0
             still = has if still0 is None else still0
-            lenacc = (
-                jnp.zeros((LANES, LANES), jnp.int32)
-                if lenacc0 is None
-                else lenacc0
-            )
-            xfail = jnp.full((LANES, LANES), -1, jnp.int32)
+            lenacc = zz if lenacc0 is None else lenacc0
+            xfail = neg1
             src0 = p - cand
             for k in range(start, nrounds):
                 if k == 0:
@@ -623,11 +671,11 @@ def _select_extend_kernel(
                     a = jnp.concatenate(
                         [own[:, 4 * k :], own_nxt[:, : 4 * k]], axis=1
                     )
-                    a = jnp.where(p + 4 * k < bs, a, 0)
                 src = src0 + 4 * k if k else src0
                 qs = src >> 7
                 rs = src & (LANES - 1)
-                maxd = jnp.max(jnp.where(still, c - qs, -1))
+                dist = crow - qs
+                maxd = jnp.max(jnp.where(still, dist, neg1))
 
                 def sweep(i, b):
                     d = i - 1
@@ -635,14 +683,12 @@ def _select_extend_kernel(
                     got = jnp.take_along_axis(
                         TW_s[pl.ds(start, LANES)], rs, axis=1
                     )
-                    return jnp.where(qs == c - d, got, b)
+                    return jnp.where(dist == d, got, b)
 
-                b = jax.lax.fori_loop(
-                    0, maxd + 2, sweep, jnp.zeros((LANES, LANES), jnp.int32)
-                )
+                b = jax.lax.fori_loop(0, maxd + 2, sweep, zz)
                 x = a ^ b
                 weq = still & (x == 0)
-                lenacc = lenacc + jnp.where(weq, 4, 0)
+                lenacc = lenacc + jnp.where(weq, four4, zz)
                 xfail = jnp.where(still ^ weq, x, xfail)
                 still = weq
             lenacc = lenacc + (
@@ -650,13 +696,11 @@ def _select_extend_kernel(
                 + ((xfail & 0xFFFF) == 0).astype(jnp.int32)
                 + ((xfail & 0xFFFFFF) == 0).astype(jnp.int32)
             )
-            el = jnp.minimum(
-                jnp.minimum(lenacc, lens_t - p), 4 * nrounds
-            )
+            el = jnp.minimum(jnp.minimum(lenacc, lensp), 4 * nrounds)
             return jnp.where(has & (el >= 4), el, 0)
 
-        sel_len = jnp.zeros((LANES, LANES), jnp.int32)
-        sel_lag = jnp.zeros((LANES, LANES), jnp.int32)
+        sel_len = zz
+        sel_lag = zz
         for cr in cand_refs:
             if hbm:
                 # 64 K envelope: candidate planes live in HBM; window in
