@@ -304,6 +304,12 @@ def _route_tokens(
     NCB = bs // CHB
     CHR = min(nrows, 1024)
     NCR = nrows // CHR
+    # Hoisted constant/scalar planes: a vector-scalar op in a chunk body
+    # costs a fresh broadcast eqn per chunk per round otherwise (the
+    # jaxpr-level op count the ledger and the emulator's per-op dispatch
+    # pay for).
+    zzb = jnp.zeros((CHB, LANES), jnp.int32)
+    zzr = zzb if CHR == CHB else jnp.zeros((CHR, LANES), jnp.int32)
 
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
@@ -344,7 +350,11 @@ def _route_tokens(
             )
             sh <<= 1
         incl = occ_i + tot
-        rank_s[pl.ds(base, CHB)] = jnp.where(tok, incl - 1, 0)
+        # Store the UPWARD travel distance D = row - rank (not the rank):
+        # the compact rounds' whole move decision is then one bit test —
+        # see the bit-schedule note below. Empty rows carry D = 0.
+        crows = base + ch_iota(CHB)
+        rank_s[pl.ds(base, CHB)] = jnp.where(tok, crows - incl + 1, 0)
         return incl[CHB - 1 : CHB]
 
     jax.lax.fori_loop(
@@ -358,44 +368,64 @@ def _route_tokens(
     # source rows [base+sh, base+sh+CHB) from chunks not yet updated this
     # round (within-chunk rows are read before the chunk is written), with
     # the read start clamped into the zero pads above bs so out-of-range
-    # sources read as unoccupied. The source's move decision is recomputed
-    # instead of staged; the payload rides the same select.
+    # sources read as unoccupied.
+    #
+    # Bit-schedule: LSB-first, a token that started D = row - rank above
+    # its rank sits at rank + (D & ~(2^k - 1)) when round k begins (the
+    # processed low bits are already subtracted), so "bit k of (current
+    # row - rank)" — the move decision — equals bit k of the INITIAL D.
+    # The D plane therefore rides every move UNCHANGED and the whole
+    # decision is one bit test; empty and vacated rows carry D = 0 (never
+    # move, never arrive), so the rounds need no occupancy masks and no
+    # row iotas. Vacated payloads go stale rather than zeroed: arrivals
+    # are gated by the clean D plane and the land phase by W, so a stale
+    # P is never read.
     nbit = (bs - 1).bit_length()
 
     def compact_round(k, _):
         sh = jnp.int32(1) << k
+        shv = zzb + sh  # one broadcast per round, not per chunk
 
         def upd(c, _):
             base = c * CHB
             W = W_s[pl.ds(base, CHB)]
-            rank = rank_s[pl.ds(base, CHB)]
+            D = rank_s[pl.ds(base, CHB)]
             P = PAY[pl.ds(base, CHB)]
-            occ = (W & _OCC) != 0
-            crows = base + ch_iota(CHB)
-            move = occ & ((((crows - rank) >> k) & 1) == 1)
+            move = (D & shv) != 0
             src = jnp.minimum(base + sh, bs)
             nW = W_s[pl.ds(src, CHB)]
-            nR = rank_s[pl.ds(src, CHB)]
+            nD = rank_s[pl.ds(src, CHB)]
             nP = PAY[pl.ds(src, CHB)]
-            srows = src + ch_iota(CHB)
-            occ_s = (nW & _OCC) != 0
-            arriving = occ_s & ((((srows - nR) >> k) & 1) == 1)
-            staying = occ & ~move
+            arriving = (nD & shv) != 0
             W_s[pl.ds(base, CHB)] = jnp.where(
-                arriving, nW, jnp.where(staying, W, 0)
+                arriving, nW, jnp.where(move, zzb, W)
             )
             rank_s[pl.ds(base, CHB)] = jnp.where(
-                arriving, nR, jnp.where(staying, rank, 0)
+                arriving, nD, jnp.where(move, zzb, D)
             )
-            PAY[pl.ds(base, CHB)] = jnp.where(
-                arriving, nP, jnp.where(staying, P, 0)
-            )
+            PAY[pl.ds(base, CHB)] = jnp.where(arriving, nP, P)
             return 0
 
         jax.lax.fori_loop(0, NCB, upd, 0)
         return 0
 
     jax.lax.fori_loop(0, nbit, compact_round, 0)
+
+    # Convert W's dst field into the remaining DOWNWARD distance
+    # E = dst - row (tokens sit at their ranks now and dsts strictly
+    # increase, so E >= 0 and the subtraction never borrows into the
+    # count bits): the expand rounds then use the same bit-test schedule
+    # — MSB-first, each move subtracts exactly the tested bit — on W's
+    # own bits 8+, dropping the separate rank/distance plane entirely.
+    # Tokens all sit in [0, bs); rows above keep W = 0.
+    def to_down(c, _):
+        base = c * CHB
+        W = W_s[pl.ds(base, CHB)]
+        crows = base + ch_iota(CHB)
+        W_s[pl.ds(base, CHB)] = jnp.where(W != 0, W - (crows << 8), zzb)
+        return 0
+
+    jax.lax.fori_loop(0, NCB, to_down, 0)
 
     # Expand down, MSB-first over [0, nrows) — staging-free except chunk 0:
     # descending chunk order reads source rows [base-sh, base-sh+CHR) from
@@ -410,6 +440,8 @@ def _route_tokens(
 
     def expand_round(j, _):
         sh = jnp.int32(1) << (max_bit - j)
+        shE = sh << 8  # E rides W's bits 8+: test/subtract shifted
+        shEv = zzr + shE  # one broadcast per round, not per chunk
         STG[pl.ds(CHR, CHR)] = W_s[pl.ds(0, CHR)]
         STG[pl.ds(3 * CHR, CHR)] = PAY[pl.ds(0, CHR)]
 
@@ -418,35 +450,37 @@ def _route_tokens(
             base = c * CHR
             W = W_s[pl.ds(base, CHR)]
             P = PAY[pl.ds(base, CHR)]
-            occ = (W & _OCC) != 0
-            crows = base + ch_iota(CHR)
-            move = occ & (((W >> 8) & 0x1FFFF) - crows >= sh)
-            off0 = jnp.maximum(CHR - sh, 0)
+            move = (W & shEv) != 0
             moff = jnp.maximum(base - sh, 0)
-            mW = jnp.where(
-                base == 0, STG[pl.ds(off0, CHR)], W_s[pl.ds(moff, CHR)]
-            )
-            mP = jnp.where(
-                base == 0,
-                STG[pl.ds(2 * CHR + off0, CHR)],
-                PAY[pl.ds(moff, CHR)],
-            )
-            occ_m = (mW & _OCC) != 0
-            arriving = (
-                (crows >= sh)
-                & occ_m
-                & (((mW >> 8) & 0x1FFFF) - (crows - sh) >= sh)
-            )
-            staying = occ & ~move
+            mW = W_s[pl.ds(moff, CHR)]
+            mP = PAY[pl.ds(moff, CHR)]
+            # The scalar (base >= sh) gates chunks whose true source rows
+            # are negative (their moff clamp reads chunk-0 rows). Exact:
+            # base and any sh >= CHR are both CHR-aligned, and sh < CHR
+            # implies base >= CHR > sh for every chunk here (chunk 0 runs
+            # below, off the STG snapshot).
+            arriving = (base >= sh) & ((mW & shEv) != 0)
             W_s[pl.ds(base, CHR)] = jnp.where(
-                arriving, mW, jnp.where(staying, W, 0)
+                arriving, mW - shEv, jnp.where(move, zzr, W)
             )
-            PAY[pl.ds(base, CHR)] = jnp.where(
-                arriving, mP, jnp.where(staying, P, 0)
-            )
+            PAY[pl.ds(base, CHR)] = jnp.where(arriving, mP, P)
             return 0
 
-        jax.lax.fori_loop(0, NCR, upd, 0)
+        jax.lax.fori_loop(0, NCR - 1, upd, 0)
+        # Chunk 0, last (descending order): the only chunk whose source
+        # window straddles row 0 — read the shifted STG snapshot (zeros
+        # pad | pre-round chunk-0 rows; all zeros once sh >= CHR).
+        W = W_s[pl.ds(0, CHR)]
+        P = PAY[pl.ds(0, CHR)]
+        move = (W & shEv) != 0
+        off0 = jnp.maximum(CHR - sh, 0)
+        mW = STG[pl.ds(off0, CHR)]
+        mP = STG[pl.ds(2 * CHR + off0, CHR)]
+        arriving = (mW & shEv) != 0
+        W_s[pl.ds(0, CHR)] = jnp.where(
+            arriving, mW - shEv, jnp.where(move, zzr, W)
+        )
+        PAY[pl.ds(0, CHR)] = jnp.where(arriving, mP, P)
         return 0
 
     jax.lax.fori_loop(0, max_bit + 1, expand_round, 0)

@@ -109,6 +109,18 @@ def count_jaxpr(jaxpr, mult: int = 1, tally: dict | None = None) -> dict:
                     best = t
             for k, v in best.items():
                 tally[k] = tally.get(k, 0) + v
+        elif name == "pallas_call":
+            # The kernel body executes once PER GRID STEP — multiply it
+            # out. (Round-3 ledger bug: grid bodies were counted once,
+            # undercounting the gridded emit/route and decode-DFA kernels
+            # by their grid size — a large part of the round-3
+            # emulator-model residual.)
+            gm = eqn.params.get("grid_mapping")
+            grid = 1
+            for d in getattr(gm, "grid", ()) or ():
+                grid *= int(d)
+            for sub in _subjaxprs(eqn.params):
+                count_jaxpr(sub, mult * max(grid, 1), tally)
         elif (
             name in STRUCTURAL
             or name.endswith("_call")
