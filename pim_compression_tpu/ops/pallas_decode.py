@@ -265,10 +265,10 @@ def _route_kernel(
     out_len_ref,  # (1, 8, 128) i32  (row 0 used)
     out_ref,  # (1, block_size, 128) i8
     err_ref,  # (1, 8, 128) i32
-    W_s,  # scratch (cap, 128) i32
-    rank_s,  # scratch (max(cap, block_size), 128) i32
+    W_s,  # scratch (cap + CHC, 128) i32 (zeroed pad chunk above cap)
+    rank_s,  # scratch (max(cap, block_size) + CHC, 128) i32: D plane
     E_s,  # scratch (block_size, 128) i32
-    C_s,  # scratch (2 * max(cap, block_size) + chunk, 128) i32 (staging)
+    C_s,  # scratch (2 * block_size, 128) i32 (snapshot + resolve staging)
     sem,  # DMA semaphore
     *,
     cap: int,
@@ -296,86 +296,73 @@ def _route_kernel(
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
-    dma(tokens_hbm.at[g], W_s)
+    dma(tokens_hbm.at[g], W_s.at[pl.ds(0, cap)])
+    # Zero the pad chunk above cap: the staging-free compact reads source
+    # windows clamped to [cap, cap + CHC) (hardware scratch is NOT
+    # zero-initialized; interpret mode is).
+    W_s[cap : cap + CHC] = jnp.zeros((CHC, LANES), jnp.int32)
+    rank_s[cap : cap + CHC] = jnp.zeros((CHC, LANES), jnp.int32)
+    zzc = jnp.zeros((CHC, LANES), jnp.int32)
+    zzb = zzc if CHB == CHC else jnp.zeros((CHB, LANES), jnp.int32)
 
-    # ---- Phase 1a: occupancy prefix-sum over the [0, cap) token rows. ----
-    # (Unaligned dynamic sublane starts lower fine on this target.)
-    def occ_init(c, _):
-        W = W_s[pl.ds(c * CHC, CHC)]
-        rank_s[pl.ds(c * CHC, CHC)] = ((W & OCCUPIED) != 0).astype(jnp.int32)
-        # Hardware scratch is NOT zero-initialized (interpret mode is): the
-        # csum rounds read C_s rows below cap via the staged-shift window,
-        # so the [0, cap) region must start as zeros.
-        C_s[pl.ds(c * CHC, CHC)] = jnp.zeros((CHC, LANES), jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, NCC, occ_init, 0)
-
-    def csum_round(j, _):
-        sh = jnp.int32(1) << j
-        dma(rank_s.at[pl.ds(0, cap)], C_s.at[pl.ds(cap, cap)])
-
-        def add(c, _):
-            r = rank_s[pl.ds(c * CHC, CHC)]
-            rank_s[pl.ds(c * CHC, CHC)] = (
-                r + C_s[pl.ds(cap + c * CHC - sh, CHC)]
+    # ---- Phase 1a: occupancy ranks in ONE ascending chunk-carry pass
+    # (in-chunk log-shift inclusive scan + carried total), stored as the
+    # UPWARD travel distance D = row - rank — the compact rounds' whole
+    # move decision is then one bit test (see pallas_encode._route_tokens:
+    # at round k a token sits at rank + (D & ~(2^k - 1)), so bit k of its
+    # current displacement equals bit k of the INITIAL D). Empty and
+    # vacated rows carry D = 0: never move, never arrive.
+    def occ_rank(c, tot):
+        base = c * CHC
+        W = W_s[pl.ds(base, CHC)]
+        occ_i = (W < 0).astype(jnp.int32)  # OCCUPIED is the sign bit
+        x = occ_i
+        sh = 1
+        while sh < CHC:
+            x = x + jnp.concatenate(
+                [jnp.zeros((sh, LANES), jnp.int32), x[: CHC - sh]]
             )
-            return 0
+            sh <<= 1
+        incl = x + tot
+        crows = base + ch_iota(CHC)
+        rank_s[pl.ds(base, CHC)] = jnp.where(occ_i != 0, crows - incl + 1, 0)
+        return incl[CHC - 1 : CHC]
 
-        jax.lax.fori_loop(0, NCC, add, 0)
-        return 0
+    jax.lax.fori_loop(
+        0, NCC, occ_rank, jnp.zeros((1, LANES), jnp.int32)
+    )
 
-    jax.lax.fori_loop(0, (cap - 1).bit_length(), csum_round, 0)
-
-    def rank_fix(c, _):
-        W = W_s[pl.ds(c * CHC, CHC)]
-        r = rank_s[pl.ds(c * CHC, CHC)]
-        rank_s[pl.ds(c * CHC, CHC)] = jnp.where((W & OCCUPIED) != 0, r - 1, 0)
-        return 0
-
-    jax.lax.fori_loop(0, NCC, rank_fix, 0)
-
-    # ---- Phase 1b: compact up, LSB-first (move up 2^k iff bit k of
-    # row - rank). Masked W / rank staged at C_s[0:cap] / C_s[cap:2cap];
-    # reads past cap are clamped into the chunk-sized pad and masked off.
+    # ---- Phase 1b: compact up, LSB-first, STAGING-FREE: ascending chunk
+    # order reads source rows [base+sh, base+sh+CHC) from chunks not yet
+    # updated this round (within-chunk rows load before the chunk stores),
+    # clamped into the zero pad above cap. The conflict accumulator keeps
+    # the routing-invariant check (arrivals must land on vacated/empty
+    # rows) at one AND + any-reduce per chunk.
     def compact_round(k, conflict):
         sh = jnp.int32(1) << k
+        shv = zzc + sh  # one broadcast per round, not per chunk
 
-        def stage(c, _):
-            W = W_s[pl.ds(c * CHC, CHC)]
-            rank = rank_s[pl.ds(c * CHC, CHC)]
-            rows = c * CHC + ch_iota(CHC)
-            move = ((W & OCCUPIED) != 0) & ((((rows - rank) >> k) & 1) == 1)
-            C_s[pl.ds(c * CHC, CHC)] = jnp.where(move, W, 0)
-            C_s[pl.ds(cap + c * CHC, CHC)] = jnp.where(move, rank, 0)
-            return 0
-
-        jax.lax.fori_loop(0, NCC, stage, 0)
-
-        def combine(c, conflict):
-            W = W_s[pl.ds(c * CHC, CHC)]
-            rank = rank_s[pl.ds(c * CHC, CHC)]
-            rows = c * CHC + ch_iota(CHC)
-            occ = (W & OCCUPIED) != 0
-            move = occ & ((((rows - rank) >> k) & 1) == 1)
-            src_ok = rows + sh < cap  # no tokens exist at/past cap
-            mW = jnp.where(src_ok, C_s[pl.ds(c * CHC + sh, CHC)], 0)
-            rstart = jnp.minimum(cap + c * CHC + sh, 2 * cap)
-            mR = jnp.where(src_ok, C_s[pl.ds(rstart, CHC)], 0)
-            arriving = (mW & OCCUPIED) != 0
-            staying = occ & ~move
+        def upd(c, conflict):
+            base = c * CHC
+            W = W_s[pl.ds(base, CHC)]
+            D = rank_s[pl.ds(base, CHC)]
+            move = (D & shv) != 0
+            src = jnp.minimum(base + sh, cap)
+            nW = W_s[pl.ds(src, CHC)]
+            nD = rank_s[pl.ds(src, CHC)]
+            arriving = (nD & shv) != 0
             conflict = conflict | jnp.any(
-                arriving & staying, axis=0, keepdims=True
+                arriving & (W < 0) & ~move, axis=0, keepdims=True
             ).astype(jnp.int32)
-            W_s[pl.ds(c * CHC, CHC)] = jnp.where(
-                arriving, mW, jnp.where(staying, W, 0)
+            W_s[pl.ds(base, CHC)] = jnp.where(
+                arriving, nW, jnp.where(move, zzc, W)
             )
-            rank_s[pl.ds(c * CHC, CHC)] = jnp.where(
-                arriving, mR, jnp.where(staying, rank, 0)
+            rank_s[pl.ds(base, CHC)] = jnp.where(
+                arriving, nD, jnp.where(move, zzc, D)
             )
             return conflict
 
-        return jax.lax.fori_loop(0, NCC, combine, conflict)
+        return jax.lax.fori_loop(0, NCC, upd, conflict)
 
     conflict_acc = jax.lax.fori_loop(
         0, (cap - 1).bit_length(), compact_round,
@@ -384,7 +371,12 @@ def _route_kernel(
 
     # ---- Handoff to output space: every token produces >= 1 output byte,
     # so the compacted prefix holds at most block_size tokens and expand
-    # runs in E_s with plain output-position destinations.
+    # runs in E_s. W's dst field is converted to the remaining DOWNWARD
+    # distance E = dst - row in the same bits (dst >= row: token i sits at
+    # row i and dsts strictly increase — no borrow into the kind/value
+    # bits, no overflow into the sign bit), so the expand rounds use the
+    # same bit-test schedule (MSB-first: each move subtracts exactly the
+    # tested bit).
     def zero_e(c, _):
         E_s[pl.ds(c * CHB, CHB)] = jnp.zeros((CHB, LANES), jnp.int32)
         return 0
@@ -395,82 +387,92 @@ def _route_kernel(
         jax.lax.fori_loop(0, NCB, zero_e, 0)
         dma(W_s, E_s.at[pl.ds(0, cap)])
 
-    # Zero the sub-bs staging region once: expand reads below bs hit it.
-    def zero_c(c, _):
-        C_s[pl.ds(c * CHB, CHB)] = jnp.zeros((CHB, LANES), jnp.int32)
+    def to_down(c, _):
+        base = c * CHB
+        W = E_s[pl.ds(base, CHB)]
+        crows = base + ch_iota(CHB)
+        E_s[pl.ds(base, CHB)] = jnp.where(
+            W < 0, W - (crows << DST_SHIFT), zzb
+        )
         return 0
 
-    jax.lax.fori_loop(0, NCB, zero_c, 0)
+    jax.lax.fori_loop(0, NCB, to_down, 0)
 
-    # ---- Phase 2: expand down, MSB-first (move down 2^k iff dst - row >=
-    # 2^k). Masked W staged at C_s[bs:2bs].
+    # ---- Phase 2: expand down, MSB-first, STAGING-FREE: descending chunk
+    # order reads source rows [base-sh, base-sh+CHB) from chunks not yet
+    # updated this round; the scalar (base >= sh) gates chunks whose true
+    # sources are negative (base and any sh >= CHB are CHB-aligned, and
+    # sh < CHB implies base >= CHB > sh for every main-loop chunk). Chunk
+    # 0 — the only one whose source window straddles row 0 — runs last,
+    # off a per-round snapshot at C_s[CHB:2CHB) behind a zeros pad.
     max_bit = (bs - 1).bit_length() - 1
+    C_s[pl.ds(0, CHB)] = jnp.zeros((CHB, LANES), jnp.int32)
 
     def expand_round(j, conflict):
         sh = jnp.int32(1) << (max_bit - j)
+        shE = sh << DST_SHIFT
+        shEv = zzb + shE
+        C_s[pl.ds(CHB, CHB)] = E_s[pl.ds(0, CHB)]
 
-        def stage(c, _):
-            W = E_s[pl.ds(c * CHB, CHB)]
-            rows = c * CHB + ch_iota(CHB)
-            dst = (W >> DST_SHIFT) & 0x7FFF
-            move = ((W & OCCUPIED) != 0) & (dst - rows >= sh)
-            C_s[pl.ds(bs + c * CHB, CHB)] = jnp.where(move, W, 0)
-            return 0
-
-        jax.lax.fori_loop(0, NCB, stage, 0)
-
-        def combine(c, conflict):
-            W = E_s[pl.ds(c * CHB, CHB)]
-            rows = c * CHB + ch_iota(CHB)
-            occ = (W & OCCUPIED) != 0
-            dst = (W >> DST_SHIFT) & 0x7FFF
-            move = occ & (dst - rows >= sh)
-            mW = C_s[pl.ds(bs + c * CHB - sh, CHB)]
-            arriving = (mW & OCCUPIED) != 0
-            staying = occ & ~move
+        def upd(i, conflict):
+            c = NCB - 1 - i
+            base = c * CHB
+            W = E_s[pl.ds(base, CHB)]
+            move = (W & shEv) != 0
+            moff = jnp.maximum(base - sh, 0)
+            mW = E_s[pl.ds(moff, CHB)]
+            arriving = (base >= sh) & ((mW & shEv) != 0)
             conflict = conflict | jnp.any(
-                arriving & staying, axis=0, keepdims=True
+                arriving & (W < 0) & ~move, axis=0, keepdims=True
             ).astype(jnp.int32)
-            E_s[pl.ds(c * CHB, CHB)] = jnp.where(
-                arriving, mW, jnp.where(staying, W, 0)
+            E_s[pl.ds(base, CHB)] = jnp.where(
+                arriving, mW - shEv, jnp.where(move, zzb, W)
             )
             return conflict
 
-        return jax.lax.fori_loop(0, NCB, combine, conflict)
+        conflict = jax.lax.fori_loop(0, NCB - 1, upd, conflict)
+        W = E_s[pl.ds(0, CHB)]
+        move = (W & shEv) != 0
+        off0 = jnp.maximum(CHB - sh, 0)
+        mW = C_s[pl.ds(off0, CHB)]
+        arriving = (mW & shEv) != 0
+        conflict = conflict | jnp.any(
+            arriving & (W < 0) & ~move, axis=0, keepdims=True
+        ).astype(jnp.int32)
+        E_s[pl.ds(0, CHB)] = jnp.where(
+            arriving, mW - shEv, jnp.where(move, zzb, W)
+        )
+        return conflict
 
     conflict_acc = jax.lax.fori_loop(0, max_bit + 1, expand_round, conflict_acc)
     err = jnp.where(conflict_acc != 0, ERR_ROUTE_CONFLICT, 0)  # (1, 128)
 
-    # ---- Phase 3: prefix-max fill of copy interiors. Every output row is
-    # within MAX_COPY_LEN-1 = 63 rows of its covering token, so shifts 1..64
-    # suffice. packed = (row << 16) | kind | value, parked in rank_s.
-    C_s[pl.ds(bs - 64, 64)] = jnp.full((64, LANES), -1, jnp.int32)
-
-    def pack_init(c, _):
-        R = E_s[pl.ds(c * CHB, CHB)]
-        rows = c * CHB + ch_iota(CHB)
-        rank_s[pl.ds(c * CHB, CHB)] = jnp.where(
-            (R & OCCUPIED) != 0, (rows << 16) | (R & 0xFFFF), -1
-        )
-        return 0
-
-    jax.lax.fori_loop(0, NCB, pack_init, 0)
-
-    def fill_round(j, _):
-        sh = jnp.int32(1) << j
-        dma(rank_s.at[pl.ds(0, bs)], C_s.at[pl.ds(bs, bs)])
-
-        def mx(c, _):
-            r = rank_s[pl.ds(c * CHB, CHB)]
-            rank_s[pl.ds(c * CHB, CHB)] = jnp.maximum(
-                r, C_s[pl.ds(bs + c * CHB - sh, CHB)]
+    # ---- Phase 3: covering-token fill, one ascending chunk-carry pass of
+    # the prefix-max over packed = (row << 16) | kind | value. A plain
+    # prefix-max equals the 64-row-bounded staged fill on every stream the
+    # DFA emits: copy lengths are structurally <= 64 (tag grammar), so no
+    # output row is ever more than 63 rows past its covering token.
+    def fill(c, carry):
+        base = c * CHB
+        R = E_s[pl.ds(base, CHB)]
+        crows = base + ch_iota(CHB)
+        K = jnp.where(R < 0, (crows << 16) | (R & 0xFFFF), -1)
+        sh = 1
+        while sh < CHB:
+            K = jnp.maximum(
+                K,
+                jnp.concatenate(
+                    [jnp.full((sh, LANES), -1, jnp.int32), K[: CHB - sh]]
+                ),
             )
-            return 0
+            sh <<= 1
+        K = jnp.maximum(K, carry)
+        rank_s[pl.ds(base, CHB)] = K
+        return K[CHB - 1 : CHB]
 
-        jax.lax.fori_loop(0, NCB, mx, 0)
-        return 0
-
-    jax.lax.fori_loop(0, C.MAX_COPY_LEN.bit_length(), fill_round, 0)
+    jax.lax.fori_loop(
+        0, NCB, fill, jnp.full((1, LANES), -1, jnp.int32)
+    )
 
     # ---- Phase 4: source pointers. Literal rows carry their byte (encoded
     # negative); copy rows point back by the covering offset.
@@ -1130,13 +1132,17 @@ def decode_blocks_pallas(
                 out_specs=route_out_specs,
                 out_shape=route_out_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((cap, LANES), jnp.int32),
-                    pltpu.VMEM((max(cap, block_size), LANES), jnp.int32),
-                    pltpu.VMEM((block_size, LANES), jnp.int32),
+                    # W_s / rank_s carry a zeroed pad chunk above cap: the
+                    # staging-free compact clamps source reads into it.
+                    pltpu.VMEM((cap + _pick_chunk(cap), LANES), jnp.int32),
                     pltpu.VMEM(
-                        (2 * max(cap, block_size) + _pick_chunk(cap), LANES),
+                        (max(cap, block_size) + _pick_chunk(cap), LANES),
                         jnp.int32,
                     ),
+                    pltpu.VMEM((block_size, LANES), jnp.int32),
+                    # C_s: expand chunk-0 snapshot [0, 2*CHB), then the
+                    # resolve gather staging [bs, 2bs).
+                    pltpu.VMEM((2 * block_size, LANES), jnp.int32),
                     pltpu.SemaphoreType.DMA,
                 ],
                 compiler_params=pltpu.CompilerParams(
