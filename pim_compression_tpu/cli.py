@@ -63,14 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
         "exhaustive shifted-compare sweep bounded by --window",
     )
     p.add_argument(
-        "--rungs", default=None,
-        help="sorted-matcher rung ladder, e.g. 4,16,64 (default: full)",
+        "--rungs", default="4",
+        help="sorted-matcher rung ladder, e.g. 4,16,64; 'full' = "
+        "4,8,16,32,64 (default: 4 — the measured flagship: one dense "
+        "4-byte rung + the prev ladder dominates multi-rung configs)",
     )
     p.add_argument(
-        "--prev-k", type=int, choices=list(range(1, 9)), default=1,
+        "--prev-k", type=int, choices=list(range(1, 9)), default=2,
         help="sorted-matcher candidates per position on the 4-byte rung: "
         "k also tries the 2nd..k-th-nearest previous occurrences (better "
-        "ratio, ~one extra extension pass each; diminishing past 4)",
+        "ratio, ~one extra extension pass each; diminishing past 4). "
+        "Default 2 = speed flagship; 4 balanced; 6 ratio champion",
     )
     p.add_argument(
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,
@@ -79,17 +82,20 @@ def build_parser() -> argparse.ArgumentParser:
         "at a small ratio cost); 0 = off",
     )
     p.add_argument(
-        "--sel-cap", type=int, default=0,
+        "--sel-cap", type=int, default=16,
         help="sorted-matcher select-then-extend cap (bytes, multiple of 4 "
         "in [4,64]): prev candidates get only a cheap capped extension and "
-        "the winner alone is fully extended; 0 = off",
+        "the winner alone is fully extended; 0 = off (default 16, the "
+        "measured knee)",
     )
     p.add_argument(
-        "--sel-all", action="store_true",
+        "--sel-all", default=True,
+        action=__import__("argparse").BooleanOptionalAction,
         help="sorted-matcher global select-then-extend (needs --sel-cap): "
         "every candidate array (rungs + prev ladder) gets only the capped "
         "extension in one fused kernel; the winner's full extension "
-        "resumes from the capped state (the fast production mode)",
+        "resumes from the capped state (default on — the flagship mode; "
+        "--no-sel-all for the per-candidate full-extension path)",
     )
     p.add_argument(
         "--rung-strides", default=None,
@@ -149,13 +155,13 @@ def main(argv: list[str] | None = None) -> int:
             coarse_mode=args.coarse_mode, pipeline_depth=args.pipeline_depth,
             matcher=args.matcher, strict_engine=args.strict_engine,
             rungs=(
-                tuple(int(r) for r in args.rungs.split(","))
-                if args.rungs
-                else None
+                None
+                if args.rungs in (None, "", "full")
+                else tuple(int(r) for r in args.rungs.split(","))
             ),
             prev_k=args.prev_k,
             sel_cap=args.sel_cap,
-            sel_all=args.sel_all,
+            sel_all=args.sel_all and args.sel_cap > 0,
             raw_triage=not args.no_triage,
             verify=args.verify,
             stride2_min=args.stride2_min,

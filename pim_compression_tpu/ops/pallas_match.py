@@ -129,10 +129,13 @@ def _sort_rung_kernel(
     ``lane_model_encode.packed_prev_lags(stride=2)``.
     """
     m = bs // stride  # sorted rows
-    # 8192-row chunks: at m=32768 only 2 merges have cross-chunk (far)
-    # stages (3 far stages vs 15 at CH=1024) — far stages cost ~6 ops/row
+    # 4096-row chunks: at m=32768 only 3 merges have cross-chunk (far)
+    # stages (6 far stages vs 15 at CH=1024) — far stages cost ~6 ops/row
     # (two chunk reads, compare, select, store) vs the fused form's ~1.
-    CH = min(m, 8192)
+    # CH=8192 measured ~2% fewer vreg-ops but exceeded the 126 MB device
+    # VMEM budget by 1.9 MB at bs=32768 (register liveness of the fused
+    # chunk pass) — hardware-bounded, not a guess.
+    CH = min(m, 4096)
     NC = m // CH
     LOOK = 128
     # Packed word geometry: 17-bit folded key + 15-bit index up to 32 K

@@ -39,17 +39,20 @@ class CodecConfig:
     # sweep bounded by match_window/coarse_window.
     matcher: str = "sorted"
     # Sorted-matcher rung ladder (prefix lengths searched; None = the full
-    # (4, 8, 16, 32, 64)). Fewer rungs = proportionally fewer sort passes at
-    # a small ratio cost (xml @32K spec: full ladder 0.787, (4,16,64)
-    # 0.780) - the cycle/ratio tradeoff axis; reference analog
-    # compr_cycle_tradeoff.py.
-    rungs: tuple[int, ...] | None = None
+    # (4, 8, 16, 32, 64)). The default is the measured speed flagship: a
+    # single dense 4-byte rung + the prev-k ladder + fused select-extend
+    # dominates every multi-rung config on the cycle/ratio frontier
+    # (docs/perf_ledger.json; VERDICT r3 item 2 — the zero-flag CLI path
+    # must hit the flagship, like the reference's published best configs,
+    # host_speedup.py:13-21). More rungs buy ratio at proportional sort
+    # cost - the tradeoff axis; reference analog compr_cycle_tradeoff.py.
+    rungs: tuple[int, ...] | None = (4,)
     # Sorted-matcher candidates per position on the L=4 rung: k folds the
     # 2nd..k-th-nearest previous occurrences (iterated lag composition, no
     # extra sort — pallas_match._prev_step_kernel), worth +0.2-0.3 ratio
-    # points per step up to k=4 for ~1 c/B each. Ignored by the sweep
-    # matcher.
-    prev_k: int = 1
+    # points per step up to k=4. Ignored by the sweep matcher. Default 2 =
+    # the speed flagship; 4/6 are the balanced/ratio-champion points.
+    prev_k: int = 2
     # Sorted-matcher half-density sort threshold: rungs >= this length sort
     # only even positions (~40% fewer sort ops on those rungs,
     # pallas_match._sort_rung_kernel stride=2) at a small ratio cost
@@ -64,16 +67,17 @@ class CodecConfig:
     # + 1 full pass instead of prev_k full passes
     # (pallas_match.sorted_match_groups(sel_cap=...)). 0 = off (every
     # candidate fully extended). Multiple of 4 in [4, 64]; only matters
-    # when prev_k >= 2.
-    sel_cap: int = 0
+    # when prev_k >= 2. Default 16 = the measured knee (sel12/sel8 lose
+    # 2-4x more ratio per op saved).
+    sel_cap: int = 16
     # Sorted-matcher global select-then-extend (requires sel_cap): every
     # candidate array — each rung AND the prev ladder — gets only the
     # capped extension, fused in one kernel sharing a single word build;
     # the winner's full extension resumes from the capped state
     # (pallas_match._select_extend_kernel). The round-3 production mode:
     # (4,32)+prev2 runs at 2.26-2.59 c/B (was 4.40) for a 0.4-0.7
-    # ratio-point cost on xml.
-    sel_all: bool = False
+    # ratio-point cost on xml. Default on: the flagship operating point.
+    sel_all: bool = True
     # Sorted-matcher per-rung sort densities (parallel to rungs; values
     # 1/2/4/8; overrides stride2_min). E.g. (1, 8) sorts the long rung at
     # 1/8 density: xml @32K (4,32)+prev2+sel16 = 0.7595 vs 0.7636 at

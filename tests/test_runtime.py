@@ -185,12 +185,23 @@ def test_pallas_64k_blocks_end_to_end():
     data = (b"sixty-four kilobyte blocks ride the wide kernels " * 1500)[
         : 65536 + 9000
     ]
-    cfg = CodecConfig(
+    # A config that explicitly turns the fused select-extend OFF is
+    # auto-upgraded at 64K with the visible note.
+    cfg_off = CodecConfig(
         engine="pallas", block_size=65536, matcher="sorted", rungs=(4,),
-        prev_k=2, strict_engine=True,
+        prev_k=2, sel_cap=0, sel_all=False, strict_engine=True,
     )
     t = PhaseTimer()
-    stream = runtime.compress(data, cfg, t)
+    stream = runtime.compress(data, cfg_off, t)
     assert t.notes.get("wide_select") == "sel_all sel_cap=16"
     assert runtime.decompress(stream, CodecConfig(engine="oracle")) == data
-    assert runtime.decompress(stream, cfg) == data
+    # The DEFAULT config (flagship: sel_all sel16) needs no upgrade note.
+    cfg = CodecConfig(
+        engine="pallas", block_size=65536, matcher="sorted",
+        strict_engine=True,
+    )
+    t2 = PhaseTimer()
+    stream2 = runtime.compress(data, cfg, t2)
+    assert "wide_select" not in t2.notes
+    assert runtime.decompress(stream2, CodecConfig(engine="oracle")) == data
+    assert runtime.decompress(stream2, cfg) == data
