@@ -110,6 +110,14 @@ def build_parser() -> argparse.ArgumentParser:
         "harness's cmp check, on-chip)",
     )
     p.add_argument(
+        "--debug-block", type=int, default=None, metavar="N",
+        help="diagnostic mode: dump block N's per-phase state (spec vs "
+        "interpret-mode kernels, first-mismatch report) to "
+        "pim_debug_block.npz and exit — the reference's DEBUG build + "
+        "dbg_printf analog (snappy/Makefile:6-8); PIM_DEBUG_BLOCK env "
+        "works too",
+    )
+    p.add_argument(
         "--no-triage", action="store_true",
         help="disable the incompressible fast path (host triage that "
         "diverts near-random blocks to raw literal frames with zero "
@@ -180,6 +188,46 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: input file not found: {in_path}", file=sys.stderr)
         return 2
     data = in_path.read_bytes()
+
+    dbg = args.debug_block
+    if dbg is None and os.environ.get("PIM_DEBUG_BLOCK"):
+        dbg = int(os.environ["PIM_DEBUG_BLOCK"])
+    if dbg is not None:
+        from pim_compression_tpu.utils import debug as dbg_mod
+
+        if args.c:
+            blk = data[dbg * block_size : (dbg + 1) * block_size]
+            if not blk:
+                print(f"error: block {dbg} out of range", file=sys.stderr)
+                return 2
+            dbg_mod.debug_encode_block(
+                blk, block_size=block_size, rungs=config.rungs,
+                prev_k=config.prev_k, sel_cap=config.sel_cap,
+                sel_all=config.sel_all, stride2_min=config.stride2_min,
+                rung_strides=config.rung_strides,
+            )
+        else:
+            import struct
+
+            _, pos = decode_varint32(data, 0)
+            sbs, pos = decode_varint32(data, pos)
+            total, _ = decode_varint32(data, 0)
+            idx = 0
+            while pos < len(data):
+                (csz,) = struct.unpack("<I", data[pos : pos + 4])
+                if idx == dbg:
+                    out_len = min(sbs, total - dbg * sbs)
+                    dbg_mod.debug_decode_block(
+                        data[pos + 4 : pos + 4 + csz], block_size=sbs,
+                        out_len=out_len,
+                    )
+                    break
+                pos += 4 + csz
+                idx += 1
+            else:
+                print(f"error: block {dbg} out of range", file=sys.stderr)
+                return 2
+        return 0
 
     timer = PhaseTimer()
     profiler_ctx = None
