@@ -38,6 +38,7 @@ def measure(
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
     rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
     sel_cap: int = 0, sel_all: bool = False, rung_strides: tuple | None = None,
+    ext_cap: int = 64, neighbor: bool = False,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -51,7 +52,7 @@ def measure(
         coarse_mode="granular" if granular else "sampled",
         matcher=matcher, rungs=rungs, prev_k=prev_k,
         stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
-        rung_strides=rung_strides,
+        rung_strides=rung_strides, ext_cap=ext_cap, neighbor=neighbor,
     )
 
     t0 = time.perf_counter()
@@ -88,14 +89,14 @@ def measure(
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
     matcher, rungs, prev_k, stride2_min=0, sel_cap=0, sel_all=False,
-    rung_strides=None,
+    rung_strides=None, ext_cap=64, neighbor=False,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
         f"{rungs!r}, {prev_k}, {stride2_min}, {sel_cap}, {sel_all!r}, "
-        f"{rung_strides!r})))"
+        f"{rung_strides!r}, {ext_cap}, {neighbor!r})))"
     )
     try:
         proc = subprocess.run(
@@ -163,6 +164,11 @@ def main() -> int:
     # Per-rung sort densities, e.g. "1,8" (overrides stride2_min).
     rs_env = os.environ.get("PIM_BENCH_RUNG_STRIDES", "")
     rung_strides = tuple(int(x) for x in rs_env.split(",")) if rs_env else None
+    # Round-4 flagship additions: full-extension cap 48 (ratio-neutral with
+    # the neighbor fold, a quarter fewer extension rounds) + neighbor fold
+    # (+0.7 xml ratio points for one elementwise pass).
+    ext_cap = int(os.environ.get("PIM_BENCH_EXTCAP", "48"))
+    neighbor = os.environ.get("PIM_BENCH_NEIGHBOR", "1") == "1"
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -182,6 +188,7 @@ def main() -> int:
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
         matcher, rungs, prev_k, stride2_min, sel_cap, sel_all, rung_strides,
+        ext_cap, neighbor,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.

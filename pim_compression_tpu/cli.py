@@ -103,6 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
         "to --rungs; values 1/2/4/8; overrides --stride2-min)",
     )
     p.add_argument(
+        "--ext-cap", type=int, default=48,
+        help="sorted-matcher full-extension cap (bytes, multiple of 4 in "
+        "[max(--sel-cap, 4), 64]): longer matches emit as chained copies "
+        "of at most this length (default 48 — ratio-neutral with "
+        "--neighbor, a quarter fewer extension rounds)",
+    )
+    p.add_argument(
+        "--neighbor", default=True,
+        action=__import__("argparse").BooleanOptionalAction,
+        help="fold each position's left-neighbor match one byte shorter "
+        "after the rung/prev ladder: one elementwise pass, +0.7 xml "
+        "ratio points @32K (default on)",
+    )
+    p.add_argument(
         "--verify", action="store_true",
         help="on-device decode-after-encode verification: every encoded "
         "batch is decoded by the production decoder on the device and "
@@ -178,6 +192,8 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rung_strides
                 else None
             ),
+            ext_cap=args.ext_cap,
+            neighbor=args.neighbor,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -786,6 +786,8 @@ def encode_lanes(
     sel_cap: int = 0,
     sel_all: bool = False,
     rung_strides: tuple[int, ...] | None = None,
+    ext_cap: int = 64,
+    neighbor: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
@@ -793,7 +795,7 @@ def encode_lanes(
         best_len, best_off = match_search_sorted(
             data, lens, rungs=rungs or (4, 8, 16, 32, 64), prev_k=prev_k,
             stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
-            rung_strides=rung_strides,
+            rung_strides=rung_strides, ext_cap=ext_cap, neighbor=neighbor,
         )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)

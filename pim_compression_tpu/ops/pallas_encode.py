@@ -1065,7 +1065,7 @@ def _emit_kernel_wide(
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
         "rungs", "prev_k", "stride2_min", "sel_cap", "sel_all",
-        "rung_strides", "interpret", "wide",
+        "rung_strides", "ext_cap", "neighbor", "interpret", "wide",
     ),
 )
 def encode_blocks_pallas(
@@ -1083,6 +1083,8 @@ def encode_blocks_pallas(
     sel_cap: int = 0,
     sel_all: bool = False,
     rung_strides: tuple[int, ...] | None = None,
+    ext_cap: int = 64,
+    neighbor: bool = False,
     interpret: bool = False,
     wide: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -1321,6 +1323,7 @@ def encode_blocks_pallas(
                 rungs=rungs or pm.DEFAULT_RUNGS, prev_k=prev_k,
                 stride2_min=stride2_min, sel_cap=sel_cap,
                 sel_all=sel_all, rung_strides=rung_strides,
+                ext_cap=ext_cap, neighbor=neighbor,
                 interpret=interpret,
             )
             if sort_bs != bs:
@@ -1450,6 +1453,8 @@ def encode_blocks_pallas_sharded(
     sel_cap: int = 0,
     sel_all: bool = False,
     rung_strides: tuple[int, ...] | None = None,
+    ext_cap: int = 64,
+    neighbor: bool = False,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1471,6 +1476,8 @@ def encode_blocks_pallas_sharded(
         sel_cap=sel_cap,
         sel_all=sel_all,
         rung_strides=rung_strides,
+        ext_cap=ext_cap,
+        neighbor=neighbor,
         interpret=interpret,
     )
     sharded = shard_map(

@@ -821,6 +821,8 @@ def sorted_match_groups(
     sel_cap: int = 0,
     sel_all: bool = False,
     rung_strides: tuple[int, ...] | None = None,
+    ext_cap: int = 64,
+    neighbor: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
@@ -861,6 +863,22 @@ def sorted_match_groups(
     ``stride2_min`` with an explicit per-rung sort density — e.g.
     ``(1, 8)`` sorts the 32-byte rung at 1/8 density for ~1/8 its sort
     cost (xml @32K: 0.7595 with prev2+sel16 vs 0.7636 at stride 4).
+
+    ``ext_cap`` (bytes, multiple of 4 in [sel_cap or 4, 64]) caps the
+    FULL extension at ``ext_cap // 4`` word rounds: matches longer than
+    the cap emit as chained copies of at most ``ext_cap`` bytes instead
+    of 64. At 48 the extra headers cost ~nothing on xml @32K (spec
+    0.7497 vs 0.7563 without neighbor) while cutting a quarter of the
+    extension rounds — the adaptive gather sweeps that dominate the
+    matcher's data-dependent cost. Spec:
+    ``match_search_sorted(ext_cap=...)``.
+
+    ``neighbor=True`` folds each position's left neighbor's match,
+    one byte shorter, after all rungs (spec ``derive_neighbor``): if
+    data[p-1..p-1+L) matched at ``off``, then (L-1, off) is a valid
+    match at p. One elementwise pass, worth +0.7 ratio points on xml
+    @32K (0.7563 -> 0.7635) — it fills positions whose own candidates
+    lost to hash-fold collisions or capped selection.
     """
     if bs & (bs - 1):
         raise ValueError("sorted matcher requires a power-of-two block size")
@@ -881,6 +899,11 @@ def sorted_match_groups(
             raise ValueError("the L=4 rung must stay full density")
     if sel_all and not sel_cap:
         raise ValueError("sel_all requires sel_cap")
+    if ext_cap % 4 or not max(sel_cap, 4) <= ext_cap <= 64:
+        raise ValueError(
+            "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
+        )
+    ext_rounds = ext_cap // 4
     vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
 
     def rung_stride(ri: int) -> int:
@@ -921,7 +944,7 @@ def sorted_match_groups(
             interpret=interpret,
         )
 
-    extend_call = extend_fold_call()
+    extend_call = extend_fold_call(rounds=ext_rounds)
 
     # 64 K envelope: the gather-source plane arrives via HBM windows — a
     # third resident (bs, 128) plane put the kernel 72 KB over the budget.
@@ -946,6 +969,20 @@ def sorted_match_groups(
         interpret=interpret,
     )
 
+    def _neighbor_fold(best):
+        # Inherit the left neighbor's match one byte shorter (spec:
+        # lane_model_encode.derive_neighbor). Packed (len<<16)|lag form:
+        # subtracting 1<<16 from the shifted word decrements the length
+        # while keeping the lag, so the whole fold is shift + compare +
+        # select on the packed plane. Strictly-greater keeps own
+        # candidates (nearer lags) on ties.
+        prev = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.int32), best[: bs - 1]]
+        )
+        inh = prev - (1 << 16)
+        take = (inh >= (4 << 16)) & ((inh >> 16) > (best >> 16))
+        return jnp.where(take, inh, best)
+
     def one_group_sel_all(args):
         # Fused select-then-extend over EVERY candidate array (each rung
         # and the prev ladder): collect the candidate arrays, then one
@@ -964,7 +1001,7 @@ def sorted_match_groups(
         sel_call = pl.pallas_call(
             functools.partial(
                 _select_extend_kernel, bs=bs, n_cands=len(cands),
-                sel_rounds=sel_cap // 4, hbm=hbm_cands,
+                sel_rounds=sel_cap // 4, rounds=ext_rounds, hbm=hbm_cands,
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
             + [
@@ -988,6 +1025,8 @@ def sorted_match_groups(
             interpret=interpret,
         )
         best = sel_call(data, lens, *cands)
+        if neighbor:
+            best = _neighbor_fold(best)
         return best >> 16, best & 0xFFFF
 
     def one_group(args):
@@ -1014,6 +1053,8 @@ def sorted_match_groups(
         # Unpack per group: a whole-batch unpack fusion on the stacked
         # (groups, bs, 128) map output exceeds XLA's 16 MB scoped-vmem
         # stack allocation (observed on v5e at bs=8192 x 8 groups).
+        if neighbor:
+            best = _neighbor_fold(best)
         return best >> 16, best & 0xFFFF
 
     fn = one_group_sel_all if (sel_all and sel_cap) else one_group

@@ -393,6 +393,8 @@ def compress(
                     sel_cap=sel_cap,
                     sel_all=sel_all,
                     rung_strides=config.rung_strides,
+                    ext_cap=config.ext_cap,
+                    neighbor=config.neighbor,
                     interpret=interpret,
                 )
             else:

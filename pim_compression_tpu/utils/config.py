@@ -83,6 +83,17 @@ class CodecConfig:
     # 1/8 density: xml @32K (4,32)+prev2+sel16 = 0.7595 vs 0.7636 at
     # (1, 4) and 0.7702 at (1, 2). The first rung must stay density 1.
     rung_strides: tuple[int, ...] | None = None
+    # Sorted-matcher full-extension cap (bytes, multiple of 4 in
+    # [max(sel_cap, 4), 64]): matches longer than this emit as chained
+    # copies of at most ext_cap bytes. Default 48 — with `neighbor` the
+    # ratio matches the uncapped flagship (xml @32K spec 0.7566 vs
+    # 0.7563) while cutting a quarter of the extension rounds, the
+    # data-dependent gather sweeps that dominate matcher cost on device.
+    ext_cap: int = 48
+    # Fold each position's left-neighbor match one byte shorter after the
+    # rung/prev ladder (pallas_match.sorted_match_groups(neighbor=True)):
+    # one elementwise pass, +0.7 xml ratio points @32K. Default on.
+    neighbor: bool = True
     # Incompressible fast path (the reference's skip heuristic,
     # snappy_compress.c:333-348, lifted to whole blocks): host triage
     # diverts near-random blocks (zero sampled duplicate 4-grams AND
@@ -141,3 +152,7 @@ class CodecConfig:
                 raise ValueError("rung strides must be 1, 2, 4 or 8")
             if self.rung_strides[0] != 1:
                 raise ValueError("the first rung must stay full density")
+        if self.ext_cap % 4 or not max(self.sel_cap, 4) <= self.ext_cap <= 64:
+            raise ValueError(
+                "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
+            )

@@ -55,11 +55,25 @@ LANES = 128
 
 
 def chain_kernel(x_ref, o_ref, *, iterate: int, rows: int):
+    # Nonlinear recurrence: a `v + 1` chain strength-reduces to `v + N`
+    # (observed: measured time flat in the trip count), so each step must
+    # be data-dependent and non-collapsible. Three vector ops per step.
     def body(i, v):
-        return v + jnp.int32(1)
+        return (v * jnp.int32(-1640531527)) ^ (v >> 3)
 
-    v = jax.lax.fori_loop(0, iterate, body, x_ref[...])
-    o_ref[...] = v
+    v = jax.lax.fori_loop(
+        0, iterate, body,
+        jnp.broadcast_to(x_ref[0:1, :], (rows, LANES))
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0),
+    )
+    # Constant-size output (8, 128) regardless of rows: keeps the d2h
+    # readback out of the compute measurement (transfer scales with rows
+    # otherwise and swamps the fit — observed 25-150 ms of pure
+    # dispatch+transfer on the tunnel).
+    o_ref[...] = v[0:SUBLANES]
+
+
+SUBLANES = 8
 
 
 def build(rows: int, iterate: int):
@@ -67,15 +81,15 @@ def build(rows: int, iterate: int):
         functools.partial(chain_kernel, iterate=iterate, rows=rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
     )
-    jaxpr = jax.make_jaxpr(fn)(jnp.zeros((rows, LANES), jnp.int32))
+    jaxpr = jax.make_jaxpr(fn)(jnp.zeros((SUBLANES, LANES), jnp.int32))
     tally = count_jaxpr(jaxpr)
     return fn, _total(tally), int(tally.get("__n_ops__", 0))
 
 
 def measure(fn, rows: int, iters: int = 3) -> float:
-    x = jnp.zeros((rows, LANES), jnp.int32)
+    x = jnp.zeros((SUBLANES, LANES), jnp.int32)
     y = fn(x)
     np.asarray(y).ravel()[:1]  # warm compile + sync
     best = float("inf")
@@ -90,12 +104,15 @@ def measure(fn, rows: int, iters: int = 3) -> float:
 def main() -> int:
     points = []
     # op axis: tiny arrays, growing op chains; vreg axis: big arrays.
+    # The dispatch floor through the tunnel is ~30-50 ms: points must be
+    # big enough that per-op / per-vreg costs rise well above it (the
+    # first fit used <=24K-op points and resolved only t0).
     for rows, iterate in [
-        (8, 2_000), (8, 20_000), (8, 100_000),
-        (1024, 2_000), (1024, 10_000),
-        (4096, 1_000), (4096, 5_000),
-        (8192, 2_000),
+        (8, 2_000), (8, 100_000), (8, 400_000), (8, 1_600_000),
+        (1024, 2_000), (1024, 100_000),
+        (8192, 1_000), (8192, 12_000), (8192, 50_000),
     ]:
+        print(f"building rows={rows} it={iterate} ...", flush=True)
         fn, vregs, n_ops = build(rows, iterate)
         t = measure(fn, rows)
         points.append(
@@ -103,7 +120,7 @@ def main() -> int:
              "n_ops": n_ops, "measured_s": round(t, 5)}
         )
         print(f"rows={rows:>5} it={iterate:>7} vregs={vregs:>10,} "
-              f"n_ops={n_ops:>9,} t={t:.4f}s")
+              f"n_ops={n_ops:>9,} t={t:.4f}s", flush=True)
 
     # Least squares: t = t0 + c_op * n_ops + c_vreg * vregs
     A = np.array([[1.0, p["n_ops"], p["vreg_ops"]] for p in points])

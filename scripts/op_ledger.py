@@ -144,6 +144,92 @@ def _total(tally: dict) -> int:
     return int(sum(v for k, v in tally.items() if not k.startswith("__")))
 
 
+# ---------------------------------------------------------------------------
+# HBM roofline: static bytes moved between HBM and VMEM per invocation.
+# VMEM-mapped pallas operands stream once (the whole array crosses over
+# the grid's block partition); ANY-space operands stay HBM-resident and
+# only their explicit in-kernel DMA volumes count (x grid steps x
+# enclosing static loop trip counts). VERDICT r3 item 7: projections must
+# be min(compute roof, bandwidth roof), not compute alone.
+# ---------------------------------------------------------------------------
+
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
+
+
+def _aval_bytes(aval) -> int:
+    shape = getattr(aval, "shape", ())
+    dtype = getattr(aval, "dtype", None)
+    if dtype is None or not shape:
+        return 0
+    return math.prod(shape) * dtype.itemsize
+
+
+def _dma_bytes(jaxpr, mult: int = 1) -> int:
+    """Explicit in-kernel DMA volume: one direction per copy."""
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dma_start":
+            sz = max(
+                (_aval_bytes(v.aval) for v in eqn.invars), default=0
+            )
+            total += sz * mult
+        elif name == "scan":
+            total += _dma_bytes(
+                eqn.params["jaxpr"], mult * int(eqn.params.get("length", 1))
+            )
+        elif name == "while":
+            total += _dma_bytes(eqn.params["body_jaxpr"], mult)
+        elif name == "cond":
+            total += max(
+                (_dma_bytes(br, mult) for br in eqn.params["branches"]),
+                default=0,
+            )
+        else:
+            for sub in _subjaxprs(eqn.params):
+                total += _dma_bytes(sub, mult)
+    return total
+
+
+def hbm_traffic(jaxpr, mult: int = 1) -> int:
+    """Total HBM<->VMEM bytes for one call of ``jaxpr`` (see note above)."""
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "pallas_call":
+            gm = eqn.params.get("grid_mapping")
+            grid = 1
+            for d in getattr(gm, "grid", ()) or ():
+                grid *= int(d)
+            bms = list(getattr(gm, "block_mappings", ()) or ())
+            n_out = len(eqn.outvars)
+            opvars = list(eqn.invars)[len(eqn.invars) - (len(bms) - n_out):] \
+                + list(eqn.outvars)
+            for bm, var in zip(bms, opvars):
+                space = str(getattr(bm, "block_aval", "")).lower()
+                if "any" in space or "smem" in space:
+                    continue  # HBM-resident (DMA counted below) / scalars
+                total += _aval_bytes(var.aval) * mult
+            total += _dma_bytes(eqn.params["jaxpr"], mult * max(grid, 1))
+        elif name == "scan":
+            total += hbm_traffic(
+                eqn.params["jaxpr"], mult * int(eqn.params.get("length", 1))
+            )
+        elif name == "while":
+            total += hbm_traffic(eqn.params["body_jaxpr"], mult)
+        elif name == "cond":
+            total += max(
+                (hbm_traffic(br, mult) for br in eqn.params["branches"]),
+                default=0,
+            )
+        else:
+            for sub in _subjaxprs(eqn.params):
+                total += hbm_traffic(sub, mult)
+    return total
+
+
 def _entry_bytes(bs: int, nb: int) -> int:
     return bs * nb
 
@@ -154,6 +240,18 @@ def _entry_bytes(bs: int, nb: int) -> int:
 # dynamic_while count one iteration per dynamic loop and so under-predict.
 EMU_C_OP = 2.0e-8
 EMU_C_VREG = 5.0e-9
+EMU_T0 = 0.0
+# Prefer the device-fitted constants when the calibration harness has
+# run (scripts/emu_calibrate.py -> docs/emu_model.json).
+_emu_path = REPO / "docs" / "emu_model.json"
+if _emu_path.exists():
+    try:
+        _emu = json.loads(_emu_path.read_text())
+        EMU_C_OP = float(_emu["c_op_s"])
+        EMU_C_VREG = float(_emu["c_vreg_s"])
+        EMU_T0 = float(_emu.get("t0_s", 0.0))
+    except (KeyError, ValueError):
+        pass
 
 
 def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
@@ -164,6 +262,10 @@ def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
     opb = ops * 1.0 / payload_bytes
     # one vreg covers 1024 i32 lanes; cycles/byte on v5e at 1 issue/cycle:
     cpb = ops / payload_bytes
+    hbm = hbm_traffic(jaxpr)
+    hbm_bpb = hbm / payload_bytes
+    compute_gbps = 0.94 / cpb if cpb else None
+    hbm_gbps = V5E_HBM_GBPS / hbm_bpb if hbm_bpb else None
     row = {
         "kernel": name,
         "payload_bytes": payload_bytes,
@@ -171,8 +273,20 @@ def ledger_row(name: str, fn, args, payload_bytes: int, top: int = 6) -> dict:
         "n_ops": n_ops,
         "ops_per_kbyte": round(opb * 1024, 2),
         "cycles_per_byte_v5e": round(cpb, 4),
-        "proj_v5e_gbps": round(0.94 / cpb, 2) if cpb else None,
-        "emu_s_per_batch": round(n_ops * EMU_C_OP + ops * EMU_C_VREG, 3),
+        "proj_v5e_gbps": round(
+            min(x for x in (compute_gbps, hbm_gbps) if x is not None), 2
+        )
+        if compute_gbps or hbm_gbps
+        else None,
+        "proj_compute_gbps": round(compute_gbps, 2) if compute_gbps else None,
+        # HBM roofline (VERDICT r3 item 7): bytes crossing HBM<->VMEM per
+        # payload byte (VMEM-streamed operands + in-kernel DMA volumes)
+        # and the bandwidth-bound GB/s at the v5e's 819 GB/s.
+        "hbm_bytes_per_byte": round(hbm_bpb, 2),
+        "proj_hbm_gbps": round(hbm_gbps, 2) if hbm_gbps else None,
+        "emu_s_per_batch": round(
+            EMU_T0 + n_ops * EMU_C_OP + ops * EMU_C_VREG, 3
+        ),
         "dynamic_while": int(tally.get("__dynamic_while__", 0)),
         "top_ops": dict(
             sorted(
@@ -273,6 +387,12 @@ def main() -> int:
         )
 
     enc_cfgs = [
+        # Round-4 flagship: dense 4-byte rung + prev2 + fused
+        # select-then-extend capped at ext_cap=48 + the neighbor fold —
+        # xml @32K spec ratio 0.7566 (>= the r3 flagship's 0.7563) with a
+        # quarter fewer extension rounds.
+        dict(block_size=32768, matcher="sorted", rungs=(4,), prev_k=2,
+             sel_cap=16, sel_all=True, ext_cap=48, neighbor=True),
         # Round-3 single-rung frontier: a dense 4-byte rung + prev_k
         # nearest-previous composition + fused select-then-extend. The
         # speed flagship (prev2) runs 1.96 c/B at xml ratio 0.7563 @32K
@@ -356,6 +476,12 @@ def main() -> int:
             )
             + (" selall" if cfg.get("sel_all") else "")
             + (
+                f" ext{cfg['ext_cap']}"
+                if cfg.get("ext_cap", 64) != 64
+                else ""
+            )
+            + (" nb" if cfg.get("neighbor") else "")
+            + (
                 " rs=" + ",".join(str(r) for r in cfg["rung_strides"])
                 if cfg.get("rung_strides")
                 else ""
@@ -414,6 +540,12 @@ def main() -> int:
                         continue
                     if bool(v.get("sel_all")) != bool(cfg.get("sel_all")):
                         continue
+                    if int(v.get("ext_cap") or 64) != int(
+                        cfg.get("ext_cap", 64)
+                    ):
+                        continue
+                    if bool(v.get("neighbor")) != bool(cfg.get("neighbor")):
+                        continue
                     if (v.get("rung_strides") or None) != (
                         ",".join(str(x) for x in cfg.get("rung_strides") or ())
                         or None
@@ -433,8 +565,15 @@ def main() -> int:
             "vreg_bytes": VREG_BYTES,
             "issue_rate": "1 vreg-op/cycle (conservative)",
             "v5e_clock_ghz": 0.94,
+            "v5e_hbm_gbps": V5E_HBM_GBPS,
             "emulator_c_op_s": EMU_C_OP,
             "emulator_c_vreg_s": EMU_C_VREG,
+            "emulator_t0_s": EMU_T0,
+            "emulator_fit": (
+                "docs/emu_model.json (device-fitted)"
+                if _emu_path.exists()
+                else "defaults (calibration not yet run)"
+            ),
             "note": (
                 "counts from jaxpr walk with static trip-count expansion; "
                 "narrow dtypes counted at i32 width; dynamic_while>0 rows "
@@ -449,16 +588,16 @@ def main() -> int:
     path.write_text(json.dumps(out, indent=2))
 
     hdr = (
-        f"{'kernel':<38}{'vreg_ops':>12}{'n_ops':>10}{'ops/KB':>10}"
-        f"{'cyc/B':>8}{'proj GB/s':>11}{'emu s/batch':>13}"
+        f"{'kernel':<42}{'vreg_ops':>12}{'n_ops':>10}"
+        f"{'cyc/B':>8}{'hbmB/B':>8}{'proj GB/s':>11}{'emu s/batch':>13}"
     )
     print(hdr)
     print("-" * len(hdr))
     for r in rows:
         print(
-            f"{r['kernel']:<38}{r['vreg_ops']:>12,}{r['n_ops']:>10,}"
-            f"{r['ops_per_kbyte']:>10}"
-            f"{r['cycles_per_byte_v5e']:>8}{r['proj_v5e_gbps']:>11}"
+            f"{r['kernel']:<42}{r['vreg_ops']:>12,}{r['n_ops']:>10,}"
+            f"{r['cycles_per_byte_v5e']:>8}"
+            f"{r['hbm_bytes_per_byte']:>8}{r['proj_v5e_gbps']:>11}"
             f"{r['emu_s_per_batch']:>13}"
             + ("  [dyn-while]" if r["dynamic_while"] else "")
         )

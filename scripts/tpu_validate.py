@@ -54,6 +54,8 @@ def main() -> int:
     ap.add_argument("--sel-cap", type=int, default=0)
     ap.add_argument("--sel-all", action="store_true")
     ap.add_argument("--rung-strides", default=None, help="e.g. 1,8")
+    ap.add_argument("--ext-cap", type=int, default=64)
+    ap.add_argument("--neighbor", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -74,7 +76,8 @@ def main() -> int:
         "rungs": args.rungs, "prev_k": args.prev_k,
         "sel_cap": args.sel_cap, "sel_all": args.sel_all,
         "rung_strides": args.rung_strides,
-        "stride2_min": args.stride2_min}
+        "stride2_min": args.stride2_min,
+        "ext_cap": args.ext_cap, "neighbor": args.neighbor}
     rungs = (
         tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
     )
@@ -171,6 +174,7 @@ def main() -> int:
             sel_cap=args.sel_cap, sel_all=args.sel_all,
             rung_strides=rung_strides,
             stride2_min=args.stride2_min,
+            ext_cap=args.ext_cap, neighbor=args.neighbor,
         )
         sync(c)
         return c, s
@@ -198,6 +202,7 @@ def main() -> int:
                 sel_cap=args.sel_cap, sel_all=args.sel_all,
                 rung_strides=rung_strides,
                 stride2_min=args.stride2_min,
+                ext_cap=args.ext_cap, neighbor=args.neighbor,
             )
         sync(c)
         return (time.time() - t0) / args.iters

@@ -453,6 +453,56 @@ def test_pallas_sorted_selcap_parity(prev_k, sel_cap):
         assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
 
 
+def test_pallas_sorted_extcap_neighbor_parity():
+    # The round-4 flagship knobs: ext_cap caps the full extension (long
+    # matches emit as chained copies <= ext_cap bytes) and neighbor folds
+    # each position's left-neighbor match one byte shorter
+    # (lane_model_encode.derive_neighbor). Kernel must stay byte-parity
+    # with the spec and decode under both, alone and combined with the
+    # fused select-then-extend (the production default).
+    bs = 1024
+    r = random.Random(91)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(200)
+    for i in range(pe.BATCH):
+        body = bytearray()
+        while len(body) < bs:
+            body += (
+                seed[: r.randint(4, 120)]
+                if r.random() < 0.6
+                else r.randbytes(r.randint(3, 60))
+            )
+        b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    for cfg in (
+        dict(rungs=(4,), prev_k=2, sel_cap=16, sel_all=True, ext_cap=48,
+             neighbor=True),  # the flagship default
+        dict(rungs=(4,), prev_k=1, ext_cap=24, neighbor=True),
+        dict(rungs=(4,), prev_k=2, sel_cap=16, ext_cap=48),
+    ):
+        comp_k, sizes_k = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", interpret=True, **cfg,
+        )
+        comp_s, sizes_s = lme.encode_lanes(
+            blocks, lens, bs, pe.encode_capacity(bs), matcher="sorted",
+            **cfg,
+        )
+        assert (np.asarray(sizes_k) == sizes_s).all(), cfg
+        ck = np.asarray(comp_k)
+        for i in range(pe.BATCH):
+            assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all(), cfg
+            stream = (
+                encode_varint32(int(lens[i])) + encode_varint32(bs)
+                + int(sizes_s[i]).to_bytes(4, "little")
+                + ck[i, : sizes_s[i]].tobytes()
+            )
+            assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+
+
 def test_pallas_sorted_rungs_subset_parity():
     # The --rungs knob (cycle/ratio tradeoff) must stay byte-parity with
     # the spec for reduced ladders, and every stream must decode.
