@@ -517,6 +517,45 @@ def _route_tokens(
     jax.lax.fori_loop(0, cap // CHC, land, 0)
 
 
+def _greedy_chunk128(bl_ref, mask_ref, off, gbase, na, lensT):
+    """One 128-position greedy-accept chunk, jump-composition form.
+
+    Reads 128 rows of match lengths at ``bl_ref[off:off+128]`` (global
+    positions ``gbase..gbase+127``), writes packed ``acc | copy << 1``
+    masks to the same rows of ``mask_ref``, and returns the next chunk's
+    entry cursor. ``na`` is the (LANES, 1) per-block entry (the first
+    orbit position >= gbase); ``lensT`` the (128, 128) transposed block
+    lengths. See the scheme comment at the call site in ``_emit_kernel``.
+    """
+    CG = LANES
+    lim = gbase + CG
+    blT = jnp.transpose(bl_ref[pl.ds(off, CG)].astype(jnp.int32) & 0x7F)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CG, CG), 1)
+    p = gbase + lane
+    J = p + jnp.where(blT >= 4, blT, 1)
+    Js = [J]
+    for _ in range(7):
+        Jp = Js[-1]
+        idx = jnp.minimum(Jp - gbase, CG - 1)
+        Jn = jnp.take_along_axis(Jp, idx, axis=1)
+        Js.append(jnp.where(Jp < lim, Jn, Jp))
+    A = jnp.broadcast_to(na, (CG, CG))
+    for k in range(7, -1, -1):
+        cand = jnp.take_along_axis(
+            Js[k], jnp.minimum(A - gbase, CG - 1), axis=1
+        )
+        A = jnp.where(cand <= p, cand, A)
+    accT = (A == p) & (p < lensT)
+    copyT = accT & (blT >= 4)
+    mask_ref[pl.ds(off, CG)] = jnp.transpose(
+        accT.astype(jnp.int32) | (copyT.astype(jnp.int32) << 1)
+    )
+    # Mosaic's dynamic_gather needs idx.shape == x.shape: broadcast the
+    # chunk-end cursor, gather, keep one column.
+    a_end = jnp.broadcast_to(A[:, CG - 1 : CG] - gbase, (CG, CG))
+    return jnp.take_along_axis(Js[0], a_end, axis=1)[:, 0:1]
+
+
 def _emit_kernel(
     data_ref,  # (groups, bs, 128) i8 in ANY (HBM); group g DMA'd in
     mlen_ref,  # (groups, bs, 128) i8 in ANY: best length (0 or 4..64)
@@ -582,9 +621,31 @@ def _emit_kernel(
     def ch_iota(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
-    # Greedy accept scan: 8 rows per aligned step, static unroll inside;
-    # masks accumulate into VMEM scratch via 8-aligned stores.
-    def scan_outer(i, next_accept):
+    # Greedy accept scan, jump-composition form. The scan is a forward
+    # orbit: jump(p) = p + (bl >= 4 ? bl : 1), accepted positions are the
+    # orbit of 0. Per 128-position chunk, TRANSPOSED (positions on lanes,
+    # where take_along_axis gathers are single-vreg):
+    #   1. pointer-double jump to jump^(2^k), k <= 7, values >= the chunk
+    #      end frozen (max jump 64 < 128, so an exit lands in the next
+    #      chunk's first 64 rows);
+    #   2. A-walk: for every position p, the largest orbit element <= p,
+    #      by binary descent from the chunk's entry cursor (take the
+    #      2^k-jump whenever it stays <= p — exact: the orbit is strictly
+    #      increasing, so reachable jump counts with position <= p form a
+    #      prefix). accept[p] = (A[p] == p) & (p < len); a finished block
+    #      (len < base) keeps walking a +1 orbit whose accepts the len
+    #      gate kills, matching the stuck-cursor sequential semantics.
+    #   3. entry for the next chunk = jump(A[chunk end]) — the first
+    #      orbit element past the boundary.
+    # Replaces the 8-rows-per-step sequential form: ~20x fewer op
+    # dispatches (the per-(1,128)-row ops dominated the emulator's
+    # per-op time) and ~30% fewer vreg issues.
+    CG = LANES
+    lensT = jnp.transpose(jnp.broadcast_to(lens, (CG, LANES)))  # (block, 1->CG)
+
+    def scan_seq(i, next_accept):
+        # Sequential fallback for bs % 128 != 0 (the envelope guarantees
+        # only bs % 8): 8 rows per aligned step, static unroll inside.
         base = i * SUBLANES
         bl8 = B8[pl.ds(base * 1, SUBLANES), :].astype(jnp.int32) & 0x7F
         mask_rows = []
@@ -601,9 +662,17 @@ def _emit_kernel(
         copy_ref[pl.ds(base, SUBLANES), :] = jnp.concatenate(mask_rows)
         return next_accept
 
-    jax.lax.fori_loop(
-        0, bs // SUBLANES, scan_outer, jnp.zeros((1, LANES), jnp.int32)
-    )
+    def scan_chunk(c, na):
+        return _greedy_chunk128(B8, copy_ref, c * CG, c * CG, na, lensT)
+
+    if bs % CG == 0:
+        jax.lax.fori_loop(
+            0, bs // CG, scan_chunk, jnp.zeros((LANES, 1), jnp.int32)
+        )
+    else:
+        jax.lax.fori_loop(
+            0, bs // SUBLANES, scan_seq, jnp.zeros((1, LANES), jnp.int32)
+        )
 
     # Chunk-carry scans over ref[0:bs]: ONE pass per scan — each chunk
     # runs an in-value log-shift inclusive scan, then folds the carried
@@ -837,12 +906,20 @@ def _emit_kernel_wide(
         return jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
 
     # Greedy accept scan, windowed: DMA the chunk's match lengths in, run
-    # the 8-row sequential accept steps against the window, DMA masks out.
-    def gchunk(c, next_accept):
+    # the jump-composition accept chunks against the window (see
+    # _greedy_chunk128), DMA masks out.
+    lensT = jnp.transpose(jnp.broadcast_to(lens, (LANES, LANES)))
+
+    def gchunk(c, na):
         base = c * CHB
         dma(mlen_ref.at[g, pl.ds(base, CHB)], W8)
 
         def step(i, na):
+            off = i * LANES
+            return _greedy_chunk128(W8, WIN, off, base + off, na, lensT)
+
+        def step_seq(i, na):
+            # bs % 128 != 0 fallback: 8-row sequential steps.
             off = i * SUBLANES
             bl8 = W8[pl.ds(off, SUBLANES), :].astype(jnp.int32) & 0x7F
             mask_rows = []
@@ -859,11 +936,19 @@ def _emit_kernel_wide(
             WIN[pl.ds(off, SUBLANES), :] = jnp.concatenate(mask_rows)
             return na
 
-        next_accept = jax.lax.fori_loop(0, CHB // SUBLANES, step, next_accept)
+        if CHB % LANES == 0:
+            na = jax.lax.fori_loop(0, CHB // LANES, step, na)
+        else:
+            na = jax.lax.fori_loop(0, CHB // SUBLANES, step_seq, na)
         dma(WIN, cph_ref.at[pl.ds(base, CHB)])
-        return next_accept
+        return na
 
-    jax.lax.fori_loop(0, NCB, gchunk, jnp.zeros((1, LANES), jnp.int32))
+    jax.lax.fori_loop(
+        0, NCB, gchunk,
+        jnp.zeros(
+            (LANES, 1) if CHB % LANES == 0 else (1, LANES), jnp.int32
+        ),
+    )
 
     # Chunk-carry scans over W_s[0:bs] / rank_s[0:bs] — identical to the
     # resident kernel (the scan arrays stay in VMEM).
