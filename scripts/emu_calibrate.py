@@ -32,6 +32,10 @@ readback after every dispatch (axon queue discipline, DESIGN.md).
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
 import functools
 import json
 import pathlib
@@ -69,8 +73,13 @@ def chain_kernel(x_ref, o_ref, *, iterate: int, rows: int):
     # Constant-size output (8, 128) regardless of rows: keeps the d2h
     # readback out of the compute measurement (transfer scales with rows
     # otherwise and swamps the fit — observed 25-150 ms of pure
-    # dispatch+transfer on the tunnel).
-    o_ref[...] = v[0:SUBLANES]
+    # dispatch+transfer on the tunnel). MUST fold every row into the
+    # output: storing v[0:8] alone let the compiler dead-code the other
+    # rows' loop work entirely (observed: rows=8192 x 50K iterations ran
+    # exactly as fast as rows=8 — 153M "vreg-ops" in 0.4 ms).
+    o_ref[...] = jnp.sum(
+        v.reshape(rows // SUBLANES, SUBLANES, LANES), axis=0
+    )
 
 
 SUBLANES = 8
