@@ -17,6 +17,10 @@ Writes docs/device_kernel_times.json. Run on the device endpoint.
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
 import functools
 import json
 import pathlib
@@ -172,7 +176,10 @@ def main() -> int:
             ),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, cap, LANES), lambda g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 8, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -182,14 +189,14 @@ def main() -> int:
             jax.ShapeDtypeStruct((1, 8, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bs, LANES), jnp.int32),
-            pltpu.VMEM((nrows, LANES), jnp.int32),
-            pltpu.VMEM((bs + pe._chb(bs), LANES), jnp.int32),
-            pltpu.VMEM((nrows, LANES), jnp.int32),
-            pltpu.VMEM((4096, LANES), jnp.int32),
-            pltpu.VMEM((bs, LANES), jnp.int32),
-            pltpu.VMEM((bs, LANES), jnp.int8),
-            pltpu.VMEM((bs, LANES), jnp.int16),
+            pltpu.VMEM((bs, LANES), jnp.int32),  # copy
+            pltpu.VMEM((nrows, LANES), jnp.int32),  # W_s
+            pltpu.VMEM((bs + pe._chb(bs), LANES), jnp.int32),  # rank
+            pltpu.VMEM((nrows, LANES), jnp.int32),  # PAY
+            pltpu.VMEM((pe._stg_rows(bs), LANES), jnp.int32),  # STG
+            pltpu.VMEM((bs, LANES), jnp.int32),  # meta_s
+            pltpu.VMEM((bs, LANES), jnp.int8),  # B8
+            pltpu.VMEM((bs, LANES), jnp.int16),  # MLAG16
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=vmem_cap,

@@ -12,6 +12,10 @@ Records results to tpu_validation.json.
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
 import argparse
 import json
 import pathlib
