@@ -268,7 +268,7 @@ def _route_kernel(
     W_s,  # scratch (cap + CHC, 128) i32 (zeroed pad chunk above cap)
     rank_s,  # scratch (max(cap, block_size) + CHC, 128) i32: D plane
     E_s,  # scratch (block_size, 128) i32
-    C_s,  # scratch (2 * block_size, 128) i32 (snapshot + resolve staging)
+    C_s,  # scratch (2 * CHB, 128) i32 (expand chunk-0 snapshot + zeros pad)
     sem,  # DMA semaphore
     *,
     cap: int,
@@ -510,68 +510,74 @@ def _route_kernel(
     # (hardware-verified), so chains are chased with positions on lanes:
     # row (q*128 + block), lane (position % 128); the cross-chunk component
     # is a 128-aligned row shift. Chunk-wise (128, 128) transposes.
-    def tr(q, alive):
+    def tr(q, _):
         x = rank_s[pl.ds(q * LANES, LANES)]  # [pos residue, block]
         E_s[pl.ds(q * LANES, LANES)] = jnp.transpose(x)  # [block, residue]
-        return alive | jnp.any(x >= 0, axis=0, keepdims=True).astype(jnp.int32)
+        return 0
 
-    alive0 = jax.lax.fori_loop(0, nq, tr, jnp.zeros((1, LANES), jnp.int32))
+    jax.lax.fori_loop(0, nq, tr, 0)
 
-    # ---- Phase 6: adaptive pointer jumping. Real chains resolve in 2-5
-    # rounds; the delta sweep only covers chunk distances that exist this
-    # round (real streams have mostly small offsets).
-    def cond(carry):
-        r, alive = carry
-        return (r < resolve_rounds) & jnp.any(alive != 0)
+    # ---- Phase 6: single-pass ascending resolve. Copy sources strictly
+    # precede their positions (sbad enforces S < row), so processing
+    # 128-position chunks in ascending order keeps an invariant: every
+    # earlier chunk is FULLY resolved. One adaptive span-4 sweep fetches
+    # final bytes for lanes whose pointer leaves the chunk (sources in
+    # earlier chunks hold bytes, never pointers), then ceil(log2(128)) = 7
+    # pointer-doubling rounds resolve the intra-chunk chains — same-row
+    # lane gathers, chains of <= 127 lanes ending at a byte. Replaces the
+    # round-looped global-delta sweep with its 3 full-plane staging copies
+    # per round (measured 66 ms of the 72 ms decode group time,
+    # docs/route_phase_times.json); ``resolve_rounds`` is kept for API
+    # compatibility but the pass count is structural now.
+    del resolve_rounds
+    zzl = jnp.zeros((LANES, LANES), jnp.int32)
 
-    def body(carry):
-        r, _ = carry
+    def resolve_chunk(q, _):
+        P = E_s[pl.ds(q * LANES, LANES)]
+        ptr = jnp.maximum(P, 0)
+        rs = ptr & (LANES - 1)
+        dist = (zzl + q) - (ptr >> 7)
+        cross = (P >= 0) & (dist > 0)
+        maxd = jnp.max(jnp.where(cross, dist, 0))
 
-        def stat(c, md):
-            s = E_s[pl.ds(c * CHB, CHB)]
-            rows = c * CHB + ch_iota(CHB)
-            qs = jnp.maximum(s, 0) // LANES
-            return jnp.maximum(
-                md, jnp.max(jnp.where(s >= 0, rows // LANES - qs, 0))
-            )
-
-        max_delta = jax.lax.fori_loop(0, NCB, stat, jnp.int32(0))
-        dma(E_s, C_s.at[pl.ds(bs, bs)])  # staged s (gather source)
-        dma(E_s, rank_s.at[pl.ds(0, bs)])  # hop accumulator, init = s
-
-        def per_delta(delta, _):
-            def per_chunk(c, _):
-                s = E_s[pl.ds(c * CHB, CHB)]
-                rows = c * CHB + ch_iota(CHB)
-                ptr = jnp.maximum(s, 0)
-                qs = ptr // LANES
-                rs = ptr - qs * LANES
-                cand = C_s[pl.ds(bs + c * CHB - delta * LANES, CHB)]
-                got = jnp.take_along_axis(cand, rs, axis=1)
-                acc = rank_s[pl.ds(c * CHB, CHB)]
-                rank_s[pl.ds(c * CHB, CHB)] = jnp.where(
-                    (s >= 0) & (rows // LANES - qs == delta), got, acc
+        def sweep(i, b):
+            d0 = 4 * i + 1
+            g = [
+                jnp.take_along_axis(
+                    E_s[
+                        pl.ds(
+                            jnp.clip(q - (d0 + j), 0, nq - 1) * LANES,
+                            LANES,
+                        )
+                    ],
+                    rs,
+                    axis=1,
                 )
-                return 0
-
-            jax.lax.fori_loop(0, NCB, per_chunk, 0)
-            return 0
-
-        jax.lax.fori_loop(0, max_delta + 1, per_delta, 0)
-        dma(rank_s.at[pl.ds(0, bs)], E_s)
-
-        def alive_scan(c, alive):
-            s = E_s[pl.ds(c * CHB, CHB)]
-            return alive | jnp.any(s >= 0, axis=0, keepdims=True).astype(
-                jnp.int32
+                for j in range(4)
+            ]
+            loc = dist - d0
+            odd = (loc & 1) != 0
+            got = jnp.where(
+                (loc & 2) != 0,
+                jnp.where(odd, g[3], g[2]),
+                jnp.where(odd, g[1], g[0]),
             )
+            return jnp.where((loc >= 0) & (loc < 4), got, b)
 
-        alive = jax.lax.fori_loop(
-            0, NCB, alive_scan, jnp.zeros((1, LANES), jnp.int32)
-        )
-        return r + 1, alive
+        b = jax.lax.fori_loop(0, (maxd + 3) >> 2, sweep, zzl)
+        P = jnp.where(cross, b, P)
 
-    _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), alive0))
+        def jump(_, P):
+            got = jnp.take_along_axis(
+                P, jnp.maximum(P, 0) & (LANES - 1), axis=1
+            )
+            return jnp.where(P >= 0, got, P)
+
+        P = jax.lax.fori_loop(0, 7, jump, P)
+        E_s[pl.ds(q * LANES, LANES)] = P
+        return 0
+
+    jax.lax.fori_loop(0, nq, resolve_chunk, 0)
 
     # ---- Phase 7: back-transpose + int8 output (byte values bit-exact mod
     # 256: at bs=32768 an int32 out block would cost 16.8 MB of VMEM; int8
@@ -865,81 +871,69 @@ def _route_kernel_wide(
     )
     err = err | jnp.where(bad_acc != 0, ERR_BAD_OFFSET, 0)
 
-    def tr(q, alive):
+    def tr(q, _):
         x = rank_s[pl.ds(q * LANES, LANES)]  # [pos residue, block]
         W_s[pl.ds(moff + q * LANES, LANES)] = jnp.transpose(x)
-        return alive | jnp.any(x >= 0, axis=0, keepdims=True).astype(
-            jnp.int32
-        )
+        return 0
 
-    alive0 = jax.lax.fori_loop(0, nq, tr, jnp.zeros((1, LANES), jnp.int32))
+    jax.lax.fori_loop(0, nq, tr, 0)
 
-    # ---- Phase 6: adaptive pointer jumping in [block, residue] layout at
-    # W_s[moff:moff+bs); hop accumulator in rank_s[0:bs). Within a round
-    # W_s is read-only (writes land in rank_s), so the gather source needs
-    # no snapshot; consuming rows always read >= moff (s >= 0 implies
-    # source row moff + qs*128 + i), junk below moff is masked.
-    def cond(carry):
-        r, alive = carry
-        return (r < resolve_rounds) & jnp.any(alive != 0)
+    # ---- Phase 6: single-pass ascending resolve in [block, residue]
+    # layout at W_s[moff:moff+bs) — same algorithm as the narrow kernel
+    # (see _route_kernel): ascending 128-position chunks keep earlier
+    # chunks fully resolved, so a span-4 sweep fetches final bytes for
+    # cross-chunk pointers and 7 pointer-doubling rounds close the
+    # intra-chunk chains. ``resolve_rounds`` kept for API compatibility.
+    del resolve_rounds
+    zzl = jnp.zeros((LANES, LANES), jnp.int32)
 
-    def body(carry):
-        r, _ = carry
+    def resolve_chunk(q, _):
+        P = W_s[pl.ds(moff + q * LANES, LANES)]
+        ptr = jnp.maximum(P, 0)
+        rs = ptr & (LANES - 1)
+        dist = (zzl + q) - (ptr >> 7)
+        cross = (P >= 0) & (dist > 0)
+        maxd = jnp.max(jnp.where(cross, dist, 0))
 
-        def stat(c, md):
-            s = W_s[pl.ds(moff + c * CH, CH)]
-            crows = c * CH + ch_iota(CH)
-            qs = jnp.maximum(s, 0) // LANES
-            return jnp.maximum(
-                md, jnp.max(jnp.where(s >= 0, crows // LANES - qs, 0))
-            )
-
-        max_delta = jax.lax.fori_loop(0, NCB, stat, jnp.int32(0))
-        dma(W_s.at[pl.ds(moff, bs)], rank_s.at[pl.ds(0, bs)])
-
-        def per_delta(delta, _):
-            def per_chunk(c, _):
-                base = c * CH
-                s = W_s[pl.ds(moff + base, CH)]
-                crows = base + ch_iota(CH)
-                ptr = jnp.maximum(s, 0)
-                qs = ptr // LANES
-                rs = ptr - qs * LANES
-                # Whenever this chunk has a consuming row at this delta,
-                # the window start is > 0 (delta*128 < base + CH <= base +
-                # moff); the clamp only fires for chunks with no consumers,
-                # whose reads the mask below discards.
-                cand = W_s[
-                    pl.ds(
-                        jnp.clip(moff + base - delta * LANES, 0, R - CH),
-                        CH,
-                    )
-                ]
-                got = jnp.take_along_axis(cand, rs, axis=1)
-                acc = rank_s[pl.ds(base, CH)]
-                rank_s[pl.ds(base, CH)] = jnp.where(
-                    (s >= 0) & (crows // LANES - qs == delta), got, acc
+        def sweep(i, b):
+            d0 = 4 * i + 1
+            g = [
+                jnp.take_along_axis(
+                    W_s[
+                        pl.ds(
+                            moff
+                            + jnp.clip(q - (d0 + j), 0, nq - 1) * LANES,
+                            LANES,
+                        )
+                    ],
+                    rs,
+                    axis=1,
                 )
-                return 0
-
-            jax.lax.fori_loop(0, NCB, per_chunk, 0)
-            return 0
-
-        jax.lax.fori_loop(0, max_delta + 1, per_delta, 0)
-        dma(rank_s.at[pl.ds(0, bs)], W_s.at[pl.ds(moff, bs)])
-
-        def alive_scan(c, alive):
-            s = W_s[pl.ds(moff + c * CH, CH)]
-            return alive | jnp.any(s >= 0, axis=0, keepdims=True).astype(
-                jnp.int32
+                for j in range(4)
+            ]
+            loc = dist - d0
+            odd = (loc & 1) != 0
+            got = jnp.where(
+                (loc & 2) != 0,
+                jnp.where(odd, g[3], g[2]),
+                jnp.where(odd, g[1], g[0]),
             )
+            return jnp.where((loc >= 0) & (loc < 4), got, b)
 
-        alive = jax.lax.fori_loop(
-            0, NCB, alive_scan, jnp.zeros((1, LANES), jnp.int32)
-        )
-        return r + 1, alive
+        b = jax.lax.fori_loop(0, (maxd + 3) >> 2, sweep, zzl)
+        P = jnp.where(cross, b, P)
 
-    _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), alive0))
+        def jump(_, P):
+            got = jnp.take_along_axis(
+                P, jnp.maximum(P, 0) & (LANES - 1), axis=1
+            )
+            return jnp.where(P >= 0, got, P)
+
+        P = jax.lax.fori_loop(0, 7, jump, P)
+        W_s[pl.ds(moff + q * LANES, LANES)] = P
+        return 0
+
+    jax.lax.fori_loop(0, nq, resolve_chunk, 0)
 
     # ---- Phase 7: back-transpose + int8 output.
     def outw(q, unres):
@@ -1140,9 +1134,9 @@ def decode_blocks_pallas(
                         jnp.int32,
                     ),
                     pltpu.VMEM((block_size, LANES), jnp.int32),
-                    # C_s: expand chunk-0 snapshot [0, 2*CHB), then the
-                    # resolve gather staging [bs, 2bs).
-                    pltpu.VMEM((2 * block_size, LANES), jnp.int32),
+                    # C_s: expand chunk-0 snapshot behind a zeros pad
+                    # (the single-pass resolve needs no staging).
+                    pltpu.VMEM((2 * _pick_chunk(block_size), LANES), jnp.int32),
                     pltpu.SemaphoreType.DMA,
                 ],
                 compiler_params=pltpu.CompilerParams(

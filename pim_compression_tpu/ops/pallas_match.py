@@ -555,17 +555,38 @@ def _extend_fold_kernel(
             dist = crow - qs
             maxd = jnp.max(jnp.where(still, dist, neg1))
 
+            # Span-4 sweep (see _select_extend_kernel): four consecutive
+            # source chunks per iteration, per-lane binary select, one
+            # gather. d0 = -1 covers forward reads (4k > cand). No still
+            # gate: a dead lane's b is never read (x, weq, xfail are all
+            # still-gated downstream).
             def sweep(i, b):
-                d = i - 1  # d = -1 covers forward reads (4k > cand)
-                start = jnp.clip(c - d, 0, nq - 1) * LANES
-                got = jnp.take_along_axis(
-                    TW_s[pl.ds(start, LANES)], rs, axis=1
+                d0 = 4 * i - 1
+                # Gather-then-select (per-destination plane choice; see
+                # _select_extend_kernel's sweep).
+                g = [
+                    jnp.take_along_axis(
+                        TW_s[
+                            pl.ds(
+                                jnp.clip(c - (d0 + j), 0, nq - 1) * LANES,
+                                LANES,
+                            )
+                        ],
+                        rs,
+                        axis=1,
+                    )
+                    for j in range(4)
+                ]
+                loc = dist - d0
+                odd = (loc & 1) != 0
+                got = jnp.where(
+                    (loc & 2) != 0,
+                    jnp.where(odd, g[3], g[2]),
+                    jnp.where(odd, g[1], g[0]),
                 )
-                # No still gate: a dead lane's b is never read (x, weq,
-                # xfail are all still-gated downstream).
-                return jnp.where(dist == d, got, b)
+                return jnp.where((loc >= 0) & (loc < 4), got, b)
 
-            b = jax.lax.fori_loop(0, maxd + 2, sweep, zz)
+            b = jax.lax.fori_loop(0, (maxd + 5) >> 2, sweep, zz)
             x = a ^ b
             weq = still & (x == 0)
             lenacc = lenacc + jnp.where(weq, four4, zz)
@@ -680,15 +701,43 @@ def _select_extend_kernel(
                 dist = crow - qs
                 maxd = jnp.max(jnp.where(still, dist, neg1))
 
+                # Span-4 sweep: each iteration reads FOUR consecutive
+                # source chunks and binary-selects per lane before the one
+                # gather. 4x fewer iterations for ~0.75x the vreg work per
+                # distance (sweep_stats.json: distances are dense near 0,
+                # so distance-set scheduling wins little; batching the
+                # linear scan is what pays — measured 518K one-distance
+                # iterations/group = 75.7 ms of the 86.2 ms encode total).
                 def sweep(i, b):
-                    d = i - 1
-                    start = jnp.clip(c - d, 0, nq - 1) * LANES
-                    got = jnp.take_along_axis(
-                        TW_s[pl.ds(start, LANES)], rs, axis=1
+                    d0 = 4 * i - 1
+                    # Gather each plane FIRST, select after: the plane
+                    # choice is per destination lane, so selecting planes
+                    # before the gather would index the tree at the
+                    # gathered lane. Four independent gathers pipeline.
+                    g = [
+                        jnp.take_along_axis(
+                            TW_s[
+                                pl.ds(
+                                    jnp.clip(c - (d0 + j), 0, nq - 1)
+                                    * LANES,
+                                    LANES,
+                                )
+                            ],
+                            rs,
+                            axis=1,
+                        )
+                        for j in range(4)
+                    ]
+                    loc = dist - d0
+                    odd = (loc & 1) != 0
+                    got = jnp.where(
+                        (loc & 2) != 0,
+                        jnp.where(odd, g[3], g[2]),
+                        jnp.where(odd, g[1], g[0]),
                     )
-                    return jnp.where(dist == d, got, b)
+                    return jnp.where((loc >= 0) & (loc < 4), got, b)
 
-                b = jax.lax.fori_loop(0, maxd + 2, sweep, zz)
+                b = jax.lax.fori_loop(0, (maxd + 5) >> 2, sweep, zz)
                 x = a ^ b
                 weq = still & (x == 0)
                 lenacc = lenacc + jnp.where(weq, four4, zz)
