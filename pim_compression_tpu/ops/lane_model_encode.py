@@ -394,6 +394,8 @@ def match_search_sorted(
     rung_strides: tuple[int, ...] | None = None,
     ext_cap: int = 64,
     sel_all: bool = False,
+    sort_window: int = 0,
+    rung_pick: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sort-based exact match finder — full-block window at O(bs log^2 bs).
 
@@ -437,6 +439,33 @@ def match_search_sorted(
     W4 = _pack_word4(data)
     best_len = np.zeros((bs, lanes), np.int32)
     best_off = np.zeros((bs, lanes), np.int32)
+    if rung_pick:
+        # Rung-priority selection: the longest rung with a candidate wins
+        # outright; one from-scratch extension verifies exactly (kernel:
+        # sorted_match_groups(rung_pick=True)).
+        assert prev_k == 1 and not sel_cap
+        sel = np.zeros((bs, lanes), np.int32)
+        h = W4
+        span = 4
+        for ri, L in enumerate(rungs):
+            while span < L:
+                h = _hash_ladder_step(h, span)
+                span *= 2
+            stride = 2 if (stride2_min and L >= stride2_min) else 1
+            if rung_strides:
+                stride = rung_strides[ri]
+            rw = (
+                rung_windows[ri]
+                if rung_windows
+                else (sort_window // stride if sort_window else 0)
+            )
+            cand = packed_prev_lags(h, 1, stride=stride, window=rw)[0]
+            sel = np.where(cand > 0, cand, sel)
+        best_len = extend_match(W4, lens, sel, max_len=ext_cap)
+        best_off = np.where(best_len > 0, sel, 0)
+        if neighbor:
+            best_len, best_off = derive_neighbor(best_len, best_off)
+        return best_len, best_off
     h = W4
     span = 4
     all_cands: list[np.ndarray] = []
@@ -448,7 +477,13 @@ def match_search_sorted(
         stride = 2 if (stride2_min and L >= stride2_min) else 1
         if rung_strides:
             stride = rung_strides[ri]
-        rw = rung_windows[ri] if rung_windows else 0
+        # sort_window is a byte reach; packed_prev_lags windows the
+        # strided sorted rows (kernel: _sort_rung_kernel(window=...)).
+        rw = (
+            rung_windows[ri]
+            if rung_windows
+            else (sort_window // stride if sort_window else 0)
+        )
         if packed:
             cands = packed_prev_lags(h, k, stride=stride, window=rw)
         else:
@@ -788,6 +823,8 @@ def encode_lanes(
     rung_strides: tuple[int, ...] | None = None,
     ext_cap: int = 64,
     neighbor: bool = False,
+    sort_window: int = 0,
+    rung_pick: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
     data = blocks.T.astype(np.int32)
@@ -796,6 +833,7 @@ def encode_lanes(
             data, lens, rungs=rungs or (4, 8, 16, 32, 64), prev_k=prev_k,
             stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
             rung_strides=rung_strides, ext_cap=ext_cap, neighbor=neighbor,
+            sort_window=sort_window, rung_pick=rung_pick,
         )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)

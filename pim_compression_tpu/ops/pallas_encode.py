@@ -1150,7 +1150,8 @@ def _emit_kernel_wide(
     static_argnames=(
         "block_size", "window", "coarse_window", "granular", "matcher",
         "rungs", "prev_k", "stride2_min", "sel_cap", "sel_all",
-        "rung_strides", "ext_cap", "neighbor", "interpret", "wide",
+        "rung_strides", "ext_cap", "neighbor", "sort_window", "rung_pick",
+        "interpret", "wide",
     ),
 )
 def encode_blocks_pallas(
@@ -1170,6 +1171,8 @@ def encode_blocks_pallas(
     rung_strides: tuple[int, ...] | None = None,
     ext_cap: int = 64,
     neighbor: bool = False,
+    sort_window: int = 0,
+    rung_pick: bool = False,
     interpret: bool = False,
     wide: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -1409,6 +1412,7 @@ def encode_blocks_pallas(
                 stride2_min=stride2_min, sel_cap=sel_cap,
                 sel_all=sel_all, rung_strides=rung_strides,
                 ext_cap=ext_cap, neighbor=neighbor,
+                sort_window=sort_window, rung_pick=rung_pick,
                 interpret=interpret,
             )
             if sort_bs != bs:
@@ -1540,6 +1544,8 @@ def encode_blocks_pallas_sharded(
     rung_strides: tuple[int, ...] | None = None,
     ext_cap: int = 64,
     neighbor: bool = False,
+    sort_window: int = 0,
+    rung_pick: bool = False,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1563,6 +1569,8 @@ def encode_blocks_pallas_sharded(
         rung_strides=rung_strides,
         ext_cap=ext_cap,
         neighbor=neighbor,
+        sort_window=sort_window,
+        rung_pick=rung_pick,
         interpret=interpret,
     )
     sharded = shard_map(

@@ -92,8 +92,20 @@ def _sort_rung_kernel(
     bs: int,
     rung: int,
     stride: int = 1,
+    window: int = 0,
 ):
     """One rung: hash-key sort -> nearest-previous lags -> unsort.
+
+    ``window`` > 0 (sorted rows; reach = window * stride bytes) runs a
+    CHUNK-LOCAL sort: the bitonic network stops at merge size ``window``
+    (the final merge relabeled ``m`` so every window-group sorts
+    ascending — bit ``m`` of any row is 0, so the existing complement
+    transition machinery realizes the all-ascending direction for free),
+    and the lag scan resets its carry at group boundaries. Candidates
+    then come only from the position's aligned window-group: fewer sort
+    stages AND a bounded extension-sweep distance (the dominant encode
+    cost on device, docs/device_kernel_attrib.json). Spec:
+    ``lane_model_encode.packed_prev_lags(window=...)``.
 
     Fully chunked (full-array phase bodies held 4-5 live (bs, 128) arrays
     — ~84 MB of register spill at bs=32768). The bitonic network runs as
@@ -129,6 +141,13 @@ def _sort_rung_kernel(
     ``lane_model_encode.packed_prev_lags(stride=2)``.
     """
     m = bs // stride  # sorted rows
+    wl = window if 0 < window < m else m  # chunk-local sort group size
+    if wl < m:
+        assert m % wl == 0, "window must divide the sorted rows"
+        # wl >= 4: the k=2 complement init assumes merge 2 runs with its
+        # normal alternating directions (the final merge is the relabeled
+        # all-ascending one).
+        assert wl >= 4
     # 4096-row chunks: at m=32768 only 3 merges have cross-chunk (far)
     # stages (6 far stages vs 15 at CH=1024) — far stages cost ~6 ops/row
     # (two chunk reads, compare, select, store) vs the fused form's ~1.
@@ -347,21 +366,29 @@ def _sort_rung_kernel(
         # (log2(CH) - 1 fewer chunk loads+stores per sort run).
         cur = 0
         bufs = (pk_s, stg_s)
+
+        def lab(k):
+            # Chunk-local sort: the FINAL merge (size wl) is labeled m so
+            # its regions all run ascending ((row & m) == 0 everywhere —
+            # the transition machinery below then un-complements merge
+            # wl/2's descending halves and applies no new complements).
+            return m if (wl < m and k == wl) else k
+
         merges1 = []
         k = 2
-        while k <= min(CH, m):
+        while k <= min(CH, wl):
             merges1.append(
-                (k, [1 << b for b in range(k.bit_length() - 2, -1, -1)])
+                (lab(k), [1 << b for b in range(k.bit_length() - 2, -1, -1)])
             )
             k *= 2
         if merges1:
             fused_pass(merges1, bufs[cur], enter=2)
-        while k <= m:
+        while k <= wl:
             j = k // 2
             first = True
             while j >= CH:  # cross-chunk prefix of this merge
                 far_stage(
-                    j, k, bufs[cur], bufs[1 - cur],
+                    j, lab(k), bufs[cur], bufs[1 - cur],
                     trans_from=k // 2 if first else None,
                 )
                 first = False
@@ -369,9 +396,9 @@ def _sort_rung_kernel(
                 j //= 2
             if j >= 1:
                 fused_pass(
-                    [(k, [1 << b for b in range(j.bit_length() - 1, -1, -1)])],
+                    [(lab(k), [1 << b for b in range(j.bit_length() - 1, -1, -1)])],
                     bufs[cur],
-                    enter=k,
+                    enter=lab(k),
                 )
             k *= 2
         if cur:
@@ -404,7 +431,12 @@ def _sort_rung_kernel(
         skey = (u >> pos_bits) & key_mask
         prev_key = jnp.concatenate([pkey, skey[: CH - 1]]) if CH > 1 else pkey
         prev_pos = jnp.concatenate([ppos, spos[: CH - 1]]) if CH > 1 else ppos
-        lag = jnp.where(skey == prev_key, spos - prev_pos, 0)
+        same = skey == prev_key
+        if wl < m:
+            # Window-group boundary: the first row of each wl-aligned
+            # group must not chain to the previous group's last run.
+            same = same & (((base + ch_iota(CH)) & (wl - 1)) != 0)
+        lag = jnp.where(same, spos - prev_pos, 0)
         pk_s[pl.ds(base, CH)] = ((spos << 16) | lag) ^ xsign_l
         return (skey[CH - 1 : CH], spos[CH - 1 : CH])
 
@@ -872,6 +904,8 @@ def sorted_match_groups(
     rung_strides: tuple[int, ...] | None = None,
     ext_cap: int = 64,
     neighbor: bool = False,
+    sort_window: int = 0,
+    rung_pick: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
@@ -948,6 +982,18 @@ def sorted_match_groups(
             raise ValueError("the L=4 rung must stay full density")
     if sel_all and not sel_cap:
         raise ValueError("sel_all requires sel_cap")
+    if rung_pick and (sel_cap or prev_k != 1):
+        raise ValueError(
+            "rung_pick replaces the select ladder: requires prev_k=1 and "
+            "sel_cap=0"
+        )
+    if sort_window:
+        if sort_window & (sort_window - 1):
+            raise ValueError("sort_window must be a power of two")
+        if sort_window < 512 or bs % sort_window:
+            raise ValueError(
+                "sort_window must be >= 512 and divide the block size"
+            )
     if ext_cap % 4 or not max(sel_cap, 4) <= ext_cap <= 64:
         raise ValueError(
             "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
@@ -961,9 +1007,13 @@ def sorted_match_groups(
         return 2 if (stride2_min and rungs[ri] >= stride2_min) else 1
 
     def rung_call(rung, stride):
+        # sort_window is a byte reach at full density; a strided rung
+        # covers the same bytes with window // stride sorted rows (spec:
+        # packed_prev_lags strides first, then windows the sorted rows).
         return pl.pallas_call(
             functools.partial(
                 _sort_rung_kernel, bs=bs, rung=rung, stride=stride,
+                window=sort_window // stride if sort_window else 0,
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1106,5 +1156,33 @@ def sorted_match_groups(
             best = _neighbor_fold(best)
         return best >> 16, best & 0xFFFF
 
-    fn = one_group_sel_all if (sel_all and sel_cap) else one_group
+    def one_group_rung_pick(args):
+        # Rung-priority selection (round-4 flagship candidate): the
+        # LONGEST rung with a candidate wins outright — no capped select
+        # sweeps at all — and ONE from-scratch extension verifies the
+        # winner exactly (hash-fold collisions on long rungs extend
+        # short and are floored below the emit minimum, never emitted
+        # wrong). Fewer data-dependent gather sweeps than the capped
+        # select ladder (sweep_stats.json: 99K vs 131K span-4 iterations
+        # on xml @32K) at BETTER ratio (spec 0.8050 vs 0.7879); every
+        # corpus file still compresses below the reference stream. Spec:
+        # lane_model_encode.match_search_sorted(rung_pick=True).
+        data, lens = args
+        sel = jnp.zeros((bs, LANES), jnp.int32)
+        for ri, rung in enumerate(rungs):
+            cand = rung_call(rung, rung_stride(ri))(data)
+            sel = jnp.where(cand > 0, cand, sel)
+        best = extend_call(
+            data, lens, sel, jnp.zeros((bs, LANES), jnp.int32)
+        )
+        if neighbor:
+            best = _neighbor_fold(best)
+        return best >> 16, best & 0xFFFF
+
+    if rung_pick:
+        fn = one_group_rung_pick
+    elif sel_all and sel_cap:
+        fn = one_group_sel_all
+    else:
+        fn = one_group
     return jax.lax.map(fn, (data_g, lens_g))

@@ -395,6 +395,8 @@ def compress(
                     rung_strides=config.rung_strides,
                     ext_cap=config.ext_cap,
                     neighbor=config.neighbor,
+                    sort_window=config.sort_window,
+                    rung_pick=config.rung_pick,
                     interpret=interpret,
                 )
             else:

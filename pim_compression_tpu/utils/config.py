@@ -90,6 +90,22 @@ class CodecConfig:
     # 0.7563) while cutting a quarter of the extension rounds, the
     # data-dependent gather sweeps that dominate matcher cost on device.
     ext_cap: int = 48
+    # Rung-priority selection (requires prev_k=1, sel_cap=0): the longest
+    # rung with a candidate wins outright and ONE from-scratch extension
+    # verifies it - no capped select sweeps. With rungs=(4,16): fewer
+    # data-dependent gather sweeps than the prev2+sel16 ladder at BETTER
+    # xml ratio (spec 0.8050 vs 0.7879); all corpus files stay below the
+    # reference streams (docs/sweep_stats.json).
+    rung_pick: bool = False
+    # Sorted-matcher candidate window (bytes, power of two dividing the
+    # block size; 0 = the whole block): > 0 runs each rung's sort
+    # chunk-locally, so candidates come only from the position's aligned
+    # window-group. Caps the extension sweeps' chunk distance (the
+    # dominant device cost, docs/device_kernel_attrib.json) and trims
+    # sort stages, trading long-range matches: xml @32K spec ratio
+    # 0.7879 full -> 0.7693 @16K -> 0.7419 @8K (reference bar 0.7408,
+    # docs/sweep_stats.json). 0 keeps the full-block window.
+    sort_window: int = 0
     # Fold each position's left-neighbor match one byte shorter after the
     # rung/prev ladder (pallas_match.sorted_match_groups(neighbor=True)):
     # one elementwise pass, +0.7 xml ratio points @32K. Default on.
@@ -128,6 +144,16 @@ class CodecConfig:
             raise ValueError(f"unknown coarse_mode {self.coarse_mode!r}")
         if self.matcher not in ("sorted", "sweep"):
             raise ValueError(f"unknown matcher {self.matcher!r}")
+        if self.rung_pick and (self.sel_cap or self.prev_k != 1):
+            raise ValueError(
+                "rung_pick requires prev_k=1 and sel_cap=0 (it replaces "
+                "the select ladder)"
+            )
+        if self.sort_window:
+            if self.sort_window & (self.sort_window - 1):
+                raise ValueError("sort_window must be a power of two")
+            if self.sort_window < 512:
+                raise ValueError("sort_window must be >= 512")
         if self.rungs is not None and (
             not self.rungs
             or any(r not in (4, 8, 16, 32, 64) for r in self.rungs)

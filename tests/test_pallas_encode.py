@@ -785,3 +785,101 @@ def test_pallas_encode_wide_emit_parity():
                 memoryview(cw[i, : sw[i]].tobytes()), out, 0
             )
             assert bytes(out) == data[i * bs : (i + 1) * bs]
+
+
+def test_pallas_sorted_window_parity():
+    # sort_window > 0 runs each rung's bitonic chunk-locally (merges stop
+    # at the window; the final merge is relabeled m so every group sorts
+    # ascending) and the lag scan masks group boundaries. Kernel must stay
+    # byte-parity with the spec at windows below, equal to, and above the
+    # chunk height, with and without the fused select path, and the
+    # streams must decode. Device speed/ratio tradeoff:
+    # docs/sweep_stats.json.
+    bs = 2048
+    r = random.Random(123)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(300)
+    for i in range(pe.BATCH):
+        body = bytearray()
+        while len(body) < bs:
+            body += (
+                seed[: r.randint(4, 120)]
+                if r.random() < 0.6
+                else r.randbytes(r.randint(3, 60))
+            )
+        b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    for cfg in (
+        dict(rungs=(4,), prev_k=2, sel_cap=16, sel_all=True, ext_cap=48,
+             neighbor=True, sort_window=1024),  # flagship + window
+        dict(rungs=(4,), prev_k=2, sort_window=512),
+        dict(rungs=(4, 8), prev_k=1, sort_window=2048),  # == bs: full
+    ):
+        comp_k, sizes_k = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", interpret=True, **cfg,
+        )
+        comp_s, sizes_s = lme.encode_lanes(
+            blocks, lens, bs, pe.encode_capacity(bs), matcher="sorted",
+            **cfg,
+        )
+        assert (np.asarray(sizes_k) == sizes_s).all(), cfg
+        ck = np.asarray(comp_k)
+        for i in range(pe.BATCH):
+            assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all(), cfg
+            stream = (
+                encode_varint32(int(lens[i])) + encode_varint32(bs)
+                + int(sizes_s[i]).to_bytes(4, "little")
+                + ck[i, : sizes_s[i]].tobytes()
+            )
+            assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+
+
+def test_pallas_sorted_rung_pick_parity():
+    # rung_pick: the longest rung with a candidate wins outright (no
+    # capped select sweeps) and one from-scratch extension verifies it.
+    # Kernel must stay byte-parity with the spec; streams must decode.
+    bs = 1024
+    r = random.Random(555)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(300)
+    for i in range(pe.BATCH):
+        body = bytearray()
+        while len(body) < bs:
+            body += (
+                seed[: r.randint(4, 120)]
+                if r.random() < 0.6
+                else r.randbytes(r.randint(3, 60))
+            )
+        b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    for cfg in (
+        dict(rungs=(4, 16), prev_k=1, ext_cap=48, neighbor=True,
+             rung_pick=True),  # the round-4 flagship candidate
+        dict(rungs=(4, 16, 64), prev_k=1, ext_cap=64, rung_pick=True),
+        dict(rungs=(4, 16), prev_k=1, rung_pick=True, sort_window=512),
+    ):
+        comp_k, sizes_k = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", interpret=True, **cfg,
+        )
+        comp_s, sizes_s = lme.encode_lanes(
+            blocks, lens, bs, pe.encode_capacity(bs), matcher="sorted",
+            **cfg,
+        )
+        assert (np.asarray(sizes_k) == sizes_s).all(), cfg
+        ck = np.asarray(comp_k)
+        for i in range(pe.BATCH):
+            assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all(), cfg
+            stream = (
+                encode_varint32(int(lens[i])) + encode_varint32(bs)
+                + int(sizes_s[i]).to_bytes(4, "little")
+                + ck[i, : sizes_s[i]].tobytes()
+            )
+            assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
