@@ -38,7 +38,7 @@ def measure(
     coarse: int = 0, granular: bool = False, matcher: str = "sorted",
     rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
     sel_cap: int = 0, sel_all: bool = False, rung_strides: tuple | None = None,
-    ext_cap: int = 64, neighbor: bool = False,
+    ext_cap: int = 64, neighbor: bool = False, rung_pick: bool = True,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -53,6 +53,7 @@ def measure(
         matcher=matcher, rungs=rungs, prev_k=prev_k,
         stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
         rung_strides=rung_strides, ext_cap=ext_cap, neighbor=neighbor,
+        rung_pick=rung_pick,
     )
 
     t0 = time.perf_counter()
@@ -72,7 +73,7 @@ def measure(
         dec_s += t.total
     assert out == plain
     n = len(plain) * iters
-    return {
+    result = {
         "engine": engine,
         "block_size": block_size,
         "bytes": len(plain),
@@ -84,19 +85,34 @@ def measure(
         # JAX_COMPILATION_CACHE_DIR is warm - see `make warm-cache`).
         "compile_s": round(enc_compile_s + dec_compile_s, 1),
     }
+    if engine == "pallas":
+        # Transfer-clean device kernel throughput (lane-group slope,
+        # runtime/devbench.py): the endpoint's tunnel ships outputs at
+        # ~10 MB/s with a ~30-40 ms dispatch floor, so the wall numbers
+        # above measure the tunnel; the slope measures the silicon. The
+        # end-to-end run above already proved bit-exactness and ratio.
+        from pim_compression_tpu.runtime.devbench import slope_measure
+
+        dev = slope_measure(plain, cfg)
+        e, d = dev["encode"]["device_gbps"], dev["decode"]["device_gbps"]
+        result["device_enc_gbps"] = e
+        result["device_dec_gbps"] = d
+        result["device_combined_gbps"] = round(2 / (1 / e + 1 / d), 4)
+        result["device_detail"] = dev
+    return result
 
 
 def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
     matcher, rungs, prev_k, stride2_min=0, sel_cap=0, sel_all=False,
-    rung_strides=None, ext_cap=64, neighbor=False,
+    rung_strides=None, ext_cap=64, neighbor=False, rung_pick=True,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
         f"{rungs!r}, {prev_k}, {stride2_min}, {sel_cap}, {sel_all!r}, "
-        f"{rung_strides!r}, {ext_cap}, {neighbor!r})))"
+        f"{rung_strides!r}, {ext_cap}, {neighbor!r}, {rung_pick!r})))"
     )
     try:
         proc = subprocess.run(
@@ -136,31 +152,31 @@ def main() -> int:
     # "sorted" (default): rung-ladder bitonic matcher, whole-block window;
     # window/coarse knobs apply to "sweep" only.
     matcher = os.environ.get("PIM_BENCH_MATCHER", "sorted")
-    # Round-3 speed flagship: a SINGLE dense 4-byte rung + prev_k
-    # nearest-previous composition + fused select-then-extend. 1.96
-    # vreg-c/B at xml ratio 0.7563 @ 32K (reference bar 0.7408),
-    # device-validated oracle-valid (tpu_validation.json); every corpus
-    # file compresses below the shipped reference stream. Richer ladders
-    # (PIM_BENCH_RUNGS=4,32 / PREVK=4/6) trade cycles for ratio — see
-    # docs/perf_ledger.json.
-    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4")
+    # Round-4 rung-pick flagship: rungs (4,16), the longest rung with a
+    # candidate wins outright, one from-scratch extension verifies it.
+    # Device-measured 0.082 GB/s/chip encode at xml ratio 0.7677
+    # (docs/device_pipeline_times.json; reference bar 0.7408); every
+    # corpus file compresses below the shipped reference stream. Set
+    # PREVK>1 / SELCAP>0 for the select-ladder configs (they auto-disable
+    # rung-pick) — see docs/perf_ledger.json.
+    rungs_env = os.environ.get("PIM_BENCH_RUNGS", "4,16")
     rungs = (
         tuple(int(x) for x in rungs_env.split(",")) if rungs_env else None
     )
     # prev_k=2 folds the second-nearest previous occurrence on the 4-byte
     # rung (no extra sort) — better ratio for ~one extension pass.
-    prev_k = int(os.environ.get("PIM_BENCH_PREVK", "2"))
+    prev_k = int(os.environ.get("PIM_BENCH_PREVK", "1"))
     # Half-density sort on rungs >= this (~40% fewer sort ops there for a
     # small ratio cost); 0 = full density (the single-rung flagship keeps
     # its 4-byte rung dense — stride-2 there was measured below the bar).
     stride2_min = int(os.environ.get("PIM_BENCH_STRIDE2MIN", "0"))
     # Select-then-extend cap (bytes): candidates get a cheap capped
     # extension and only the winner is fully extended; 0 = off.
-    sel_cap = int(os.environ.get("PIM_BENCH_SELCAP", "16"))
+    sel_cap = int(os.environ.get("PIM_BENCH_SELCAP", "0"))
     # Global select-then-extend (the round-3 fused kernel): every candidate
     # array shares one word build; the winner's extension resumes from the
     # capped state. 2.59 c/B at 32K (was 4.40 for the same ladder).
-    sel_all = os.environ.get("PIM_BENCH_SELALL", "1") == "1"
+    sel_all = os.environ.get("PIM_BENCH_SELALL", "0") == "1"
     # Per-rung sort densities, e.g. "1,8" (overrides stride2_min).
     rs_env = os.environ.get("PIM_BENCH_RUNG_STRIDES", "")
     rung_strides = tuple(int(x) for x in rs_env.split(",")) if rs_env else None
@@ -169,6 +185,12 @@ def main() -> int:
     # (+0.7 xml ratio points for one elementwise pass).
     ext_cap = int(os.environ.get("PIM_BENCH_EXTCAP", "48"))
     neighbor = os.environ.get("PIM_BENCH_NEIGHBOR", "1") == "1"
+    # Round-4 rung-pick flagship (auto-disabled when PREVK > 1 or
+    # SELCAP > 0 opt into the select ladder).
+    rung_pick = (
+        os.environ.get("PIM_BENCH_RUNGPICK", "1") == "1"
+        and prev_k == 1 and sel_cap == 0
+    )
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -188,29 +210,44 @@ def main() -> int:
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
         matcher, rungs, prev_k, stride2_min, sel_cap, sel_all, rung_strides,
-        ext_cap, neighbor,
+        ext_cap, neighbor, rung_pick,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.
         result = measure("native", 32768, repeat, iters)
         result["fallback"] = True
 
+    if "device_combined_gbps" in result:
+        # Headline: per-chip device kernel throughput (slope-measured,
+        # dispatch floor and tunnel transfers cancelled — the numbers the
+        # silicon actually delivers; docs/device_pipeline_times.json).
+        value = result["device_combined_gbps"]
+        metric = (
+            f"device codec GB/s per chip (encode+decode slope, "
+            f"{result['engine']} engine, bs={result['block_size']}, "
+            f"xml corpus x{repeat})"
+        )
+    else:
+        value = round(result["combined_gbps"], 4)
+        metric = (
+            f"encode+decode GB/s ({result['engine']} engine, "
+            f"bs={result['block_size']}, xml corpus x{repeat})"
+        )
     print(
         json.dumps(
             {
-                "metric": (
-                    f"encode+decode GB/s ({result['engine']} engine, "
-                    f"bs={result['block_size']}, xml corpus x{repeat})"
-                ),
-                "value": round(result["combined_gbps"], 4),
+                "metric": metric,
+                "value": value,
                 "unit": "GB/s",
-                "vs_baseline": round(result["combined_gbps"] / base, 3),
+                "vs_baseline": round(value / base, 3),
             }
         )
     )
     print(
-        f"# encode {result['enc_gbps']:.3f} GB/s, decode {result['dec_gbps']:.3f} "
-        f"GB/s, ratio {result['ratio']:.3f}, host-seq baseline {base:.3f} GB/s, "
+        f"# device enc {result.get('device_enc_gbps', 0):.3f} / dec "
+        f"{result.get('device_dec_gbps', 0):.3f} GB/s; wall (tunnel-bound) "
+        f"enc {result['enc_gbps']:.4f} / dec {result['dec_gbps']:.4f} GB/s; "
+        f"ratio {result['ratio']:.3f}; host-seq baseline {base:.3f} GB/s; "
         f"first-run compile {result.get('compile_s', 0)}s",
         file=sys.stderr,
     )

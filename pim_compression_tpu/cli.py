@@ -63,17 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
         "exhaustive shifted-compare sweep bounded by --window",
     )
     p.add_argument(
-        "--rungs", default="4",
+        "--rungs", default="4,16",
         help="sorted-matcher rung ladder, e.g. 4,16,64; 'full' = "
-        "4,8,16,32,64 (default: 4 — the measured flagship: one dense "
-        "4-byte rung + the prev ladder dominates multi-rung configs)",
+        "4,8,16,32,64 (default: 4,16 — the round-4 rung-pick flagship)",
     )
     p.add_argument(
-        "--prev-k", type=int, choices=list(range(1, 9)), default=2,
+        "--prev-k", type=int, choices=list(range(1, 9)), default=1,
         help="sorted-matcher candidates per position on the 4-byte rung: "
         "k also tries the 2nd..k-th-nearest previous occurrences (better "
-        "ratio, ~one extra extension pass each; diminishing past 4). "
-        "Default 2 = speed flagship; 4 balanced; 6 ratio champion",
+        "ratio, ~one extra extension pass each; diminishing past 4; "
+        "> 1 opts into the select ladder and disables --rung-pick). "
+        "Default 1 (rung-pick flagship); 4 balanced; 6 ratio champion",
     )
     p.add_argument(
         "--stride2-min", type=int, choices=[0, 8, 16, 32, 64], default=0,
@@ -82,20 +82,21 @@ def build_parser() -> argparse.ArgumentParser:
         "at a small ratio cost); 0 = off",
     )
     p.add_argument(
-        "--sel-cap", type=int, default=16,
+        "--sel-cap", type=int, default=0,
         help="sorted-matcher select-then-extend cap (bytes, multiple of 4 "
         "in [4,64]): prev candidates get only a cheap capped extension and "
-        "the winner alone is fully extended; 0 = off (default 16, the "
-        "measured knee)",
+        "the winner alone is fully extended; > 0 opts into the select "
+        "ladder and disables --rung-pick; 0 = off (default; 16 = the "
+        "measured knee of the select ladder)",
     )
     p.add_argument(
-        "--sel-all", default=True,
+        "--sel-all", default=False,
         action=__import__("argparse").BooleanOptionalAction,
         help="sorted-matcher global select-then-extend (needs --sel-cap): "
         "every candidate array (rungs + prev ladder) gets only the capped "
         "extension in one fused kernel; the winner's full extension "
-        "resumes from the capped state (default on — the flagship mode; "
-        "--no-sel-all for the per-candidate full-extension path)",
+        "resumes from the capped state (default off — pair with "
+        "--sel-cap for the round-3 select-ladder flagship)",
     )
     p.add_argument(
         "--rung-strides", default=None,
@@ -103,11 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         "to --rungs; values 1/2/4/8; overrides --stride2-min)",
     )
     p.add_argument(
-        "--rung-pick", default=False, action="store_true",
-        help="rung-priority selection (requires --prev-k 1, --sel-cap 0): "
+        "--rung-pick", default=True,
+        action=__import__("argparse").BooleanOptionalAction,
+        help="rung-priority selection (the round-4 flagship, default on): "
         "the longest rung with a candidate wins and one from-scratch "
         "extension verifies it - fewer gather sweeps than the select "
-        "ladder at better xml ratio (pair with --rungs 4,16)",
+        "ladder at better xml ratio. Auto-disabled when --prev-k > 1 or "
+        "--sel-cap > 0 (those opt into the select ladder)",
     )
     p.add_argument(
         "--sort-window", type=int, default=0,
@@ -196,11 +199,9 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rungs in (None, "", "full")
                 else tuple(int(r) for r in args.rungs.split(","))
             ),
-            prev_k=1 if args.rung_pick else args.prev_k,
-            sel_cap=0 if args.rung_pick else args.sel_cap,
-            sel_all=(
-                args.sel_all and args.sel_cap > 0 and not args.rung_pick
-            ),
+            prev_k=args.prev_k,
+            sel_cap=args.sel_cap,
+            sel_all=args.sel_all and args.sel_cap > 0,
             raw_triage=not args.no_triage,
             verify=args.verify,
             stride2_min=args.stride2_min,

@@ -396,7 +396,11 @@ def compress(
                     ext_cap=config.ext_cap,
                     neighbor=config.neighbor,
                     sort_window=config.sort_window,
-                    rung_pick=config.rung_pick,
+                    # effective: prev_k>1 / sel_cap>0 / the 64K wide
+                    # upgrade above all opt into the select ladder
+                    rung_pick=(
+                        config.effective_rung_pick and not sel_cap
+                    ),
                     interpret=interpret,
                 )
             else:

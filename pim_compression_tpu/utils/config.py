@@ -46,13 +46,13 @@ class CodecConfig:
     # must hit the flagship, like the reference's published best configs,
     # host_speedup.py:13-21). More rungs buy ratio at proportional sort
     # cost - the tradeoff axis; reference analog compr_cycle_tradeoff.py.
-    rungs: tuple[int, ...] | None = (4,)
+    rungs: tuple[int, ...] | None = (4, 16)
     # Sorted-matcher candidates per position on the L=4 rung: k folds the
     # 2nd..k-th-nearest previous occurrences (iterated lag composition, no
     # extra sort — pallas_match._prev_step_kernel), worth +0.2-0.3 ratio
     # points per step up to k=4. Ignored by the sweep matcher. Default 2 =
     # the speed flagship; 4/6 are the balanced/ratio-champion points.
-    prev_k: int = 2
+    prev_k: int = 1
     # Sorted-matcher half-density sort threshold: rungs >= this length sort
     # only even positions (~40% fewer sort ops on those rungs,
     # pallas_match._sort_rung_kernel stride=2) at a small ratio cost
@@ -69,7 +69,7 @@ class CodecConfig:
     # candidate fully extended). Multiple of 4 in [4, 64]; only matters
     # when prev_k >= 2. Default 16 = the measured knee (sel12/sel8 lose
     # 2-4x more ratio per op saved).
-    sel_cap: int = 16
+    sel_cap: int = 0
     # Sorted-matcher global select-then-extend (requires sel_cap): every
     # candidate array — each rung AND the prev ladder — gets only the
     # capped extension, fused in one kernel sharing a single word build;
@@ -77,7 +77,7 @@ class CodecConfig:
     # (pallas_match._select_extend_kernel). The round-3 production mode:
     # (4,32)+prev2 runs at 2.26-2.59 c/B (was 4.40) for a 0.4-0.7
     # ratio-point cost on xml. Default on: the flagship operating point.
-    sel_all: bool = True
+    sel_all: bool = False
     # Sorted-matcher per-rung sort densities (parallel to rungs; values
     # 1/2/4/8; overrides stride2_min). E.g. (1, 8) sorts the long rung at
     # 1/8 density: xml @32K (4,32)+prev2+sel16 = 0.7595 vs 0.7636 at
@@ -96,7 +96,7 @@ class CodecConfig:
     # data-dependent gather sweeps than the prev2+sel16 ladder at BETTER
     # xml ratio (spec 0.8050 vs 0.7879); all corpus files stay below the
     # reference streams (docs/sweep_stats.json).
-    rung_pick: bool = False
+    rung_pick: bool = True
     # Sorted-matcher candidate window (bytes, power of two dividing the
     # block size; 0 = the whole block): > 0 runs each rung's sort
     # chunk-locally, so candidates come only from the position's aligned
@@ -135,6 +135,13 @@ class CodecConfig:
     # (snappy/scripts/asplos21/dpu_tasklet_tradeoff.py:10).
     mesh_devices: int | None = None
 
+    @property
+    def effective_rung_pick(self) -> bool:
+        """rung_pick applies only to the plain single-candidate ladder:
+        setting prev_k > 1 or sel_cap > 0 opts into the select ladder and
+        auto-disables it (no error - the knobs compose by priority)."""
+        return self.rung_pick and self.prev_k == 1 and not self.sel_cap
+
     def __post_init__(self) -> None:
         if not 0 < self.block_size <= C.MAX_BLOCK_SIZE:
             raise ValueError(f"block_size must be in (0, {C.MAX_BLOCK_SIZE}]")
@@ -144,11 +151,6 @@ class CodecConfig:
             raise ValueError(f"unknown coarse_mode {self.coarse_mode!r}")
         if self.matcher not in ("sorted", "sweep"):
             raise ValueError(f"unknown matcher {self.matcher!r}")
-        if self.rung_pick and (self.sel_cap or self.prev_k != 1):
-            raise ValueError(
-                "rung_pick requires prev_k=1 and sel_cap=0 (it replaces "
-                "the select ladder)"
-            )
         if self.sort_window:
             if self.sort_window & (self.sort_window - 1):
                 raise ValueError("sort_window must be a power of two")

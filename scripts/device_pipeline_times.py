@@ -80,12 +80,20 @@ def timed(name: str, fn, *args, iters: int = 5):
 
 def main() -> int:
     bs = int(os.environ.get("PIM_BS", "32768"))
-    cfg = CodecConfig(engine="pallas", block_size=bs)  # flagship defaults
+    if os.environ.get("PIM_ENC_CFG") == "selladder":
+        # The round-3 select-ladder flagship, for comparison runs.
+        cfg = CodecConfig(
+            engine="pallas", block_size=bs, rungs=(4,), prev_k=2,
+            sel_cap=16, sel_all=True, rung_pick=False,
+        )
+    else:
+        cfg = CodecConfig(engine="pallas", block_size=bs)  # flagship
     enc_kwargs = dict(
         block_size=bs, matcher=cfg.matcher, rungs=cfg.rungs,
         prev_k=cfg.prev_k, stride2_min=cfg.stride2_min, sel_cap=cfg.sel_cap,
         sel_all=cfg.sel_all, rung_strides=cfg.rung_strides,
         ext_cap=cfg.ext_cap, neighbor=cfg.neighbor,
+        rung_pick=cfg.effective_rung_pick,
     )
     results: dict = {"bs": bs, "flagship": enc_kwargs.copy(), "pipelines": []}
     for k in ("rungs", "rung_strides"):
@@ -172,14 +180,18 @@ def main() -> int:
     for row in ledger["rows"]:
         if row["kernel"] == f"decode bs={bs}":
             pred["decode"] = row["proj_v5e_gbps"]
-        if row["kernel"].startswith(f"encode bs={bs} sorted rungs=4 prev2 sel16 selall ext48 nb"):
+        if row["kernel"].startswith(f"encode bs={bs} sorted rungs=4,16 ext48 nb"):
             pred["encode"] = row["proj_v5e_gbps"]
     for p in results["pipelines"]:
         want = pred.get(p["pipeline"])
         if want:
             p["ledger_proj_gbps"] = want
             p["residual_x"] = round(p["device_gbps"] / want, 3)
-    path = REPO / "docs" / "device_pipeline_times.json"
+    suffix = os.environ.get("PIM_ENC_CFG", "")
+    path = REPO / "docs" / (
+        f"device_pipeline_times_{suffix}.json" if suffix
+        else "device_pipeline_times.json"
+    )
     path.write_text(json.dumps(results, indent=2) + "\n")
     print(f"wrote {path}")
     return 0

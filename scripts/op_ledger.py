@@ -387,7 +387,16 @@ def main() -> int:
         )
 
     enc_cfgs = [
-        # Round-4 flagship: dense 4-byte rung + prev2 + fused
+        # Round-4 rung-pick flagship: (4,16) rung-priority selection (the
+        # longest rung with a candidate wins, one from-scratch
+        # extension) — fewer data-dependent gather sweeps than the select
+        # ladder at better xml ratio (spec 0.8050 vs 0.7879); every
+        # corpus file below the reference stream.
+        dict(block_size=32768, matcher="sorted", rungs=(4, 16), prev_k=1,
+             ext_cap=48, neighbor=True, rung_pick=True),
+        dict(block_size=16384, matcher="sorted", rungs=(4, 16), prev_k=1,
+             ext_cap=48, neighbor=True, rung_pick=True),
+        # Earlier round-4 flagship: dense 4-byte rung + prev2 + fused
         # select-then-extend capped at ext_cap=48 + the neighbor fold —
         # xml @32K spec ratio 0.7566 (>= the r3 flagship's 0.7563) with a
         # quarter fewer extension rounds.

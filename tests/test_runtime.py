@@ -195,13 +195,16 @@ def test_pallas_64k_blocks_end_to_end():
     stream = runtime.compress(data, cfg_off, t)
     assert t.notes.get("wide_select") == "sel_all sel_cap=16"
     assert runtime.decompress(stream, CodecConfig(engine="oracle")) == data
-    # The DEFAULT config (flagship: sel_all sel16) needs no upgrade note.
+    # The DEFAULT config (rung-pick flagship) also upgrades at 64K: the
+    # wide emit path needs the fused select-then-extend, and sel_cap > 0
+    # auto-disables rung_pick (the knobs compose by priority -
+    # utils/config.py effective_rung_pick).
     cfg = CodecConfig(
         engine="pallas", block_size=65536, matcher="sorted",
         strict_engine=True,
     )
     t2 = PhaseTimer()
     stream2 = runtime.compress(data, cfg, t2)
-    assert "wide_select" not in t2.notes
+    assert t2.notes.get("wide_select") == "sel_all sel_cap=16"
     assert runtime.decompress(stream2, CodecConfig(engine="oracle")) == data
     assert runtime.decompress(stream2, cfg) == data
