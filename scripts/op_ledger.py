@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Perf-evidence ledger: issued vreg-op counts per kernel/config.
 
-DESIGN.md declares vector-op count "the meaningful performance observable"
-on the axon endpoint (a functional emulator ~300-2000x below silicon);
-this script *derives* that observable instead of asserting it. It traces
+The op-count INVENTORY for comparing kernel configs (round 4 demoted it
+from wall-time predictor: the endpoint is real silicon behind a slow
+tunnel — DESIGN.md — and dynamic-while trip counts this script cannot see
+dominate the gather-sweep kernels; measured device times live in
+docs/device_pipeline_times.json / device_kernel_attrib.json). It traces
 each production kernel to a jaxpr, recurses into ``pallas_call`` bodies,
 ``scan``/``fori_loop`` (multiplying by static trip counts) and ``cond``
 branches (max), and counts every vector primitive weighted by the number
@@ -14,14 +16,14 @@ data in extended form).
 From the counts it reports, per kernel/config:
   - vreg_ops:        total issued vector-register operations
   - ops_per_byte:    vreg_ops / payload bytes (the batch's real bytes)
-  - cycles_per_byte: assuming 1 vreg-op/cycle on the v5e VPU (conservative:
-                     the VPU can issue several per cycle across its ALUs)
-  - proj_v5e_gbps:   940 MHz / cycles_per_byte — the silicon projection the
-                     bench cites (compute-bound; HBM streaming of the
-                     blocks themselves is far below this at these ops/byte)
-  - emu_s_per_batch: vreg_ops x 2.5 us — the measured emulator cost of one
-                     full-array vector op per vreg (DESIGN.md measured
-                     facts) — cross-checkable against tpu_validation.json
+  - cycles_per_byte: assuming 1 vreg-op/cycle on the v5e VPU — an UPPER
+                     BOUND on compute throughput for config-relative
+                     comparison (dynamic whiles counted at 1 iteration)
+  - proj_v5e_gbps:   940 MHz / cycles_per_byte — kept for config-relative
+                     comparison; measured residuals vs the device slope
+                     are recorded in docs/device_pipeline_times.json
+  - emu_s_per_batch: legacy round-3 cross-check column (vreg_ops x 2.5us);
+                     superseded by the measured device times
 
 Reference analog: the DPU build's max-cycles-per-tasklet discipline
 (snappy/scripts/parse_output_file.py:6-28) — there the observable is DPU
