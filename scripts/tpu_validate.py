@@ -60,6 +60,8 @@ def main() -> int:
     ap.add_argument("--rung-strides", default=None, help="e.g. 1,8")
     ap.add_argument("--ext-cap", type=int, default=64)
     ap.add_argument("--neighbor", action="store_true")
+    ap.add_argument("--rung-pick", action="store_true")
+    ap.add_argument("--sort-window", type=int, default=0)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -81,7 +83,8 @@ def main() -> int:
         "sel_cap": args.sel_cap, "sel_all": args.sel_all,
         "rung_strides": args.rung_strides,
         "stride2_min": args.stride2_min,
-        "ext_cap": args.ext_cap, "neighbor": args.neighbor}
+        "ext_cap": args.ext_cap, "neighbor": args.neighbor,
+        "rung_pick": args.rung_pick, "sort_window": args.sort_window}
     rungs = (
         tuple(int(r) for r in args.rungs.split(",")) if args.rungs else None
     )
@@ -179,6 +182,7 @@ def main() -> int:
             rung_strides=rung_strides,
             stride2_min=args.stride2_min,
             ext_cap=args.ext_cap, neighbor=args.neighbor,
+            rung_pick=args.rung_pick, sort_window=args.sort_window,
         )
         sync(c)
         return c, s
@@ -207,6 +211,7 @@ def main() -> int:
                 rung_strides=rung_strides,
                 stride2_min=args.stride2_min,
                 ext_cap=args.ext_cap, neighbor=args.neighbor,
+                rung_pick=args.rung_pick, sort_window=args.sort_window,
             )
         sync(c)
         return (time.time() - t0) / args.iters
