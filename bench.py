@@ -39,6 +39,7 @@ def measure(
     rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
     sel_cap: int = 0, sel_all: bool = False, rung_strides: tuple | None = None,
     ext_cap: int = 64, neighbor: bool = False, rung_pick: bool = True,
+    max_lag: int = 8192, sweep_span: int = 8,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -53,7 +54,7 @@ def measure(
         matcher=matcher, rungs=rungs, prev_k=prev_k,
         stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
         rung_strides=rung_strides, ext_cap=ext_cap, neighbor=neighbor,
-        rung_pick=rung_pick,
+        rung_pick=rung_pick, max_lag=max_lag, sweep_span=sweep_span,
     )
 
     t0 = time.perf_counter()
@@ -106,13 +107,15 @@ def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
     matcher, rungs, prev_k, stride2_min=0, sel_cap=0, sel_all=False,
     rung_strides=None, ext_cap=64, neighbor=False, rung_pick=True,
+    max_lag=8192, sweep_span=8,
 ) -> dict | None:
     code = (
         "import json, bench; "
         f"print('RESULT ' + json.dumps(bench.measure({engine!r}, {block_size}, "
         f"{repeat}, {iters}, {window}, {coarse}, {granular}, {matcher!r}, "
         f"{rungs!r}, {prev_k}, {stride2_min}, {sel_cap}, {sel_all!r}, "
-        f"{rung_strides!r}, {ext_cap}, {neighbor!r}, {rung_pick!r})))"
+        f"{rung_strides!r}, {ext_cap}, {neighbor!r}, {rung_pick!r}, "
+        f"{max_lag}, {sweep_span})))"
     )
     try:
         proc = subprocess.run(
@@ -191,6 +194,11 @@ def main() -> int:
         os.environ.get("PIM_BENCH_RUNGPICK", "1") == "1"
         and prev_k == 1 and sel_cap == 0
     )
+    # Round-5 flagship additions: candidate reach cap (bounds the
+    # extension sweeps' gather distance; xml spec ratio 0.7925 @8192 vs
+    # 0.8050 uncapped) + span-8 sweeps (half the iterations of span-4).
+    max_lag = int(os.environ.get("PIM_BENCH_MAXLAG", "8192"))
+    sweep_span = int(os.environ.get("PIM_BENCH_SPAN", "8"))
 
     # Baseline: the single-threaded native host codec (the reference host
     # path) — measured in-process (no TPU involvement).
@@ -210,7 +218,7 @@ def main() -> int:
     result = measure_subprocess(
         engine, block, repeat, iters, timeout, window, coarse, granular,
         matcher, rungs, prev_k, stride2_min, sel_cap, sel_all, rung_strides,
-        ext_cap, neighbor, rung_pick,
+        ext_cap, neighbor, rung_pick, max_lag, sweep_span,
     )
     if result is None and engine != "native":
         # Device path unavailable — report the threaded host engine instead.

@@ -135,6 +135,26 @@ def build_parser() -> argparse.ArgumentParser:
         "ratio points @32K (default on)",
     )
     p.add_argument(
+        "--max-lag", type=int, default=8192,
+        help="sorted-matcher candidate reach cap (bytes; 0 = whole "
+        "block): bounds the extension sweeps' gather distance — the "
+        "dominant device encode cost — at a small ratio price (xml @32K "
+        "flagship: 0.8050 full / 0.7925 @8192 / 0.7754 @4096; reference "
+        "bar 0.7408). Default 8192 (the round-5 flagship knee)",
+    )
+    p.add_argument(
+        "--sweep-span", type=int, choices=[2, 4, 8, 16], default=8,
+        help="extension-sweep span: consecutive source chunks per gather "
+        "iteration (span 8 halves flagship sweep iterations vs 4)",
+    )
+    p.add_argument(
+        "--preset", choices=["speed", "balanced", "ratio"], default=None,
+        help="measured operating point for the chosen block size (the "
+        "reference's per-file best-config table, host_speedup.py:13-21): "
+        "sets the matcher knobs; explicitly passed knob flags still "
+        "override the preset",
+    )
+    p.add_argument(
         "--verify", action="store_true",
         help="on-device decode-after-encode verification: every encoded "
         "batch is decoded by the production decoder on the device and "
@@ -188,6 +208,28 @@ def main(argv: list[str] | None = None) -> int:
 
     engine = args.engine or ("pallas" if args.d else "native")
     block_size = args.b or C.DEFAULT_BLOCK_SIZE
+    # Preset knobs apply only where the flag was left at its parser default
+    # (explicit knob flags override the preset, like the reference's
+    # best-config table + command line).
+    preset_kw: dict = {}
+    if args.preset:
+        from pim_compression_tpu.utils.config import preset_overrides
+
+        parser = build_parser()
+        for field, value in preset_overrides(args.preset, block_size).items():
+            arg_map = {
+                "rungs": "rungs", "prev_k": "prev_k", "sel_cap": "sel_cap",
+                "sel_all": "sel_all", "max_lag": "max_lag",
+                "sweep_span": "sweep_span",
+            }
+            dest = arg_map.get(field, field)
+            if getattr(args, dest, None) == parser.get_default(dest) or (
+                field == "rungs"
+                and args.rungs == parser.get_default("rungs")
+            ):
+                preset_kw[field] = value
+        if "rungs" in preset_kw:  # bypass the string parse below
+            args.rungs = ",".join(str(r) for r in preset_kw.pop("rungs"))
     try:
         config = CodecConfig(
             block_size=block_size, engine=engine, num_threads=args.threads,
@@ -199,9 +241,11 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rungs in (None, "", "full")
                 else tuple(int(r) for r in args.rungs.split(","))
             ),
-            prev_k=args.prev_k,
-            sel_cap=args.sel_cap,
-            sel_all=args.sel_all and args.sel_cap > 0,
+            prev_k=preset_kw.pop("prev_k", args.prev_k),
+            sel_cap=preset_kw.pop("sel_cap", args.sel_cap),
+            sel_all=preset_kw.pop(
+                "sel_all", args.sel_all and args.sel_cap > 0
+            ),
             raw_triage=not args.no_triage,
             verify=args.verify,
             stride2_min=args.stride2_min,
@@ -214,6 +258,8 @@ def main(argv: list[str] | None = None) -> int:
             neighbor=args.neighbor,
             sort_window=args.sort_window,
             rung_pick=args.rung_pick,
+            max_lag=preset_kw.pop("max_lag", args.max_lag),
+            sweep_span=preset_kw.pop("sweep_span", args.sweep_span),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -326,6 +326,7 @@ def extend_match(
     lens: np.ndarray,
     cand: np.ndarray,  # int32 [bs, lanes] candidate lags (0 = none)
     max_len: int = 64,
+    trust: np.ndarray | None = None,  # int [bs, lanes] trusted prefix bytes
 ) -> np.ndarray:
     """Exact byte-verified match length (0 or 4..max_len) for each candidate.
 
@@ -334,30 +335,78 @@ def extend_match(
     bytes. Out-of-range gather rows are clamped — any accidental equality
     past the block end is cut by the final length cap. This is the spec for
     the Pallas extend kernel's take_along_axis rounds.
+
+    ``trust`` (verify-after-parse mode) gives per-position trusted prefix
+    byte counts (multiples of 4: the rung length of the winning candidate,
+    capped at 16): those bytes are ASSUMED matched — word rounds with
+    4k < trust are skipped, lenacc starts at trust — on the strength of
+    the rung sort's key equality. Fold collisions (wrong assumptions) are
+    caught after the greedy parse by :func:`verify_copy_prefix` at
+    accepted copy positions only, and collision-hit blocks re-encode
+    through the exact path. With ``trust=None`` every round runs exactly
+    (identical to the pre-trust behavior).
     """
     bs, lanes = W4.shape
     rows = np.arange(bs, dtype=np.int64)[:, None]
     has = cand > 0
     idx = rows - cand
-    lenacc = np.zeros((bs, lanes), np.int64)
+    trustv = (
+        np.where(has, trust.astype(np.int64), 0)
+        if trust is not None
+        else np.zeros((bs, lanes), np.int64)
+    )
+    lenacc = trustv.copy()
     still = has.copy()
     own = W4
     for k in range(max_len // 4):
+        active = still & (4 * k >= trustv)
         a = _shift_up(own, 4 * k) if k else own
         b = np.take_along_axis(W4, np.clip(idx + 4 * k, 0, bs - 1), axis=0)
         x = a ^ b
-        weq = still & (x == 0)
+        weq = active & (x == 0)
         lenacc += np.where(weq, 4, 0)
         t = (
             ((x & 0xFF) == 0).astype(np.int64)
             + ((x & 0xFFFF) == 0).astype(np.int64)
             + ((x & 0xFFFFFF) == 0).astype(np.int64)
         )
-        lenacc += np.where(still & ~weq, t, 0)
-        still = weq
+        lenacc += np.where(active & ~weq, t, 0)
+        still = np.where(active, weq, still)
     lenacc = np.minimum(lenacc, lens[None, :] - rows)
     el = np.where(has, np.minimum(lenacc, max_len), 0)
     return np.where(el >= 4, el, 0).astype(np.int32)
+
+
+def verify_copy_prefix(
+    W4: np.ndarray,  # int32 [bs, lanes] packed words
+    lens: np.ndarray,
+    is_copy: np.ndarray,  # accepted copy positions (greedy_parse output)
+    best_len: np.ndarray,
+    best_off: np.ndarray,
+    vbytes: int = 16,
+) -> np.ndarray:
+    """Per-lane flag: any accepted copy whose first min(len, vbytes) bytes
+    do NOT match its source — the verify-after-parse check that catches
+    trusted-prefix fold collisions (spec for the emit kernel's verify
+    pass). Bytes >= vbytes were verified exactly by the extension rounds,
+    and bytes genuinely equal never flag, so checking min(len, vbytes)
+    unconditionally (rather than min(len, trust)) is sound and needs no
+    trust plumbing. Returns bool [lanes]."""
+    bs, lanes = W4.shape
+    rows = np.arange(bs, dtype=np.int64)[:, None]
+    idx = rows - best_off
+    vb = np.where(is_copy, np.minimum(best_len, vbytes), 0)
+    bad = np.zeros((bs, lanes), bool)
+    for k in range(vbytes // 4):
+        a = _shift_up(W4, 4 * k) if k else W4
+        b = np.take_along_axis(W4, np.clip(idx + 4 * k, 0, bs - 1), axis=0)
+        x = a ^ b
+        r = np.clip(vb - 4 * k, 0, 4)  # bytes this round checks
+        mask = np.where(
+            r >= 4, -1, np.where(r == 1, 0xFF, np.where(r == 2, 0xFFFF, 0xFFFFFF))
+        )
+        bad |= (r > 0) & ((x & mask) != 0)
+    return bad.any(axis=0)
 
 
 def derive_neighbor(
@@ -396,6 +445,8 @@ def match_search_sorted(
     sel_all: bool = False,
     sort_window: int = 0,
     rung_pick: bool = False,
+    trusted: bool = False,
+    max_lag: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sort-based exact match finder — full-block window at O(bs log^2 bs).
 
@@ -439,12 +490,24 @@ def match_search_sorted(
     W4 = _pack_word4(data)
     best_len = np.zeros((bs, lanes), np.int32)
     best_off = np.zeros((bs, lanes), np.int32)
+
+    def cap_lag(c):
+        # max_lag: drop candidates beyond the reach cap (kernel:
+        # sorted_match_groups(max_lag=...)); applied per rung BEFORE the
+        # pick/ladder folds so nearer short-rung candidates fill in.
+        return np.where(c <= max_lag, c, 0) if max_lag else c
+
     if rung_pick:
         # Rung-priority selection: the longest rung with a candidate wins
         # outright; one from-scratch extension verifies exactly (kernel:
-        # sorted_match_groups(rung_pick=True)).
+        # sorted_match_groups(rung_pick=True)). ``trusted=True`` is the
+        # verify-after-parse mode: the extension TRUSTS the winning rung's
+        # prefix (min(L, 16) bytes — its sort proved key equality) and
+        # starts past it; verify_copy_prefix catches fold collisions
+        # after the greedy parse.
         assert prev_k == 1 and not sel_cap
         sel = np.zeros((bs, lanes), np.int32)
+        trust = np.zeros((bs, lanes), np.int32)
         h = W4
         span = 4
         for ri, L in enumerate(rungs):
@@ -459,9 +522,12 @@ def match_search_sorted(
                 if rung_windows
                 else (sort_window // stride if sort_window else 0)
             )
-            cand = packed_prev_lags(h, 1, stride=stride, window=rw)[0]
+            cand = cap_lag(packed_prev_lags(h, 1, stride=stride, window=rw)[0])
             sel = np.where(cand > 0, cand, sel)
-        best_len = extend_match(W4, lens, sel, max_len=ext_cap)
+            trust = np.where(cand > 0, min(L, 16), trust)
+        best_len = extend_match(
+            W4, lens, sel, max_len=ext_cap, trust=trust if trusted else None
+        )
         best_off = np.where(best_len > 0, sel, 0)
         if neighbor:
             best_len, best_off = derive_neighbor(best_len, best_off)
@@ -490,6 +556,7 @@ def match_search_sorted(
             valid = rows + L <= lens[None, :]
             key = np.where(valid, h, SORT_SENTINEL).astype(np.int32)
             cands = nearest_prev_lags(key, k)
+        cands = [cap_lag(c) for c in cands]
         if sel_all and sel_cap:
             all_cands.extend(cands)
             continue
@@ -825,15 +892,18 @@ def encode_lanes(
     neighbor: bool = False,
     sort_window: int = 0,
     rung_pick: bool = False,
+    max_lag: int = 0,
+    sweep_span: int = 4,  # perf-only kernel knob: no spec effect
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full pipeline; returns (comp [lanes, cap] uint8, sizes [lanes])."""
+    del sweep_span
     data = blocks.T.astype(np.int32)
     if matcher == "sorted":
         best_len, best_off = match_search_sorted(
             data, lens, rungs=rungs or (4, 8, 16, 32, 64), prev_k=prev_k,
             stride2_min=stride2_min, sel_cap=sel_cap, sel_all=sel_all,
             rung_strides=rung_strides, ext_cap=ext_cap, neighbor=neighbor,
-            sort_window=sort_window, rung_pick=rung_pick,
+            sort_window=sort_window, rung_pick=rung_pick, max_lag=max_lag,
         )
     else:
         best_len, best_off = match_search(data, lens, window, coarse_window)

@@ -1151,7 +1151,7 @@ def _emit_kernel_wide(
         "block_size", "window", "coarse_window", "granular", "matcher",
         "rungs", "prev_k", "stride2_min", "sel_cap", "sel_all",
         "rung_strides", "ext_cap", "neighbor", "sort_window", "rung_pick",
-        "interpret", "wide",
+        "max_lag", "sweep_span", "interpret", "wide",
     ),
 )
 def encode_blocks_pallas(
@@ -1173,6 +1173,8 @@ def encode_blocks_pallas(
     neighbor: bool = False,
     sort_window: int = 0,
     rung_pick: bool = False,
+    max_lag: int = 0,
+    sweep_span: int = 4,
     interpret: bool = False,
     wide: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -1413,6 +1415,7 @@ def encode_blocks_pallas(
                 sel_all=sel_all, rung_strides=rung_strides,
                 ext_cap=ext_cap, neighbor=neighbor,
                 sort_window=sort_window, rung_pick=rung_pick,
+                max_lag=max_lag, sweep_span=sweep_span,
                 interpret=interpret,
             )
             if sort_bs != bs:
@@ -1546,6 +1549,8 @@ def encode_blocks_pallas_sharded(
     neighbor: bool = False,
     sort_window: int = 0,
     rung_pick: bool = False,
+    max_lag: int = 0,
+    sweep_span: int = 4,
     interpret: bool = False,
 ):
     """Multi-device wrapper (pallas_call does not auto-partition under jit)."""
@@ -1571,6 +1576,8 @@ def encode_blocks_pallas_sharded(
         neighbor=neighbor,
         sort_window=sort_window,
         rung_pick=rung_pick,
+        max_lag=max_lag,
+        sweep_span=sweep_span,
         interpret=interpret,
     )
     sharded = shard_map(

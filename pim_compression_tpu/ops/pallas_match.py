@@ -68,6 +68,51 @@ def _shift_up(x, sh):
     )
 
 
+def _span_sweep(src_s, c, nq, rs, dist, maxd, span, zz):
+    """Adaptive chunk-distance sweep, ``span`` consecutive source chunks
+    per iteration: gather each of the span planes at ``rs`` (per-lane
+    column index), then binary-select per lane by the low bits of
+    ``loc = dist - d0`` (gather-first: the plane choice is per
+    DESTINATION lane, so selecting before the gather would index the
+    tree at the gathered lane). d0 = span*i - 1 covers forward reads
+    (dist = -1). Iteration count is driven by the scalar ``maxd`` (max
+    chunk distance over live lanes): wider spans cut iterations ~span/4x
+    at ~span/4 gathers per iteration — the win is the amortized loop/
+    select overhead and fewer dependent iterations (census:
+    docs/sweep_stats.json; span 8 halves flagship iterations)."""
+    assert span & (span - 1) == 0 and span >= 2
+
+    def sweep(i, b):
+        d0 = span * i - 1
+        g = [
+            jnp.take_along_axis(
+                src_s[
+                    pl.ds(
+                        jnp.clip(c - (d0 + j), 0, nq - 1) * LANES,
+                        LANES,
+                    )
+                ],
+                rs,
+                axis=1,
+            )
+            for j in range(span)
+        ]
+        loc = dist - d0
+        cur = g
+        lvl = 1
+        while len(cur) > 1:
+            bit = (loc & lvl) != 0
+            cur = [
+                jnp.where(bit, cur[i2 + 1], cur[i2])
+                for i2 in range(0, len(cur), 2)
+            ]
+            lvl <<= 1
+        return jnp.where((loc >= 0) & (loc < span), cur[0], b)
+
+    nit = (maxd + span + 1) >> (span.bit_length() - 1)
+    return jax.lax.fori_loop(0, nit, sweep, zz)
+
+
 def _hash_for_rung(W4, L: int):
     """Wrapping int32 hash of the L-byte prefix (ladder of mixing steps)."""
     h = W4
@@ -507,6 +552,7 @@ def _extend_fold_kernel(
     *,
     bs: int,
     rounds: int = 16,
+    span: int = 4,
 ):
     nq = bs // LANES
     lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -587,38 +633,12 @@ def _extend_fold_kernel(
             dist = crow - qs
             maxd = jnp.max(jnp.where(still, dist, neg1))
 
-            # Span-4 sweep (see _select_extend_kernel): four consecutive
-            # source chunks per iteration, per-lane binary select, one
-            # gather. d0 = -1 covers forward reads (4k > cand). No still
-            # gate: a dead lane's b is never read (x, weq, xfail are all
+            # Span sweep: ``span`` consecutive source chunks per
+            # iteration, per-lane binary select, one gather per plane.
+            # d0 = -1 covers forward reads (4k > cand). No still gate: a
+            # dead lane's b is never read (x, weq, xfail are all
             # still-gated downstream).
-            def sweep(i, b):
-                d0 = 4 * i - 1
-                # Gather-then-select (per-destination plane choice; see
-                # _select_extend_kernel's sweep).
-                g = [
-                    jnp.take_along_axis(
-                        TW_s[
-                            pl.ds(
-                                jnp.clip(c - (d0 + j), 0, nq - 1) * LANES,
-                                LANES,
-                            )
-                        ],
-                        rs,
-                        axis=1,
-                    )
-                    for j in range(4)
-                ]
-                loc = dist - d0
-                odd = (loc & 1) != 0
-                got = jnp.where(
-                    (loc & 2) != 0,
-                    jnp.where(odd, g[3], g[2]),
-                    jnp.where(odd, g[1], g[0]),
-                )
-                return jnp.where((loc >= 0) & (loc < 4), got, b)
-
-            b = jax.lax.fori_loop(0, (maxd + 5) >> 2, sweep, zz)
+            b = _span_sweep(TW_s, c, nq, rs, dist, maxd, span, zz)
             x = a ^ b
             weq = still & (x == 0)
             lenacc = lenacc + jnp.where(weq, four4, zz)
@@ -663,6 +683,7 @@ def _select_extend_kernel(
     sel_rounds: int,
     rounds: int = 16,
     hbm: bool = False,
+    span: int = 4,
 ):
     cand_refs = refs[:n_cands]
     out_ref = refs[n_cands]
@@ -733,43 +754,11 @@ def _select_extend_kernel(
                 dist = crow - qs
                 maxd = jnp.max(jnp.where(still, dist, neg1))
 
-                # Span-4 sweep: each iteration reads FOUR consecutive
-                # source chunks and binary-selects per lane before the one
-                # gather. 4x fewer iterations for ~0.75x the vreg work per
-                # distance (sweep_stats.json: distances are dense near 0,
-                # so distance-set scheduling wins little; batching the
-                # linear scan is what pays — measured 518K one-distance
-                # iterations/group = 75.7 ms of the 86.2 ms encode total).
-                def sweep(i, b):
-                    d0 = 4 * i - 1
-                    # Gather each plane FIRST, select after: the plane
-                    # choice is per destination lane, so selecting planes
-                    # before the gather would index the tree at the
-                    # gathered lane. Four independent gathers pipeline.
-                    g = [
-                        jnp.take_along_axis(
-                            TW_s[
-                                pl.ds(
-                                    jnp.clip(c - (d0 + j), 0, nq - 1)
-                                    * LANES,
-                                    LANES,
-                                )
-                            ],
-                            rs,
-                            axis=1,
-                        )
-                        for j in range(4)
-                    ]
-                    loc = dist - d0
-                    odd = (loc & 1) != 0
-                    got = jnp.where(
-                        (loc & 2) != 0,
-                        jnp.where(odd, g[3], g[2]),
-                        jnp.where(odd, g[1], g[0]),
-                    )
-                    return jnp.where((loc >= 0) & (loc < 4), got, b)
-
-                b = jax.lax.fori_loop(0, (maxd + 5) >> 2, sweep, zz)
+                # Span sweep: ``span`` consecutive source chunks per
+                # iteration (sweep_stats.json: distances are dense near
+                # 0, so distance-set scheduling wins little; batching
+                # the linear scan is what pays).
+                b = _span_sweep(TW_s, c, nq, rs, dist, maxd, span, zz)
                 x = a ^ b
                 weq = still & (x == 0)
                 lenacc = lenacc + jnp.where(weq, four4, zz)
@@ -834,6 +823,7 @@ def _prev_step_kernel(
     *hbm_scratch,  # hbm mode: (WIN (128,128) i32, DMA sem)
     bs: int,
     hbm: bool = False,
+    span: int = 4,
 ):
     """``hbm=True`` (the 64 K envelope) takes ``near_ref`` in ANY/HBM and
     windows it in per 128-row chunk: three resident (bs, 128) planes +
@@ -868,16 +858,12 @@ def _prev_step_kernel(
         src = p - lagj
         qs = src >> 7
         rs = src & (LANES - 1)
-        maxd = jnp.max(jnp.where(has, c - qs, -1))
-
-        def sweep(d, b):
-            start = jnp.clip(c - d, 0, nq - 1) * LANES
-            got = jnp.take_along_axis(TC_s[pl.ds(start, LANES)], rs, axis=1)
-            # No has gate: a dead lane's b is never read (c2 is has-gated).
-            return jnp.where(qs == c - d, got, b)
-
-        lag_src = jax.lax.fori_loop(
-            0, maxd + 1, sweep, jnp.zeros((LANES, LANES), jnp.int32)
+        dist = c - qs
+        maxd = jnp.max(jnp.where(has, dist, -1))
+        # No has gate: a dead lane's b is never read (c2 is has-gated).
+        lag_src = _span_sweep(
+            TC_s, c, nq, rs, dist, maxd, span,
+            jnp.zeros((LANES, LANES), jnp.int32),
         )
         c2 = jnp.where(has & (lag_src > 0), lagj + lag_src, 0)
         out_ref[pl.ds(c * LANES, LANES)] = jnp.transpose(c2)
@@ -906,9 +892,25 @@ def sorted_match_groups(
     neighbor: bool = False,
     sort_window: int = 0,
     rung_pick: bool = False,
+    max_lag: int = 0,
+    sweep_span: int = 4,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (best_len, best_off) as (groups, bs, 128) i32 arrays.
+
+    ``max_lag`` > 0 drops candidates with lag > max_lag (one elementwise
+    select per rung, applied BEFORE rung-pick/ladder folds so nearer
+    short-rung candidates fill in). This bounds the extension sweeps'
+    chunk distance — the dominant device encode cost — at a measured
+    small ratio price (xml @32K flagship: 0.8050 full -> 0.8018 @16384
+    -> 0.7925 @8192 -> 0.7754 @4096, census in docs/sweep_stats.json;
+    reference bar 0.7408). Unlike ``sort_window`` (aligned chunk-local
+    sorts) the cap is sliding and costs no sort-reach, so its ratio
+    dominates sort_window at equal reach.
+
+    ``sweep_span`` (power of two in [2, 16]) sets how many consecutive
+    source chunks each adaptive-sweep iteration covers (``_span_sweep``):
+    span 8 halves flagship sweep iterations vs span 4.
 
     ``prev_k=k`` also folds the 2nd..k-th-nearest previous occurrences on
     the L=4 rung (computed by iterated lag composition, no extra sort —
@@ -998,7 +1000,15 @@ def sorted_match_groups(
         raise ValueError(
             "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
         )
+    if sweep_span & (sweep_span - 1) or not 2 <= sweep_span <= 16:
+        raise ValueError("sweep_span must be a power of two in [2, 16]")
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0 (0 = unlimited)")
     ext_rounds = ext_cap // 4
+
+    def cap_lag(c):
+        # Candidates are nonnegative; 0 (none) stays 0 under the select.
+        return jnp.where(c <= max_lag, c, 0) if max_lag else c
     vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
 
     def rung_stride(ri: int) -> int:
@@ -1034,7 +1044,9 @@ def sorted_match_groups(
 
     def extend_fold_call(rounds=16):
         return pl.pallas_call(
-            functools.partial(_extend_fold_kernel, bs=bs, rounds=rounds),
+            functools.partial(
+                _extend_fold_kernel, bs=bs, rounds=rounds, span=sweep_span
+            ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bs, LANES), jnp.int32),
@@ -1049,7 +1061,9 @@ def sorted_match_groups(
     # third resident (bs, 128) plane put the kernel 72 KB over the budget.
     hbm_cands = bs > 32768
     prev_step_call = pl.pallas_call(
-        functools.partial(_prev_step_kernel, bs=bs, hbm=hbm_cands),
+        functools.partial(
+            _prev_step_kernel, bs=bs, hbm=hbm_cands, span=sweep_span
+        ),
         in_specs=[
             pl.BlockSpec(
                 memory_space=pl.ANY if hbm_cands else pltpu.VMEM
@@ -1091,16 +1105,20 @@ def sorted_match_groups(
         cands = []
         for ri, rung in enumerate(rungs):
             cand = rung_call(rung, rung_stride(ri))(data)
-            cands.append(cand)
+            cands.append(cap_lag(cand))
             if rung == 4 and prev_k >= 2:
+                # The composition chain stays uncapped (capping a middle
+                # step would break the j-th-previous recurrence); only the
+                # candidates handed to the extension are capped.
                 lagj = cand
                 for _ in range(2, prev_k + 1):
                     lagj = prev_step_call(cand, lagj)
-                    cands.append(lagj)
+                    cands.append(cap_lag(lagj))
         sel_call = pl.pallas_call(
             functools.partial(
                 _select_extend_kernel, bs=bs, n_cands=len(cands),
                 sel_rounds=sel_cap // 4, rounds=ext_rounds, hbm=hbm_cands,
+                span=sweep_span,
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
             + [
@@ -1136,19 +1154,19 @@ def sorted_match_groups(
             if rung == 4 and prev_k >= 2 and sel_cap:
                 cheap_call = extend_fold_call(rounds=sel_cap // 4)
                 zero = jnp.zeros((bs, LANES), jnp.int32)
-                sel = cheap_call(data, lens, cand, zero)
+                sel = cheap_call(data, lens, cap_lag(cand), zero)
                 lagj = cand
                 for _ in range(2, prev_k + 1):
                     lagj = prev_step_call(cand, lagj)
-                    sel = cheap_call(data, lens, lagj, sel)
+                    sel = cheap_call(data, lens, cap_lag(lagj), sel)
                 best = extend_call(data, lens, sel & 0xFFFF, best)
             else:
-                best = extend_call(data, lens, cand, best)
+                best = extend_call(data, lens, cap_lag(cand), best)
                 if rung == 4 and prev_k >= 2:
                     lagj = cand
                     for _ in range(2, prev_k + 1):
                         lagj = prev_step_call(cand, lagj)
-                        best = extend_call(data, lens, lagj, best)
+                        best = extend_call(data, lens, cap_lag(lagj), best)
         # Unpack per group: a whole-batch unpack fusion on the stacked
         # (groups, bs, 128) map output exceeds XLA's 16 MB scoped-vmem
         # stack allocation (observed on v5e at bs=8192 x 8 groups).
@@ -1170,7 +1188,7 @@ def sorted_match_groups(
         data, lens = args
         sel = jnp.zeros((bs, LANES), jnp.int32)
         for ri, rung in enumerate(rungs):
-            cand = rung_call(rung, rung_stride(ri))(data)
+            cand = cap_lag(rung_call(rung, rung_stride(ri))(data))
             sel = jnp.where(cand > 0, cand, sel)
         best = extend_call(
             data, lens, sel, jnp.zeros((bs, LANES), jnp.int32)

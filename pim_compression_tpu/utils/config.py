@@ -9,6 +9,57 @@ import dataclasses
 from pim_compression_tpu.format import constants as C
 
 
+# Measured operating points per block size (the analog of the reference's
+# per-file best-config table, scripts/host_speedup.py:13-21). Values are
+# CodecConfig field overrides; block sizes resolve to the nearest key.
+# Spec ratios on xml (reference-bar = our bit-identical native codec at the
+# same block size; census in docs/sweep_stats.json):
+#   bs     bar     ratio-preset  balanced      speed
+#   8192   0.6859  0.7034        0.6986        0.6986 (span16)
+#   16384  0.7189  0.7330        0.7292        0.7292 (span16)
+#   32768  0.7408  0.8050        0.7925        0.7754 (span16)
+#   65536  0.7552  0.7608 (device-validated wide sel16 ladder)
+# "speed" trades sweep iterations (the measured device encode wall) for
+# ratio but stays at or above the reference bar at every size.
+OPERATING_POINTS: dict[str, dict[int, dict]] = {
+    "speed": {
+        8192: dict(max_lag=4096, sweep_span=16),
+        16384: dict(max_lag=8192, sweep_span=16),
+        32768: dict(max_lag=4096, sweep_span=16),
+        65536: dict(
+            rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
+            max_lag=4096, sweep_span=16,
+        ),
+    },
+    "balanced": {
+        8192: dict(max_lag=4096, sweep_span=8),
+        16384: dict(max_lag=8192, sweep_span=8),
+        32768: dict(max_lag=8192, sweep_span=8),
+        65536: dict(
+            rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
+            max_lag=8192, sweep_span=8,
+        ),
+    },
+    "ratio": {
+        8192: dict(max_lag=0, sweep_span=8),
+        16384: dict(max_lag=0, sweep_span=8),
+        32768: dict(max_lag=0, sweep_span=8),
+        65536: dict(
+            rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
+            max_lag=0, sweep_span=8,
+        ),
+    },
+}
+
+
+def preset_overrides(preset: str, block_size: int) -> dict:
+    """CodecConfig field overrides for a named preset at a block size
+    (nearest measured size wins)."""
+    table = OPERATING_POINTS[preset]
+    key = min(table, key=lambda k: abs(k - block_size))
+    return dict(table[key])
+
+
 @dataclasses.dataclass(frozen=True)
 class CodecConfig:
     """Knobs for the device codec paths.
@@ -110,6 +161,22 @@ class CodecConfig:
     # rung/prev ladder (pallas_match.sorted_match_groups(neighbor=True)):
     # one elementwise pass, +0.7 xml ratio points @32K. Default on.
     neighbor: bool = True
+    # Sorted-matcher candidate reach cap (bytes; 0 = whole block): drop
+    # candidates with lag > max_lag (one elementwise select per rung,
+    # BEFORE the pick/ladder folds so nearer short-rung candidates fill
+    # in). Bounds the extension sweeps' chunk distance — the dominant
+    # device encode cost (docs/device_kernel_attrib.json) — at a measured
+    # small ratio price: xml @32K flagship 0.8050 full -> 0.8018 @16384
+    # -> 0.7925 @8192 -> 0.7754 @4096 (census in docs/sweep_stats.json;
+    # reference bar 0.7408). Unlike sort_window the cap is sliding (no
+    # aligned-group loss) and saves no sort stages. Default 8192 = the
+    # round-5 flagship knee (~2.2x fewer sweep iterations than uncapped).
+    max_lag: int = 8192
+    # Adaptive-sweep span: consecutive source chunks per gather iteration
+    # in the extension/prev-step kernels (pallas_match._span_sweep).
+    # Power of two in [2, 16]; span 8 halves flagship sweep iterations vs
+    # span 4 at ~span/4 gathers per iteration.
+    sweep_span: int = 8
     # Incompressible fast path (the reference's skip heuristic,
     # snappy_compress.c:333-348, lifted to whole blocks): host triage
     # diverts near-random blocks (zero sampled duplicate 4-grams AND
@@ -184,3 +251,9 @@ class CodecConfig:
             raise ValueError(
                 "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
             )
+        if self.max_lag < 0:
+            raise ValueError("max_lag must be >= 0 (0 = whole-block reach)")
+        if self.sweep_span & (self.sweep_span - 1) or not (
+            2 <= self.sweep_span <= 16
+        ):
+            raise ValueError("sweep_span must be a power of two in [2, 16]")

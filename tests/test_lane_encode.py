@@ -298,3 +298,94 @@ def test_extend_match_rle_overlap():
     cand[1, 0] = 1
     el = lme.extend_match(W4, lens, cand)
     assert el[1, 0] == 64
+
+
+def test_max_lag_candidate_cap():
+    # max_lag drops candidates beyond the reach cap; nearer short-rung
+    # candidates fill in; streams stay valid and ratio degrades gracefully.
+    rng = np.random.default_rng(4)
+    bs, lanes = 2048, 8
+    base = (b"a moderately repetitive payload phrase " * 60)[:bs]
+    data = np.zeros((bs, lanes), np.int32)
+    for l in range(lanes):
+        arr = bytearray(base)
+        for _ in range(40):
+            arr[rng.integers(0, bs)] = rng.integers(0, 256)
+        data[:, l] = np.frombuffer(bytes(arr), np.uint8)
+    lens = np.full(lanes, bs, np.int32)
+    sizes_by_cap = []
+    for cap in (0, 1024, 256, 64):
+        bl, bo = lme.match_search_sorted(
+            data, lens, rungs=(4, 16), rung_pick=True, ext_cap=48,
+            neighbor=True, max_lag=cap,
+        )
+        if cap:
+            assert int(bo.max()) <= cap
+        ml = lme.lazy_defer(bl)
+        acc, cp = lme.greedy_parse(ml, lens)
+        sizes_by_cap.append(
+            int(lme.emit_sizes(lens, acc, cp, ml, bo).sum())
+        )
+    # Tighter caps lose long-range matches; the greedy parse is not
+    # perfectly monotone element-by-element, but the 64-byte cap must be
+    # clearly worse than full reach on repetitive data.
+    assert sizes_by_cap[-1] > sizes_by_cap[0]
+
+
+def test_extend_match_trusted_matches_exact_on_true_candidates():
+    # With genuinely matching candidates, the trusted extension (skip
+    # rounds below the trusted prefix) returns exactly the exact lengths.
+    rng = np.random.default_rng(11)
+    bs, lanes = 1024, 4
+    data = np.zeros((bs, lanes), np.int32)
+    for l in range(lanes):
+        data[:, l] = np.frombuffer(
+            (bytes(rng.integers(32, 127, 130, dtype=np.uint8)) * 10)[:bs],
+            np.uint8,
+        )
+    lens = np.full(lanes, bs, np.int32)
+    W4 = lme._pack_word4(data)
+    h16 = lme._hash_ladder_step(lme._hash_ladder_step(W4, 4), 8)
+    c16 = lme.packed_prev_lags(h16, 1)[0]
+    rows = np.arange(bs)[:, None]
+    # keep only candidates whose 16-byte prefix REALLY matches
+    src = np.clip(rows - c16, 0, bs - 1)
+    true16 = np.ones((bs, lanes), bool)
+    for k in range(4):
+        a = lme._shift_up(W4, 4 * k) if k else W4
+        b = np.take_along_axis(W4, np.clip(src + 4 * k, 0, bs - 1), 0)
+        true16 &= a == b
+    cand = np.where(true16, c16, 0)
+    trust = np.where(cand > 0, 16, 0)
+    exact = lme.extend_match(W4, lens, cand, max_len=48)
+    trusted = lme.extend_match(W4, lens, cand, max_len=48, trust=trust)
+    assert (exact == trusted).all()
+
+
+def test_verify_copy_prefix_flags_false_trust():
+    # A fold-collision candidate trusted for 16 bytes emits a wrong copy;
+    # verify_copy_prefix must flag the lane. (This records the round-5
+    # investigation: trusting rung prefixes without byte verification is
+    # caught by the after-parse check — see DESIGN.md.)
+    bs, lanes = 512, 2
+    rng = np.random.default_rng(3)
+    raw = rng.integers(32, 127, (bs, lanes), dtype=np.int64)
+    data = raw.astype(np.int32)
+    lens = np.full(lanes, bs, np.int32)
+    W4 = lme._pack_word4(data)
+    # forge: candidate at p=300 pointing lag 100 with differing bytes
+    cand = np.zeros((bs, lanes), np.int64)
+    cand[300, 0] = 100
+    trust = np.where(cand > 0, 16, 0)
+    trusted_len = lme.extend_match(W4, lens, cand, max_len=48, trust=trust)
+    assert trusted_len[300, 0] >= 16  # wrongly trusted
+    is_copy = trusted_len > 0
+    bad = lme.verify_copy_prefix(W4, lens, is_copy, trusted_len, cand)
+    assert bad[0] and not bad[1]
+    # the exact extension rejects the same forged candidate
+    exact_len = lme.extend_match(W4, lens, cand, max_len=48)
+    assert exact_len[300, 0] == 0
+    bad_exact = lme.verify_copy_prefix(
+        W4, lens, exact_len > 0, exact_len, cand
+    )
+    assert not bad_exact.any()

@@ -883,3 +883,74 @@ def test_pallas_sorted_rung_pick_parity():
                 + ck[i, : sizes_s[i]].tobytes()
             )
             assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+
+def test_pallas_max_lag_span_parity():
+    # max_lag (candidate reach cap) + sweep_span (gather span): kernel
+    # byte-parity with the spec and oracle-valid streams. span is a pure
+    # perf knob (identical output); max_lag changes candidates.
+    bs = 1024
+    r = random.Random(990)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.zeros(pe.BATCH, np.int32)
+    seed = r.randbytes(200)
+    for i in range(pe.BATCH):
+        body = bytearray()
+        while len(body) < bs:
+            body += (
+                seed[: r.randint(4, 100)]
+                if r.random() < 0.7
+                else r.randbytes(r.randint(3, 50))
+            )
+        b = bytes(body[: r.randint(1, bs)])
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+
+    for cfg in (
+        dict(rungs=(4, 16), rung_pick=True, ext_cap=48, neighbor=True,
+             max_lag=256, sweep_span=8),  # the round-5 flagship shape
+        dict(rungs=(4, 16), rung_pick=True, max_lag=128, sweep_span=16),
+        dict(rungs=(4,), prev_k=2, sel_cap=16, sel_all=True, max_lag=256,
+             sweep_span=8),  # select ladder with capped reach
+    ):
+        comp_k, sizes_k = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", interpret=True, **cfg,
+        )
+        comp_s, sizes_s = lme.encode_lanes(
+            blocks, lens, bs, pe.encode_capacity(bs), matcher="sorted",
+            **cfg,
+        )
+        assert (np.asarray(sizes_k) == sizes_s).all(), cfg
+        ck = np.asarray(comp_k)
+        for i in range(0, pe.BATCH, 37):
+            assert (ck[i, : sizes_s[i]] == comp_s[i, : sizes_s[i]]).all(), cfg
+            stream = (
+                encode_varint32(int(lens[i])) + encode_varint32(bs)
+                + int(sizes_s[i]).to_bytes(4, "little")
+                + ck[i, : sizes_s[i]].tobytes()
+            )
+            assert oracle.decompress(stream) == blocks[i, : lens[i]].tobytes()
+
+
+def test_pallas_sweep_span_output_invariant():
+    # sweep_span only reorders the gather schedule — outputs must be
+    # IDENTICAL across spans for the same config.
+    bs = 512
+    r = random.Random(13)
+    blocks = np.zeros((pe.BATCH, bs), np.uint8)
+    lens = np.full(pe.BATCH, bs, np.int32)
+    for i in range(pe.BATCH):
+        blocks[i] = np.frombuffer(
+            (r.randbytes(40) * 20)[:bs], np.uint8
+        )
+    outs = []
+    for span in (2, 4, 8, 16):
+        comp, sizes = pe.encode_blocks_pallas(
+            jnp.asarray(blocks), jnp.asarray(lens), block_size=bs,
+            matcher="sorted", rungs=(4, 16), rung_pick=True,
+            sweep_span=span, interpret=True,
+        )
+        outs.append((np.asarray(comp), np.asarray(sizes)))
+    for comp, sizes in outs[1:]:
+        assert (sizes == outs[0][1]).all()
+        assert (comp == outs[0][0]).all()
