@@ -1,13 +1,21 @@
 # Top-level convenience targets (role of the reference's snappy/Makefile).
 
-.PHONY: all native test test-corpus bench warm-cache clean
+.PHONY: all native test test-full test-corpus bench warm-cache clean
 
 all: native
 
 native:
 	$(MAKE) -C pim_compression_tpu/native
 
+# Fast tier (< 5 min on this VM): every engine's correctness gates + one
+# pallas parity test per kernel family. The reference's `make test` is a
+# seconds-scale cmp harness (snappy/Makefile:44-60); our full matrix of
+# interpret-mode kernel-parity tests runs ~33 min, so it lives in
+# `test-full` (tiering: tests/conftest.py SLOW_TESTS).
 test: native
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-full: native
 	python -m pytest tests/ -x -q
 
 # Golden-file corpus check via the CLI, mirroring the reference's

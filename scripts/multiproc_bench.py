@@ -115,6 +115,8 @@ def run_n(nproc: int, src: pathlib.Path, tmp: pathlib.Path, engine: str,
     )
     return {
         "procs": nproc,
+        "engine": engine,
+        "block_size": block_size,
         "cores": os.cpu_count(),  # procs > cores rows are oversubscribed
         "bytes": n,
         "wall_s": round(wall, 3),
@@ -150,6 +152,8 @@ def main() -> int:
     ap.add_argument("--no-pin", action="store_true",
                     help="skip taskset core pinning + thread-pool caps")
     ap.add_argument("--out", default="docs/sample_results/sweep_procs.csv")
+    ap.add_argument("--fresh", action="store_true",
+                    help="overwrite the CSV instead of merging rows")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as td:
@@ -208,10 +212,23 @@ def main() -> int:
             )
     outp = REPO / args.out
     outp.parent.mkdir(parents=True, exist_ok=True)
+    # Append rows for other engines/sweeps; rewrite when the schema grew
+    # (--fresh or a header mismatch).
+    existing = []
+    if outp.exists() and not args.fresh:
+        with open(outp, newline="") as f:
+            rdr = csv.DictReader(f)
+            if rdr.fieldnames == list(rows[0].keys()):
+                key = ("procs", "engine", "block_size")
+                new = {tuple(str(r[k]) for k in key) for r in rows}
+                existing = [
+                    r for r in rdr
+                    if tuple(r.get(k, "") for k in key) not in new
+                ]
     with open(outp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
-        w.writerows(rows)
+        w.writerows(existing + rows)
     print(f"wrote {outp}")
     return 0
 

@@ -1,20 +1,28 @@
 #!/usr/bin/env python3
-"""Count the select-extend kernel's sweep iterations on real corpus data.
+"""Census of the extension kernels' sweep iterations on real corpus data.
 
-device_kernel_attrib.json puts 75.7 of encode's 86.2 ms/group in
-_select_extend_kernel. Its inner loop is an adaptive chunk-delta sweep:
-round k of chunk c iterates ``max(dist)+2`` times where ``dist`` is the
-chunk distance to each still-active lane's source — one (128,128)
-take_along_axis + select per iteration. The op ledger counts dynamic
-whiles at ONE iteration, so the kernel's real cost is invisible to it.
-This script replays the flagship matcher in the NumPy spec and counts
-the EXACT per-round active-lane maxd the kernel would see, per chunk —
-the total sweep-iteration count explains the measured milliseconds and
-scores redesign candidates (distance caps, d-major restructuring,
-active-chunk early exit) before any kernel is rewritten.
+The encode wall on device is the adaptive chunk-delta gather sweep in the
+extension kernels (docs/device_kernel_attrib.json): round k of chunk c
+iterates ``(maxd + span + 1) // span`` times, where ``maxd`` is ONE SCALAR
+per (round, chunk) — the max chunk distance over all 128x128 live lanes
+(pallas_match._span_sweep). The op ledger counts dynamic whiles at one
+iteration, so this census is the kernel's real cost model: it replays the
+flagship matcher in the NumPy spec and counts the exact per-round maxd the
+kernel would see, across the (sweep_span, max_lag) grid that round 5 added.
 
-Spec refs: lane_model_encode.packed_prev_lags / extend_match;
-kernel: pallas_match._select_extend_kernel.
+Round-5 findings this census records (xml @32K, 128-block group):
+- span 8 halves iterations vs span 4; span 16 halves again;
+- max_lag caps bound maxd directly: 8192 => ~2.2x fewer iterations at a
+  0.0125 ratio cost (0.8050 -> 0.7925; reference bar 0.7408);
+- lane sparsification (the DESIGN.md round-4 "verify-after-parse" plan)
+  does NOT cut the scalar maxd: skipping rounds 0-3 for the ~70% of lanes
+  with rung-16 candidates left 97.8K of 99.5K iterations standing, because
+  one far-source lane per chunk keeps maxd high. The trusted-extension
+  route was dropped for max_lag + span on that evidence (spec functions
+  extend_match(trust=...) / verify_copy_prefix remain as the record).
+
+Spec refs: lane_model_encode.match_search_sorted(rung_pick=True, max_lag);
+kernels: pallas_match._extend_fold_kernel / _span_sweep.
 """
 
 from __future__ import annotations
@@ -39,7 +47,7 @@ LANES = 128
 
 def main() -> int:
     bs = int(os.environ.get("PIM_BS", "32768"))
-    sel_rounds, full_rounds = 4, 12  # sel_cap=16, ext_cap=48
+    ext_rounds = 12  # flagship ext_cap=48
     plain = native.decompress(
         pathlib.Path("/root/reference/test/xml.snappy").read_bytes()
     )
@@ -50,97 +58,77 @@ def main() -> int:
     lens = np.full((LANES,), bs, np.int32)
 
     W4 = lm._pack_word4(data)
-    cands = lm.packed_prev_lags(W4, 2)  # flagship: rungs=(4,), prev_k=2
-    nq = bs // LANES
     rows = np.arange(bs, dtype=np.int64)[:, None]
-    p_chunk = (rows // LANES).astype(np.int64)  # destination chunk per row
+    # Flagship candidates: rung-pick over (4, 16).
+    h16 = lm._hash_ladder_step(lm._hash_ladder_step(W4, 4), 8)
+    c4 = lm.packed_prev_lags(W4, 1)[0]
+    c16 = lm.packed_prev_lags(h16, 1)[0]
 
-    def sweep_iters(cand, nrounds, start=0, still0=None, lenacc0=None):
-        """Per-chunk, per-round maxd(active)+2, mirroring the kernel."""
-        has = cand > 0
-        still = has if still0 is None else still0
-        lenacc = np.zeros_like(cand) if lenacc0 is None else lenacc0
-        total = 0
-        distinct_total = 0
-        dist_samples = []
-        src0 = rows - cand
-        for k in range(start, nrounds):
-            src = src0 + 4 * k
-            qs = np.clip(src, 0, bs - 1) // LANES
-            dist = p_chunk - qs
-            # per destination chunk: maxd over active lanes
+    def census(sel, span):
+        """Total sweep iterations + per-round breakdown + distance stats,
+        with the kernel's exact semantics: one scalar maxd per
+        (round, chunk) over ALL live lanes."""
+        still = sel > 0
+        per_round = []
+        d_samples = []
+        for k in range(ext_rounds):
+            qs = (rows - sel + 4 * k) >> 7
+            dist = (rows >> 7) - qs
             d_act = np.where(still, dist, -1)
-            maxd = np.full(nq, -1, np.int64)
-            np.maximum.at(maxd, p_chunk[:, 0], d_act.max(axis=1))
-            total += int((maxd + 2).clip(min=0).sum())
-            # distinct active distances per chunk (the max-extraction
-            # schedule's iteration count)
-            for c in range(nq):
-                sl = d_act[c * LANES : (c + 1) * LANES]
-                vals = np.unique(sl[sl >= 0])
-                distinct_total += len(vals) + 1
-            dist_samples.append(d_act[still])
-            # word-equality survival (spec: extend_match round)
-            a = np.zeros_like(W4)
-            idx = rows + 4 * k
-            np.copyto(a, np.take_along_axis(
-                np.pad(W4, ((0, 4 * nrounds), (0, 0))), np.minimum(idx, bs - 1 + 4 * nrounds), axis=0
-            ))
-            b = np.take_along_axis(
-                np.pad(W4, ((0, 4 * nrounds), (0, 0))),
-                np.clip(src + 0, 0, bs - 1 + 4 * nrounds), axis=0,
+            d_samples.append(d_act[still])
+            dd = d_act.reshape(bs // LANES, LANES * LANES).max(axis=1)
+            per_round.append(
+                int((((dd + span + 1) // span) * (dd >= 0)).sum())
             )
-            weq = still & (a == b) & (idx < lens[None, :])
-            lenacc = lenacc + np.where(weq, 4, 0)
-            still = weq
-        return total, distinct_total, lenacc, still, np.concatenate(dist_samples)
+            a = lm._shift_up(W4, 4 * k) if k else W4
+            b = np.take_along_axis(
+                W4, np.clip(rows - sel + 4 * k, 0, bs - 1), axis=0
+            )
+            still = still & (a == b)
+        d_all = np.concatenate(d_samples)
+        d_all = d_all[d_all >= 0]
+        stats = {
+            "p50": int(np.percentile(d_all, 50)),
+            "p90": int(np.percentile(d_all, 90)),
+            "p99": int(np.percentile(d_all, 99)),
+            "max": int(d_all.max()),
+            "mean": round(float(d_all.mean()), 1),
+        }
+        return sum(per_round), per_round, stats
 
-    report = {"bs": bs, "nq": nq}
-    # capped passes (both prev candidates)
-    tot_iters = 0
-    tot_distinct = 0
-    sel_len = np.zeros_like(cands[0])
-    sel_off = np.zeros_like(cands[0])
-    dists = []
-    for ci, cand in enumerate(cands):
-        t, td, lenacc, _, d = sweep_iters(cand, sel_rounds)
-        tot_distinct += td
-        cl = lm.extend_match(W4, lens, cand, max_len=16)
-        better = cl > sel_len
-        sel_len = np.where(better, cl, sel_len)
-        sel_off = np.where(better, cand, sel_off)
-        tot_iters += t
-        dists.append(d)
-        print(f"cand {ci}: capped-sweep iters {t:,}")
-    # winner full extension, resumed at sel_rounds
-    t, td, _, _, d = sweep_iters(
-        sel_off, full_rounds, start=sel_rounds,
-        still0=sel_len == 4 * sel_rounds, lenacc0=sel_len,
-    )
-    tot_iters += t
-    tot_distinct += td
-    dists.append(d)
-    print(f"winner full-ext sweep iters {t:,}")
+    def ratio_of(sel):
+        bl = lm.extend_match(W4, lens, sel, max_len=48)
+        bo = np.where(bl > 0, sel, 0)
+        bl, bo = lm.derive_neighbor(bl, bo)
+        ml = lm.lazy_defer(bl)
+        acc, cp = lm.greedy_parse(ml, lens)
+        return 1 - lm.emit_sizes(lens, acc, cp, ml, bo).sum() / (bs * LANES)
 
-    d_all = np.concatenate(dists)
-    d_all = d_all[d_all >= 0]
-    report["total_sweep_iters"] = int(tot_iters)
-    report["distinct_schedule_iters"] = int(tot_distinct)
-    report["distinct_win_x"] = round(tot_iters / max(tot_distinct, 1), 2)
-    report["iters_per_chunk"] = round(tot_iters / nq, 1)
-    # Each iteration = 1 take_along_axis(128,128) + 1 select ~ 32+ vregs.
-    report["gathers_total"] = int(tot_iters)
-    qs_hist = {
-        "p50": int(np.percentile(d_all, 50)),
-        "p90": int(np.percentile(d_all, 90)),
-        "p99": int(np.percentile(d_all, 99)),
-        "max": int(d_all.max()),
-        "mean": round(float(d_all.mean()), 1),
-    }
-    report["active_lane_chunk_distance"] = qs_hist
-    # Redesign scoring: sweep iterations if the per-round sweep only
-    # visited distances with at least one active lane (set-of-distances
-    # instead of 0..maxd) — an upper-bound win for a bit-tested schedule.
+    report = {"bs": bs, "nq": bs // LANES, "flagship": "rung-pick (4,16) ext48 neighbor"}
+    grid = []
+    for cap in (0, 16384, 8192, 4096):
+        if cap and cap >= bs:
+            continue
+        c4c = np.where(c4 <= cap, c4, 0) if cap else c4
+        c16c = np.where(c16 <= cap, c16, 0) if cap else c16
+        sel = np.where(c16c > 0, c16c, c4c)
+        r = ratio_of(sel)
+        row = {"max_lag": cap, "ratio": round(float(r), 4)}
+        for span in (4, 8, 16):
+            total, per_round, stats = census(sel, span)
+            row[f"iters_span{span}"] = total
+            if span == 8:
+                row["per_round_span8"] = per_round
+                row["active_lane_chunk_distance"] = stats
+        grid.append(row)
+        print(row["max_lag"], row["ratio"], row["iters_span4"], row["iters_span8"], row["iters_span16"], flush=True)
+    report["grid"] = grid
+    # Back-compat headline fields (round-4 schema) for the r4 flagship point.
+    full = grid[0]
+    report["total_sweep_iters"] = full["iters_span4"]
+    report["gathers_total"] = full["iters_span4"] * 4
+    report["active_lane_chunk_distance"] = full["active_lane_chunk_distance"]
+
     print(json.dumps(report, indent=2))
     (REPO / "docs" / "sweep_stats.json").write_text(
         json.dumps(report, indent=2) + "\n"
