@@ -250,6 +250,15 @@ def decompress(stream: bytes) -> bytes:
     view = memoryview(stream)
     total_len, pos = decode_varint32(view, 0)
     _block_size, pos = decode_varint32(view, pos)
+    # The reference decoder reads the block size unchecked
+    # (snappy_decompress.c:221); every engine here uniformly rejects
+    # out-of-spec sizes (format max 64 KB, snappy/README.md:7) — a huge
+    # declared size would otherwise drive the device paths' padded
+    # allocations (fuzz tier: test_fuzz_malformed.py).
+    if not 0 < _block_size <= C.MAX_BLOCK_SIZE:
+        raise ValueError(
+            f"declared block size {_block_size} outside (0, {C.MAX_BLOCK_SIZE}]"
+        )
     out = bytearray()
     while pos < len(view):
         if len(out) >= total_len:
