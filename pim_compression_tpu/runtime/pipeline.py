@@ -160,44 +160,61 @@ def triage_incompressible(blocks: np.ndarray, lens: np.ndarray) -> np.ndarray:
     nb, bs = blocks.shape
     if nb == 0 or bs < 64:
         return np.zeros(nb, dtype=bool)
-    g32 = blocks.astype(np.uint32)
-    grams = (
-        g32[:, : bs - 3]
-        | (g32[:, 1 : bs - 2] << 8)
-        | (g32[:, 2 : bs - 1] << 16)
-        | (g32[:, 3:] << 24)
-    )
+
+    def gram(start, stop, step):
+        # Sampled 4-grams from strided VIEWS of the uint8 block matrix —
+        # only the sampled columns are cast/materialized (the full
+        # [nb, bs-3] gram matrix was ~340 MB of traffic at the 84 MB
+        # tier; VERDICT r4 weak #6).
+        g = blocks[:, start:stop:step].astype(np.uint32)
+        for b in (1, 2, 3):
+            g |= blocks[:, start + b : stop + b : step].astype(np.uint32) << (
+                8 * b
+            )
+        return g
+
     # Duplicates are detected WITHIN each sample set (the sets share
     # positions every lcm(8,7)=56 rows, so a pooled sort would see every
     # shared position as a false duplicate). Set A (stride 8) catches
     # repeats at lags = 0 mod 8, set B (stride 7) lags = 0 mod 7, and set C
     # (a contiguous window) any small-lag repeat near the block head.
     def _has_dup(g):
-        s = np.sort(g, axis=1)
-        return (s[:, 1:] == s[:, :-1]).any(axis=1)
+        g.sort(axis=1)
+        return (g[:, 1:] == g[:, :-1]).any(axis=1)
 
     dup = (
-        _has_dup(grams[:, ::8])
-        | _has_dup(grams[:, 3::7])
-        | _has_dup(grams[:, : min(2048, grams.shape[1])])
+        _has_dup(gram(0, bs - 3, 8))
+        | _has_dup(gram(3, bs - 3, 7))
+        | _has_dup(gram(0, min(2048, bs - 3), 1))
     )
+    # Partial final blocks keep the device path (their padding zeros would
+    # skew both tests, and they are at most one per file).
+    cand = np.flatnonzero((lens == bs) & ~dup)
+    out = np.zeros(nb, dtype=bool)
+    if cand.size == 0:  # text corpora: every block has duplicate grams,
+        return out  # the entropy pass is skipped entirely
     # Byte entropy over a sample of ~2 K bytes (every byte below 2 KB
     # blocks: a 64-byte sample can measure at most log2(64) = 6 bits, so a
     # fixed stride made small random blocks unable to clear the threshold),
     # with the Miller-Madow small-sample bias correction (+ (K-1)/(2N ln 2),
     # ~0.09 bits at 2048 samples — without it uniform bytes measure ~7.91
-    # and random blocks flakily miss a raw 7.9 threshold).
-    sample = blocks[:, :: max(1, bs // 2048)]
+    # and random blocks flakily miss a raw 7.9 threshold). Computed only
+    # for blocks that passed the duplicate gate; per-row histograms via
+    # one bincount over (row << 8 | byte) — no Python loop over blocks.
+    sample = blocks[cand, :: max(1, bs // 2048)]
     n = sample.shape[1]
-    hist = np.apply_along_axis(np.bincount, 1, sample, minlength=256)
+    keys = (
+        np.arange(cand.size, dtype=np.int64)[:, None] << 8
+    ) | sample.astype(np.int64)
+    hist = np.bincount(keys.ravel(), minlength=cand.size << 8).reshape(
+        cand.size, 256
+    )
     p = hist / n
     with np.errstate(divide="ignore", invalid="ignore"):
         ent = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
     ent = ent + ((hist > 0).sum(axis=1) - 1) / (2 * n * np.log(2))
-    # Partial final blocks keep the device path (their padding zeros would
-    # skew both tests, and they are at most one per file).
-    full = lens == bs
-    return full & ~dup & (ent > 7.9)
+    out[cand] = ent > 7.9
+    return out
 
 
 def raw_literal_frames(
