@@ -89,3 +89,41 @@ def test_cli_corrupt_stream(tmp_cwd):
     r = run_cli("-i", "bad.snappy", cwd=tmp_cwd)
     assert r.returncode == 1
     assert "error" in r.stderr
+
+
+def test_preset_operating_points_valid():
+    # Every preset x block size resolves to a valid CodecConfig, and the
+    # CLI maps --preset to the table (explicit flags still override).
+    from pim_compression_tpu.utils.config import (
+        CodecConfig, OPERATING_POINTS, preset_overrides,
+    )
+
+    for preset, table in OPERATING_POINTS.items():
+        for bs in (*table, 24576, 256):
+            kw = preset_overrides(preset, bs)
+            cfg = CodecConfig(block_size=bs, engine="pallas", **kw)
+            if bs == 65536:
+                # the wide emit path needs the fused select ladder
+                assert cfg.sel_all and cfg.sel_cap
+            else:
+                assert cfg.effective_rung_pick
+    # speed trades reach/span for iterations, ratio keeps full reach
+    assert OPERATING_POINTS["ratio"][32768]["max_lag"] == 0
+    assert (
+        OPERATING_POINTS["speed"][32768]["max_lag"]
+        <= OPERATING_POINTS["balanced"][32768]["max_lag"]
+    )
+
+
+def test_cli_preset_flag_overrides(tmp_path):
+    # --preset sets knobs; an explicit knob flag wins over the preset.
+    import pim_compression_tpu.cli as cli
+
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"preset override check " * 200)
+    out = tmp_path / "out.snappy"
+    rc = cli.main(
+        ["-c", "--engine", "oracle", "--preset", "speed",
+         "--max-lag", "1024", "-i", str(src), "-o", str(out)]
+    )
+    assert rc == 0 and out.stat().st_size > 0
