@@ -143,7 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
         "bar 0.7408). Default 8192 (the round-5 flagship knee)",
     )
     p.add_argument(
-        "--sweep-span", type=int, choices=[2, 4, 8, 16], default=8,
+        "--sweep-span", type=int, choices=[2, 4, 8, 16, 32], default=8,
         help="extension-sweep span: consecutive source chunks per gather "
         "iteration (span 8 halves flagship sweep iterations vs 4)",
     )

@@ -1000,8 +1000,8 @@ def sorted_match_groups(
         raise ValueError(
             "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
         )
-    if sweep_span & (sweep_span - 1) or not 2 <= sweep_span <= 16:
-        raise ValueError("sweep_span must be a power of two in [2, 16]")
+    if sweep_span & (sweep_span - 1) or not 2 <= sweep_span <= 32:
+        raise ValueError("sweep_span must be a power of two in [2, 32]")
     if max_lag < 0:
         raise ValueError("max_lag must be >= 0 (0 = unlimited)")
     ext_rounds = ext_cap // 4

@@ -254,6 +254,6 @@ class CodecConfig:
         if self.max_lag < 0:
             raise ValueError("max_lag must be >= 0 (0 = whole-block reach)")
         if self.sweep_span & (self.sweep_span - 1) or not (
-            2 <= self.sweep_span <= 16
+            2 <= self.sweep_span <= 32
         ):
-            raise ValueError("sweep_span must be a power of two in [2, 16]")
+            raise ValueError("sweep_span must be a power of two in [2, 32]")
