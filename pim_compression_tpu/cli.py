@@ -135,12 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
         "ratio points @32K (default on)",
     )
     p.add_argument(
-        "--max-lag", type=int, default=8192,
+        "--max-lag", type=int, default=-1,
         help="sorted-matcher candidate reach cap (bytes; 0 = whole "
         "block): bounds the extension sweeps' gather distance — the "
         "dominant device encode cost — at a small ratio price (xml @32K "
         "flagship: 0.8050 full / 0.7925 @8192 / 0.7754 @4096; reference "
-        "bar 0.7408). Default 8192 (the round-5 flagship knee)",
+        "bar 0.7408). Default -1 = auto (8192 up to 32K blocks; full "
+        "reach above, where capping costs more ratio)",
     )
     p.add_argument(
         "--sweep-span", type=int, choices=[2, 4, 8, 16, 32], default=8,

@@ -198,8 +198,11 @@ def _sort_rung_kernel(
     # (two chunk reads, compare, select, store) vs the fused form's ~1.
     # CH=8192 measured ~2% fewer vreg-ops but exceeded the 126 MB device
     # VMEM budget by 1.9 MB at bs=32768 (register liveness of the fused
-    # chunk pass) — hardware-bounded, not a guess.
-    CH = min(m, 4096)
+    # chunk pass) — hardware-bounded, not a guess. At m=65536 the three
+    # 32 MB buffers leave < 30 MB of headroom and CH=4096's fused-pass
+    # liveness spills ~38 MB (device-measured round 5, inherited from the
+    # r4 sort rework): halve the chunk there.
+    CH = min(m, 4096 if m <= 32768 else 2048)
     NC = m // CH
     LOOK = 128
     # Packed word geometry: 17-bit folded key + 15-bit index up to 32 K
@@ -1002,6 +1005,12 @@ def sorted_match_groups(
         )
     if sweep_span & (sweep_span - 1) or not 2 <= sweep_span <= 32:
         raise ValueError("sweep_span must be a power of two in [2, 32]")
+    if bs > 32768:
+        # The 64 K select-extend/extension kernels already sit at the VMEM
+        # edge (HBM-windowed candidates, r3); wider spans' extra live
+        # gathered planes spill ~38 MB of registers past the budget
+        # (device-measured). The reach cap still applies.
+        sweep_span = min(sweep_span, 4)
     if max_lag < 0:
         raise ValueError("max_lag must be >= 0 (0 = unlimited)")
     ext_rounds = ext_cap // 4

@@ -396,7 +396,7 @@ def compress(
                     ext_cap=config.ext_cap,
                     neighbor=config.neighbor,
                     sort_window=config.sort_window,
-                    max_lag=config.max_lag,
+                    max_lag=config.effective_max_lag,
                     sweep_span=config.sweep_span,
                     # effective: prev_k>1 / sel_cap>0 / the 64K wide
                     # upgrade above all opt into the select ladder

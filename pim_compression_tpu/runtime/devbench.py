@@ -77,7 +77,7 @@ def slope_measure(plain: bytes, cfg, iters: int = 5) -> dict:
         sel_all=cfg.sel_all, rung_strides=cfg.rung_strides,
         ext_cap=cfg.ext_cap, neighbor=cfg.neighbor,
         sort_window=cfg.sort_window, rung_pick=cfg.effective_rung_pick,
-        max_lag=cfg.max_lag, sweep_span=cfg.sweep_span,
+        max_lag=cfg.effective_max_lag, sweep_span=cfg.sweep_span,
     )
 
     @jax.jit

@@ -26,18 +26,20 @@ OPERATING_POINTS: dict[str, dict[int, dict]] = {
         8192: dict(max_lag=4096, sweep_span=16),
         16384: dict(max_lag=8192, sweep_span=16),
         32768: dict(max_lag=4096, sweep_span=16),
-        65536: dict(
+        65536: dict(  # spans clamp to 4 at 64K (VMEM edge)
             rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
-            max_lag=4096, sweep_span=16,
+            max_lag=16384, sweep_span=4,
         ),
     },
     "balanced": {
         8192: dict(max_lag=4096, sweep_span=8),
         16384: dict(max_lag=8192, sweep_span=8),
         32768: dict(max_lag=8192, sweep_span=8),
-        65536: dict(
+        65536: dict(  # capping costs more at 64K: 0.747 @8192 on
+            # device vs 0.7608 uncapped (64K reference bar 0.7552) —
+            # balanced keeps full reach there
             rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
-            max_lag=8192, sweep_span=8,
+            max_lag=0, sweep_span=4,
         ),
     },
     "ratio": {
@@ -46,7 +48,7 @@ OPERATING_POINTS: dict[str, dict[int, dict]] = {
         32768: dict(max_lag=0, sweep_span=8),
         65536: dict(
             rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
-            max_lag=0, sweep_span=8,
+            max_lag=0, sweep_span=4,
         ),
     },
 }
@@ -203,6 +205,14 @@ class CodecConfig:
     mesh_devices: int | None = None
 
     @property
+    def effective_max_lag(self) -> int:
+        """-1 (auto) resolves per block size: the measured 8192 knee up
+        to 32 K; full reach above (see the max_lag field comment)."""
+        if self.max_lag >= 0:
+            return self.max_lag
+        return 8192 if self.block_size <= 32768 else 0
+
+    @property
     def effective_rung_pick(self) -> bool:
         """rung_pick applies only to the plain single-candidate ladder:
         setting prev_k > 1 or sel_cap > 0 opts into the select ladder and
@@ -251,8 +261,10 @@ class CodecConfig:
             raise ValueError(
                 "ext_cap must be a multiple of 4 in [max(sel_cap, 4), 64]"
             )
-        if self.max_lag < 0:
-            raise ValueError("max_lag must be >= 0 (0 = whole-block reach)")
+        if self.max_lag < -1:
+            raise ValueError(
+                "max_lag must be >= 0 (0 = whole-block reach) or -1 (auto)"
+            )
         if self.sweep_span & (self.sweep_span - 1) or not (
             2 <= self.sweep_span <= 32
         ):

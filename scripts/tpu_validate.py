@@ -62,6 +62,8 @@ def main() -> int:
     ap.add_argument("--neighbor", action="store_true")
     ap.add_argument("--rung-pick", action="store_true")
     ap.add_argument("--sort-window", type=int, default=0)
+    ap.add_argument("--max-lag", type=int, default=0)
+    ap.add_argument("--sweep-span", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
@@ -183,6 +185,7 @@ def main() -> int:
             stride2_min=args.stride2_min,
             ext_cap=args.ext_cap, neighbor=args.neighbor,
             rung_pick=args.rung_pick, sort_window=args.sort_window,
+            max_lag=args.max_lag, sweep_span=args.sweep_span,
         )
         sync(c)
         return c, s
@@ -212,6 +215,7 @@ def main() -> int:
                 stride2_min=args.stride2_min,
                 ext_cap=args.ext_cap, neighbor=args.neighbor,
                 rung_pick=args.rung_pick, sort_window=args.sort_window,
+                max_lag=args.max_lag, sweep_span=args.sweep_span,
             )
         sync(c)
         return (time.time() - t0) / args.iters
