@@ -12,21 +12,25 @@ from pim_compression_tpu.format import constants as C
 # Measured operating points per block size (the analog of the reference's
 # per-file best-config table, scripts/host_speedup.py:13-21). Values are
 # CodecConfig field overrides; block sizes resolve to the nearest key.
-# Spec ratios on xml (reference-bar = our bit-identical native codec at the
-# same block size; census in docs/sweep_stats.json):
-#   bs     bar     ratio-preset  balanced      speed
-#   8192   0.6859  0.7034        0.6986        0.6986 (span16)
-#   16384  0.7189  0.7330        0.7292        0.7292 (span16)
-#   32768  0.7408  0.8050        0.7925        0.7754 (span16)
-#   65536  0.7552  0.7608 (device-validated wide sel16 ladder)
-# "speed" trades sweep iterations (the measured device encode wall) for
-# ratio but stays at or above the reference bar at every size.
+# FULL-STREAM ratios on xml (spec emit over every block incl. the tail —
+# validated to match device bench output to 4 decimals at 32K balanced;
+# reference-bar = our bit-identical native codec at the same block size):
+#   bs     bar     ratio        balanced     speed
+#   8192   0.6859  0.7139       0.7073       0.7004 (cap3072 span16)
+#   16384  0.7189  0.7467       0.7420       0.7275 (cap4096 span16)
+#   32768  0.7408  0.7696       0.7560       0.7448 (cap5120 span16)
+#   65536  0.7552  0.7639 (device-validated wide sel16 ladder, uncapped)
+# Every preset stays at or above the reference bar at its size; "speed"
+# buys ~3-5x fewer extension-sweep iterations (docs/sweep_stats.json,
+# docs/device_kernel_attrib.json) for the ratio margin above the bar.
 OPERATING_POINTS: dict[str, dict[int, dict]] = {
     "speed": {
-        8192: dict(max_lag=4096, sweep_span=16),
-        16384: dict(max_lag=8192, sweep_span=16),
-        32768: dict(max_lag=4096, sweep_span=16),
-        65536: dict(  # spans clamp to 4 at 64K (VMEM edge)
+        8192: dict(max_lag=3072, sweep_span=16),
+        16384: dict(max_lag=4096, sweep_span=16),
+        32768: dict(max_lag=5120, sweep_span=16),
+        65536: dict(  # spans clamp to 4 at 64K (VMEM edge); 16384 sits
+            # between the measured 0.747 @8192 and 0.7639 uncapped —
+            # approximately at the 64K bar
             rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
             max_lag=16384, sweep_span=4,
         ),
@@ -35,9 +39,8 @@ OPERATING_POINTS: dict[str, dict[int, dict]] = {
         8192: dict(max_lag=4096, sweep_span=8),
         16384: dict(max_lag=8192, sweep_span=8),
         32768: dict(max_lag=8192, sweep_span=8),
-        65536: dict(  # capping costs more at 64K: 0.747 @8192 on
-            # device vs 0.7608 uncapped (64K reference bar 0.7552) —
-            # balanced keeps full reach there
+        65536: dict(  # capping costs more at 64K: 0.747 @8192 on device
+            # vs 0.7639 uncapped — balanced keeps full reach there
             rungs=(4,), prev_k=2, sel_cap=16, sel_all=True,
             max_lag=0, sweep_span=4,
         ),
