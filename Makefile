@@ -7,11 +7,12 @@ all: native
 native:
 	$(MAKE) -C pim_compression_tpu/native
 
-# Fast tier (< 5 min on this VM): every engine's correctness gates + one
-# pallas parity test per kernel family. The reference's `make test` is a
-# seconds-scale cmp harness (snappy/Makefile:44-60); our full matrix of
-# interpret-mode kernel-parity tests runs ~33 min, so it lives in
-# `test-full` (tiering: tests/conftest.py SLOW_TESTS).
+# Fast tier (measured 9:39 quiet on this 4-core VM): every engine's
+# correctness gates + one pallas parity test per kernel family. The
+# reference's `make test` is a seconds-scale cmp harness
+# (snappy/Makefile:44-60); our full matrix of interpret-mode
+# kernel-parity tests runs ~33-38 min, so it lives in `test-full`
+# (tiering: tests/conftest.py SLOW_TESTS).
 test: native
 	python -m pytest tests/ -x -q -m "not slow"
 

