@@ -218,16 +218,9 @@ def main(argv: list[str] | None = None) -> int:
 
         parser = build_parser()
         for field, value in preset_overrides(args.preset, block_size).items():
-            arg_map = {
-                "rungs": "rungs", "prev_k": "prev_k", "sel_cap": "sel_cap",
-                "sel_all": "sel_all", "max_lag": "max_lag",
-                "sweep_span": "sweep_span",
-            }
-            dest = arg_map.get(field, field)
-            if getattr(args, dest, None) == parser.get_default(dest) or (
-                field == "rungs"
-                and args.rungs == parser.get_default("rungs")
-            ):
+            # preset field names == argparse dests; a flag left at its
+            # parser default takes the preset value
+            if getattr(args, field, None) == parser.get_default(field):
                 preset_kw[field] = value
         if "rungs" in preset_kw:  # bypass the string parse below
             args.rungs = ",".join(str(r) for r in preset_kw.pop("rungs"))
@@ -243,10 +236,11 @@ def main(argv: list[str] | None = None) -> int:
                 else tuple(int(r) for r in args.rungs.split(","))
             ),
             prev_k=preset_kw.pop("prev_k", args.prev_k),
-            sel_cap=preset_kw.pop("sel_cap", args.sel_cap),
-            sel_all=preset_kw.pop(
-                "sel_all", args.sel_all and args.sel_cap > 0
-            ),
+            sel_cap=(sel_cap := preset_kw.pop("sel_cap", args.sel_cap)),
+            # the explicit-flag fallback gates on the RESOLVED sel_cap:
+            # `--preset balanced -b 65536 --sel-all` must keep sel_all
+            # with the preset's sel_cap=16
+            sel_all=preset_kw.pop("sel_all", args.sel_all and sel_cap > 0),
             raw_triage=not args.no_triage,
             verify=args.verify,
             stride2_min=args.stride2_min,

@@ -391,7 +391,11 @@ def verify_copy_prefix(
     pass). Bytes >= vbytes were verified exactly by the extension rounds,
     and bytes genuinely equal never flag, so checking min(len, vbytes)
     unconditionally (rather than min(len, trust)) is sound and needs no
-    trust plumbing. Returns bool [lanes]."""
+    trust plumbing. ``lens`` is accepted for signature symmetry with the
+    other spec passes but unused: the caller's best_len is already
+    lens-clamped by extend_match, so no claimed byte reaches past the
+    block. Returns bool [lanes]."""
+    del lens
     bs, lanes = W4.shape
     rows = np.arange(bs, dtype=np.int64)[:, None]
     idx = rows - best_off

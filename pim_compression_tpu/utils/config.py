@@ -174,13 +174,17 @@ class CodecConfig:
     # small ratio price: xml @32K flagship 0.8050 full -> 0.8018 @16384
     # -> 0.7925 @8192 -> 0.7754 @4096 (census in docs/sweep_stats.json;
     # reference bar 0.7408). Unlike sort_window the cap is sliding (no
-    # aligned-group loss) and saves no sort stages. Default 8192 = the
-    # round-5 flagship knee (~2.2x fewer sweep iterations than uncapped).
-    max_lag: int = 8192
+    # aligned-group loss) and saves no sort stages. Default -1 = AUTO,
+    # resolved by ``effective_max_lag``: 8192 (the measured knee, ~2.2x
+    # fewer sweep iterations) for block sizes <= 32768; 0 (full reach)
+    # above — capping costs more at 64K (device: 0.747 @8192 vs 0.7639
+    # uncapped; 64K reference bar 0.7552).
+    max_lag: int = -1
     # Adaptive-sweep span: consecutive source chunks per gather iteration
     # in the extension/prev-step kernels (pallas_match._span_sweep).
-    # Power of two in [2, 16]; span 8 halves flagship sweep iterations vs
-    # span 4 at ~span/4 gathers per iteration.
+    # Power of two in [2, 32] (clamped to 4 on the 64K wide path); span 8
+    # halves flagship sweep iterations vs span 4 at ~span/4 gathers per
+    # iteration; 16/32 only pay at small caps.
     sweep_span: int = 8
     # Incompressible fast path (the reference's skip heuristic,
     # snappy_compress.c:333-348, lifted to whole blocks): host triage

@@ -213,7 +213,7 @@ def main() -> int:
         for row in grid:
             for span in (4, 8, 16):
                 census[(row["max_lag"], span)] = row[f"iters_span{span}"]
-    except (OSError, KeyError):
+    except (OSError, KeyError, ValueError):
         pass
 
     ext_points = []

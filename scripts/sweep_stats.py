@@ -77,8 +77,10 @@ def main() -> int:
             d_act = np.where(still, dist, -1)
             d_samples.append(d_act[still])
             dd = d_act.reshape(bs // LANES, LANES * LANES).max(axis=1)
+            # The kernel's fori_loop floor is ONE iteration even for a
+            # chunk with no live lanes (maxd = -1 -> nit = 1): count it.
             per_round.append(
-                int((((dd + span + 1) // span) * (dd >= 0)).sum())
+                int(np.maximum((dd + span + 1) // span, 1).sum())
             )
             a = lm._shift_up(W4, 4 * k) if k else W4
             b = np.take_along_axis(
