@@ -39,7 +39,7 @@ def measure(
     rungs: tuple | None = None, prev_k: int = 1, stride2_min: int = 0,
     sel_cap: int = 0, sel_all: bool = False, rung_strides: tuple | None = None,
     ext_cap: int = 64, neighbor: bool = False, rung_pick: bool = True,
-    max_lag: int = 8192, sweep_span: int = 8,
+    max_lag: int = -1, sweep_span: int = 8,
 ) -> dict:
     from pim_compression_tpu import native, runtime
     from pim_compression_tpu.runtime.profiling import PhaseTimer
@@ -107,7 +107,7 @@ def measure_subprocess(
     engine, block_size, repeat, iters, timeout, window, coarse, granular,
     matcher, rungs, prev_k, stride2_min=0, sel_cap=0, sel_all=False,
     rung_strides=None, ext_cap=64, neighbor=False, rung_pick=True,
-    max_lag=8192, sweep_span=8,
+    max_lag=-1, sweep_span=8,
 ) -> dict | None:
     code = (
         "import json, bench; "
@@ -197,7 +197,7 @@ def main() -> int:
     # Round-5 flagship additions: candidate reach cap (bounds the
     # extension sweeps' gather distance; xml spec ratio 0.7925 @8192 vs
     # 0.8050 uncapped) + span-8 sweeps (half the iterations of span-4).
-    max_lag = int(os.environ.get("PIM_BENCH_MAXLAG", "8192"))
+    max_lag = int(os.environ.get("PIM_BENCH_MAXLAG", "-1"))  # -1 = auto
     sweep_span = int(os.environ.get("PIM_BENCH_SPAN", "8"))
 
     # Baseline: the single-threaded native host codec (the reference host
